@@ -1,0 +1,61 @@
+"""Sketch ABC + registry.
+
+Every sketch kind plugs into the same Ray Data scaffold (partial sketch per
+batch inside ``map_batches`` → associative merge in a tiny reduce stage) via
+this interface, mirroring the reference's user-extension surface
+(/root/reference/CardinalityEstimation/ICardinalityEstimator.cs:32-58 and the
+pluggable hash delegates at CardinalityEstimator.cs:39-46).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+import pyarrow as pa
+
+
+class Sketch(ABC):
+    """A mergeable, serializable sketch over a stream of elements."""
+
+    __slots__ = ()
+
+    #: registry of sketch kinds: name -> class
+    REGISTRY: dict[str, type["Sketch"]] = {}
+
+    kind: str = "abstract"
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if getattr(cls, "kind", None) and cls.kind != "abstract":
+            Sketch.REGISTRY[cls.kind] = cls
+
+    # --- update -------------------------------------------------------
+    @abstractmethod
+    def add_values(self, values: np.ndarray) -> None:
+        """Vectorized add of a numpy array of elements."""
+
+    def add_arrow(self, arr: pa.Array | pa.ChunkedArray) -> None:
+        """Add an Arrow array (default: via numpy conversion)."""
+        if isinstance(arr, pa.ChunkedArray):
+            for chunk in arr.chunks:
+                self.add_arrow(chunk)
+            return
+        self.add_values(arr.to_numpy(zero_copy_only=False))
+
+    # --- merge / query ------------------------------------------------
+    @abstractmethod
+    def merge(self, other: "Sketch") -> "Sketch":
+        """In-place associative, commutative union merge."""
+
+    # --- wire ---------------------------------------------------------
+    @abstractmethod
+    def to_bytes(self) -> bytes: ...
+
+    @classmethod
+    @abstractmethod
+    def from_bytes(cls, blob: bytes) -> "Sketch": ...
+
+
+def sketch_from_bytes(kind: str, blob: bytes) -> Sketch:
+    return Sketch.REGISTRY[kind].from_bytes(blob)

@@ -1,0 +1,87 @@
+"""Golden-vector and vectorized-vs-scalar equivalence tests for hashing.
+
+Golden vectors from the reference test suite (FIXTURES.md F4):
+- FNV-1a:   CardinalityEstimation.Test/Hash/Fnv1ATests.cs:35-41
+- Murmur3:  CardinalityEstimation.Test/Hash/Murmur3Tests.cs:35-41
+"""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cardinalityestimation_ray.sketches import hashing
+
+
+def test_fnv1a_golden_vectors():
+    assert hashing.fnv1a64(b"") == 14695981039346656037
+    assert hashing.fnv1a64(bytes([1, 2, 3, 4, 5])) == 1109817072422714760
+    assert hashing.fnv1a64(bytes([255] * 4)) == 11047178588169845073
+
+
+def test_murmur3_golden_vectors():
+    assert hashing.murmur3_128_x64_low64(b"") == 0
+    assert hashing.murmur3_128_x64_low64(bytes([1, 2, 3, 4, 5])) == 18344466521425217038
+    assert hashing.murmur3_128_x64_low64(bytes([255] * 4)) == 4889297221962843713
+
+
+@pytest.mark.parametrize("dtype,fmt", [
+    (np.int32, "<i"), (np.uint32, "<I"), (np.int64, "<q"), (np.uint64, "<Q"),
+])
+def test_fnv1a_vectorized_matches_scalar_ints(dtype, fmt):
+    rng = np.random.default_rng(7)
+    info = np.iinfo(dtype)
+    vals = rng.integers(info.min, info.max, size=257, dtype=dtype)
+    vals[:4] = [0, 1, info.min, info.max]
+    vec = hashing.fnv1a64_fixed(vals)
+    for v, h in zip(vals, vec):
+        assert hashing.fnv1a64(struct.pack(fmt, int(v))) == int(h)
+
+
+@pytest.mark.parametrize("dtype,fmt", [(np.float32, "<f"), (np.float64, "<d")])
+def test_fnv1a_vectorized_matches_scalar_floats(dtype, fmt):
+    rng = np.random.default_rng(8)
+    vals = rng.normal(size=64).astype(dtype)
+    vec = hashing.fnv1a64_fixed(vals)
+    for v, h in zip(vals, vec):
+        assert hashing.fnv1a64(struct.pack(fmt, float(v))) == int(h)
+
+
+def test_fnv1a_arrow_binary_matches_scalar():
+    strings = ["", "a", "doc-000000000042", "x" * 300, "héllo wörld", "tail"]
+    arr = pa.array(strings, type=pa.string())
+    vec = hashing.hash_arrow_binary(arr)
+    for s, h in zip(strings, vec):
+        assert hashing.fnv1a64(s.encode("utf-8")) == int(h)
+    # sliced arrays (non-zero offset) must hash identically
+    sl = arr.slice(2, 3)
+    vec_sl = hashing.hash_arrow_binary(sl)
+    assert list(vec_sl) == list(vec[2:5])
+    # large_string path
+    larr = pa.array(strings, type=pa.large_string())
+    assert list(hashing.hash_arrow_binary(larr)) == list(vec)
+
+
+def test_int_identity_rule_matches_bytes():
+    """Reference invariant: Add(123) == Add(LE bytes of 123)
+    (CardinalityEstimatorTests.cs:750-770)."""
+    h_int = hashing.fnv1a64_fixed(np.asarray([123], dtype=np.int32))[0]
+    h_bytes = hashing.fnv1a64(struct.pack("<i", 123))
+    assert int(h_int) == h_bytes
+
+
+def test_bit_length_u64():
+    vals = np.array([0, 1, 2, 3, 8, (1 << 50) - 1, 1 << 51, (1 << 63), (1 << 64) - 1],
+                    dtype=np.uint64)
+    expect = [0, 1, 2, 2, 4, 50, 52, 64, 64]
+    assert list(hashing.bit_length_u64(vals)) == expect
+    small = vals[vals < (1 << 53)]
+    assert list(hashing.bit_length_u64_small(small)) == [0, 1, 2, 2, 4, 50, 52]
+
+
+def test_splitmix64_deterministic_and_dispersed():
+    x = np.arange(10_000, dtype=np.uint64)
+    h = hashing.splitmix64(x)
+    assert len(np.unique(h)) == len(h)
+    assert np.array_equal(h, hashing.splitmix64(x))
