@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Headline benchmark: tokens/sec sketched (HLL distinct-token estimation).
+
+Usage:
+    python bench.py             # one JSON line with per-query seconds
+    python bench.py --scaling   # same job at N and 4N cpus in fresh
+                                # processes; reports throughput + efficiency
+
+Env:
+    GRAFT_SF_DIR           testdata dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS         ray.init(num_cpus=...) (default 32)
+    GRAFT_BENCH_DOCS       synthetic tokens-corpus docs (default 200_000)
+    GRAFT_BENCH_TEXT_DOCS  synthetic text-corpus docs (default DOCS/2)
+    GRAFT_SCALE_LO/HI      --scaling parallelism pair (default 2 -> 8; see
+                           the note in main() about the DRAM ceiling)
+
+The synthetic corpus (FIXTURES.md F1 generator, deterministic seed=42) is
+materialized once under /tmp and reused, so timed runs measure read +
+sketch + merge, not generation. A warm-up pass touches the files first so
+both scaling levels see a warm page cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
+TEXT_DOCS = int(os.environ.get("GRAFT_BENCH_TEXT_DOCS", str(BENCH_DOCS // 2)))
+CORPUS_DIR = f"/tmp/ces_bench_corpus_{BENCH_DOCS}"
+TEXT_CORPUS_DIR = f"/tmp/ces_bench_text_corpus_{TEXT_DOCS}"
+
+
+def ensure_corpus():
+    """Materialize the deterministic synthetic corpora (untimed)."""
+    from cardinalityestimation_ray.sources.corpus import (
+        write_synthetic_corpus,
+        write_synthetic_text_corpus,
+    )
+
+    marker = os.path.join(CORPUS_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(CORPUS_DIR, exist_ok=True)
+        write_synthetic_corpus(CORPUS_DIR, BENCH_DOCS,
+                               docs_per_block=max(2000, BENCH_DOCS // 64))
+        with open(marker, "w") as f:
+            f.write("ok")
+    marker = os.path.join(TEXT_CORPUS_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(TEXT_CORPUS_DIR, exist_ok=True)
+        write_synthetic_text_corpus(TEXT_CORPUS_DIR, TEXT_DOCS,
+                                    docs_per_block=max(2000, TEXT_DOCS // 64))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+
+def warm_page_cache():
+    import glob
+
+    for d in (CORPUS_DIR, TEXT_CORPUS_DIR):
+        for path in glob.glob(os.path.join(d, "*.parquet")):
+            with open(path, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def bench_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_tokens_by_source,
+        global_distinct_tokens,
+    )
+    from cardinalityestimation_ray.sources.corpus import read_tokens
+
+    ensure_corpus()
+    warm_page_cache()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def corpus_ds(columns):
+        # prune at the read: the sketch stages only touch these columns
+        return ray.data.read_parquet(CORPUS_DIR, columns=columns)
+
+    # untimed warm-up: spin up the worker pool and import the library in the
+    # workers so the timed runs measure steady-state compute, not cold start
+    global_distinct_tokens(corpus_ds(["tokens"]), b=14)
+
+    # headline: global distinct tokens over the synthetic corpus
+    t0 = time.perf_counter()
+    res = global_distinct_tokens(corpus_ds(["tokens"]), b=14)
+    t_global = time.perf_counter() - t0
+    queries["hll_global_synthetic"] = round(t_global, 3)
+    total_tokens = res["total_tokens"]
+    extras["total_tokens"] = total_tokens
+    extras["distinct_tokens_est"] = res["distinct_tokens"]
+    extras["tokens_per_sec"] = round(total_tokens / t_global, 1)
+
+    # per-source distinct (adds the grouped-aggregate path)
+    t0 = time.perf_counter()
+    by_src = distinct_tokens_by_source(corpus_ds(["tokens", "source"]), b=14)
+    queries["hll_by_source_synthetic"] = round(time.perf_counter() - t0, 3)
+    extras["n_sources"] = len(by_src)
+
+    # sf-dir path: documents -> tokenize -> global distinct
+    t0 = time.perf_counter()
+    sf_res = global_distinct_tokens(read_tokens(SF_DIR), b=14)
+    queries["hll_tokens_sf"] = round(time.perf_counter() - t0, 3)
+    extras["sf_total_tokens"] = sf_res["total_tokens"]
+
+    # compute-dense path: raw text -> tokenize (regex split + string hash)
+    # -> sketch. ~12x more CPU per token than the pre-tokenized path, so it
+    # is CPU-bound rather than DRAM-bound — the honest single-box proxy for
+    # multi-node scaling where each node owns its memory bandwidth.
+    from cardinalityestimation_ray.sources.corpus import tokenize_documents_batch
+
+    def text_pipeline():
+        ds = ray.data.read_parquet(TEXT_CORPUS_DIR,
+                                   columns=["doc_id", "text", "source"])
+        return global_distinct_tokens(
+            ds.map_batches(tokenize_documents_batch, batch_format="pyarrow"),
+            b=14)
+
+    text_pipeline()  # warm-up
+    t0 = time.perf_counter()
+    text_res = text_pipeline()
+    t_text = time.perf_counter() - t0
+    queries["hll_tokenize_text"] = round(t_text, 3)
+    extras["text_total_tokens"] = text_res["total_tokens"]
+    extras["text_tokens_per_sec"] = round(text_res["total_tokens"] / t_text, 1)
+
+    ray.shutdown()
+    return {
+        "metric": "tokens/sec sketched (HLL distinct-token, b=14)",
+        "value": round(t_global, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # N -> 4N parallelism pair. Default 2 -> 8: on this single
+        # shared-memory box, >8 concurrent workers saturate DRAM bandwidth —
+        # a per-node resource on a real multi-node cluster — so 2 -> 8 is the
+        # honest single-box stand-in for the N -> 4N node rule. Override with
+        # GRAFT_SCALE_LO / GRAFT_SCALE_HI (e.g. 8/32) to see the ceiling.
+        lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+        hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo_cpus)))
+        lo = run_at(lo_cpus)
+        hi = run_at(hi_cpus)
+        speedup = lo["value"] / hi["value"]
+        eff = speedup / (hi_cpus / lo_cpus)
+        text_speedup = (lo["queries"]["hll_tokenize_text"]
+                        / hi["queries"]["hll_tokenize_text"])
+        text_eff = text_speedup / (hi_cpus / lo_cpus)
+        print(json.dumps({
+            "metric": f"scaling efficiency (N={lo_cpus} -> 4N={hi_cpus} cpus, same input)",
+            "cpus_lo": lo_cpus,
+            "cpus_hi": hi_cpus,
+            "sec_lo": lo["value"],
+            "sec_hi": hi["value"],
+            "tokens_per_sec_lo": lo["tokens_per_sec"],
+            "tokens_per_sec_hi": hi["tokens_per_sec"],
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(eff, 3),
+            "total_tokens": lo["total_tokens"],
+            "text_sec_lo": lo["queries"]["hll_tokenize_text"],
+            "text_sec_hi": hi["queries"]["hll_tokenize_text"],
+            "text_tokens_per_sec_lo": lo["text_tokens_per_sec"],
+            "text_tokens_per_sec_hi": hi["text_tokens_per_sec"],
+            "text_speedup": round(text_speedup, 3),
+            "text_scaling_efficiency": round(text_eff, 3),
+            "note": ("pre-tokenized path is DRAM-bandwidth-bound on a single "
+                     "shared-memory box (bandwidth is per-node on a real "
+                     "cluster); the text path is CPU-bound and shows the "
+                     "executor's true scaling"),
+        }))
+    else:
+        print(json.dumps(bench_once()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Distinct-count pipelines (the flagship: EP1/EP2 lifted onto Ray Data).
+
+Every pipeline is: tokens Dataset -> stateless vectorized partial-sketch
+map_batches -> tiny merge stage. The raw corpus is never shuffled; only
+KB-scale sketch partials move (SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches import hashing
+from ..sketches.hll import HyperLogLog
+from ..stages.sketch_stages import (
+    HllColumnPartials,
+    HllTokenPartials,
+    hll_merge_aggregate,
+    merge_partial_blobs,
+    tree_merge_keyed_partials,
+)
+
+
+def _keyed_result_frame(merged: dict, key_column: str, estimate_name: str,
+                        count_name: str) -> pd.DataFrame:
+    keys = sorted(merged)
+    return pd.DataFrame(
+        {
+            key_column: keys,
+            estimate_name: [merged[k][0].estimate() for k in keys],
+            count_name: [merged[k][1] for k in keys],
+        }
+    )
+
+
+def global_distinct_tokens(tokens_ds, b: int = 14,
+                           hash_name: str = hashing.DEFAULT_HASH) -> dict:
+    """Estimate distinct token ids across the corpus.
+
+    Returns {"distinct_tokens": int, "total_tokens": int, "sketch": HyperLogLog}.
+    The final fold runs on partial rows only (one per input batch).
+    """
+    partials = tokens_ds.map_batches(
+        HllTokenPartials(b=b, hash_name=hash_name), batch_format="pyarrow"
+    )
+    rows = partials.take_all()  # tiny: one row per batch, <= 2^b bytes each
+    sketch = merge_partial_blobs((r["sketch"] for r in rows), hash_name)
+    if sketch is None:
+        sketch = HyperLogLog(b=b, hash_name=hash_name)
+    total = sum(r["n_added"] for r in rows)
+    return {
+        "distinct_tokens": sketch.estimate(),
+        "total_tokens": total,
+        "sketch": sketch,
+    }
+
+
+def distinct_tokens_by_source(tokens_ds, b: int = 14,
+                              hash_name: str = hashing.DEFAULT_HASH,
+                              strategy: str = "tree") -> pd.DataFrame:
+    """Per-source distinct-token estimate + exact token count.
+
+    The merge runs over partial-sketch rows (a few per source per batch), so
+    nothing heavier than KB-scale sketches ever moves; skewed sources cost
+    nothing extra because each input batch contributes at most one partial per
+    source (the salted two-level merge collapsed to its limit — the per-batch
+    partial IS the salt). ``strategy="tree"`` (default, low-cardinality keys)
+    avoids the all-to-all entirely; ``"groupby"`` hash-partitions the merge
+    for high-cardinality keys.
+    """
+    partials = tokens_ds.map_batches(
+        HllTokenPartials(b=b, key_column="source", hash_name=hash_name),
+        batch_format="pyarrow",
+    )
+    if strategy == "tree":
+        merged = tree_merge_keyed_partials(partials, "source", hash_name=hash_name)
+        return _keyed_result_frame(merged, "source", "distinct_tokens",
+                                   "total_tokens")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("source").aggregate(
+        hll_merge_aggregate(b=b, hash_name=hash_name),
+        Sum("n_added", alias_name="total_tokens"),
+    ).rename_columns({"estimate": "distinct_tokens"}).to_pandas()
+
+
+def distinct_column_by_key(ds, value_column: str, key_column: str,
+                           b: int = 14, *,
+                           estimate_name: str = "distinct_values",
+                           count_name: str = "n_rows",
+                           hash_name: str = hashing.DEFAULT_HASH,
+                           strategy: str = "tree") -> pd.DataFrame:
+    """Per-key approximate COUNT(DISTINCT value_column) + exact COUNT(*).
+
+    Exact (direct-count mode) whenever a key's distinct count is <= 100 —
+    the reference's exact regime (HllConstants.cs:42)."""
+    partials = ds.map_batches(
+        HllColumnPartials(value_column, b=b, key_column=key_column,
+                          hash_name=hash_name),
+        batch_format="pyarrow",
+    )
+    if strategy == "tree":
+        merged = tree_merge_keyed_partials(partials, key_column,
+                                           hash_name=hash_name)
+        return _keyed_result_frame(merged, key_column, estimate_name, count_name)
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(key_column).aggregate(
+        hll_merge_aggregate(b=b, hash_name=hash_name),
+        Sum("n_added", alias_name=count_name),
+    ).rename_columns({"estimate": estimate_name}).to_pandas()
+
+
+def distinct_docs_by_source(tokens_ds, b: int = 14,
+                            hash_name: str = hashing.DEFAULT_HASH):
+    """Per-source distinct doc_id estimate (exact when <=100 via direct mode)."""
+    return distinct_column_by_key(
+        tokens_ds, "doc_id", "source", b=b,
+        estimate_name="distinct_docs", count_name="n_docs",
+        hash_name=hash_name,
+    )
+
+
+def flagship_summary(tokens_ds, b: int = 14) -> pd.DataFrame:
+    """The entry() pipeline: global + per-source distinct counts, one frame."""
+    per_source = distinct_tokens_by_source(tokens_ds, b=b)
+    glob = global_distinct_tokens(tokens_ds, b=b)
+    glob_row = pd.DataFrame(
+        {
+            "source": ["__all__"],
+            "distinct_tokens": [glob["distinct_tokens"]],
+            "total_tokens": [glob["total_tokens"]],
+        }
+    )
+    out = pd.concat([glob_row, per_source], ignore_index=True)
+    return out.sort_values("source").reset_index(drop=True)

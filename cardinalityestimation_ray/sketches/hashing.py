@@ -71,12 +71,20 @@ def fnv1a64(data: bytes) -> int:
     return h
 
 
-def _fnv1a64_fixed_width(le_bytes_views: list[np.ndarray]) -> np.ndarray:
-    """FNV-1a over n elements given their little-endian byte columns."""
-    h = np.full(le_bytes_views[0].shape, _FNV_OFFSET, dtype=np.uint64)
-    for col in le_bytes_views:
-        h ^= col.astype(np.uint64, copy=False)
-        h *= _FNV_PRIME
+def _fnv1a64_over_words(v: np.ndarray, width: int) -> np.ndarray:
+    """FNV-1a folding the low ``width`` LE bytes of each uint64 word.
+
+    In-place ops over exactly three live buffers (input, hash, scratch) so a
+    chunk's working set stays cache-resident under high concurrency.
+    """
+    n = len(v)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    for j in range(width):
+        np.right_shift(v, U64(8 * j), out=tmp)
+        np.bitwise_and(tmp, _BYTE_MASK, out=tmp)
+        np.bitwise_xor(h, tmp, out=h)
+        np.multiply(h, _FNV_PRIME, out=h)
     return h
 
 
@@ -102,8 +110,7 @@ def fnv1a64_fixed(values: np.ndarray) -> np.ndarray:
         width = 8
     else:
         raise TypeError(f"unsupported dtype for fixed-width hash: {values.dtype}")
-    cols = [(v >> U64(8 * j)) & _BYTE_MASK for j in range(width)]
-    return _fnv1a64_fixed_width(cols)
+    return _fnv1a64_over_words(v, width)
 
 
 def fnv1a64_bytes_array(data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -173,16 +180,24 @@ _SM_M1 = U64(0xBF58476D1CE4E5B9)
 _SM_M2 = U64(0x94D049BB133111EB)
 
 
+def splitmix64_inplace(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer applied in place (one scratch buffer)."""
+    tmp = np.empty_like(z)
+    z += _SM_GAMMA
+    np.right_shift(z, U64(30), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _SM_M1, out=z)
+    np.right_shift(z, U64(27), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _SM_M2, out=z)
+    np.right_shift(z, U64(31), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    return z
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over a uint64 array."""
-    z = x.astype(np.uint64, copy=True)
-    z += _SM_GAMMA
-    z ^= z >> U64(30)
-    z *= _SM_M1
-    z ^= z >> U64(27)
-    z *= _SM_M2
-    z ^= z >> U64(31)
-    return z
+    return splitmix64_inplace(x.astype(np.uint64, copy=True))
 
 
 def splitmix64_scalar(x: int) -> int:
@@ -359,7 +374,7 @@ def hash_fixed_batch(values: np.ndarray, hash_name: str = DEFAULT_HASH) -> np.nd
     if hash_name == "fnv1a":
         return fnv1a64_fixed(values)
     if hash_name == "fnv1a_mix":
-        return splitmix64(fnv1a64_fixed(values))
+        return splitmix64_inplace(fnv1a64_fixed(values))
     if hash_name == "splitmix64":
         return splitmix64(values.astype(np.uint64, copy=False))
     if hash_name == "murmur3":

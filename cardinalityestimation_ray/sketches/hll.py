@@ -118,14 +118,6 @@ class HyperLogLog(Sketch):
         self.count_additions += n
         if n == 0:
             return
-        if self.direct is not None:
-            uh = np.unique(h)
-            if len(uh) > DIRECT_COUNTER_MAX_ELEMENTS:
-                self.direct = None
-            else:
-                self.direct.update(int(x) for x in uh)
-                if len(self.direct) > DIRECT_COUNTER_MAX_ELEMENTS:
-                    self.direct = None
         idx = (h >> _U64(64 - self.b)).astype(np.int64)
         mask = _U64((1 << self.bits_for_hll) - 1)
         masked = h & mask
@@ -137,6 +129,24 @@ class HyperLogLog(Sketch):
             bl = hashing.bit_length_u64(masked)
         sigma = (self.bits_for_hll + 1 - bl).astype(np.uint8)
         self._registers_add(idx, sigma)
+        if self.direct is not None:
+            # cheap exactness-preserving shortcut: the number of occupied
+            # registers lower-bounds the number of distinct elements ever
+            # added, so when it exceeds the direct cap the set must drop —
+            # without sorting/deduplicating the batch. Only genuinely small
+            # batches pay np.unique.
+            occupied = (len(self.sparse) if self.is_sparse
+                        else int(np.count_nonzero(self.dense)))
+            if occupied > DIRECT_COUNTER_MAX_ELEMENTS:
+                self.direct = None
+            else:
+                uh = np.unique(h)
+                if len(uh) > DIRECT_COUNTER_MAX_ELEMENTS:
+                    self.direct = None
+                else:
+                    self.direct.update(int(x) for x in uh)
+                    if len(self.direct) > DIRECT_COUNTER_MAX_ELEMENTS:
+                        self.direct = None
 
     def add_hash(self, h: int) -> None:
         self.add_hashes(np.asarray([h], dtype=np.uint64))
@@ -173,31 +183,36 @@ class HyperLogLog(Sketch):
             self._dense_add(idx, sigma)
 
     def _sparse_add(self, idx: np.ndarray, sigma: np.ndarray) -> None:
-        # per-batch segment max, then bounded dict merge
-        order = np.lexsort((sigma, idx))
-        idx_s = idx[order]
-        sig_s = sigma[order]
-        last = np.r_[np.flatnonzero(np.diff(idx_s)), len(idx_s) - 1]
-        uidx = idx_s[last]
-        umax = sig_s[last]
-        # if the merged dict would overflow anyway, go dense first (same final
-        # state as the reference's incremental promotion)
-        new_keys = sum(1 for i in uidx if int(i) not in self.sparse)
-        if len(self.sparse) + new_keys > self.sparse_max:
+        # O(n + m) union count (no sort): if the merged register set would
+        # overflow the sparse cap, promote and scatter straight into dense —
+        # same final state as the reference's incremental promotion.
+        seen = np.zeros(self.m, dtype=bool)
+        seen[idx] = True
+        if self.sparse:
+            keys = np.fromiter(self.sparse.keys(), dtype=np.int64,
+                               count=len(self.sparse))
+            seen[keys] = True
+        union = int(np.count_nonzero(seen))
+        if union > self.sparse_max:
             self._switch_to_dense()
-            self._dense_add(uidx, umax)
+            self._dense_add(idx, sigma)
             return
+        # fits: per-index max via a scratch dense bank, then a bounded
+        # (<= sparse_max entries) dict merge
+        tmp = np.zeros(self.m, dtype=np.uint8)
+        self._scatter_max(tmp, idx, sigma)
         sp = self.sparse
-        for i, s in zip(uidx.tolist(), umax.tolist()):
-            prev = sp.get(i, 0)
-            if s > prev:
+        for i in np.flatnonzero(tmp).tolist():
+            s = int(tmp[i])
+            if s > sp.get(i, 0):
                 sp[i] = s
 
-    def _dense_add(self, idx: np.ndarray, sigma: np.ndarray) -> None:
+    def _scatter_max(self, out: np.ndarray, idx: np.ndarray, sigma: np.ndarray) -> None:
+        """out[idx] = max(out[idx], sigma) with duplicate indices."""
         n = len(idx)
         if n < (self.m >> 4) or n < 4096:
-            # small batch: direct scatter-max
-            np.maximum.at(self.dense, idx, sigma)
+            # small batch: direct scatter-max (ufunc.at cost ~ O(n))
+            np.maximum.at(out, idx, sigma)
             return
         # large batch: bitmap scatter (duplicate-safe fancy assignment), then
         # one packbits + bit-length pass per register — O(n + 64m), no ufunc.at
@@ -209,7 +224,10 @@ class HyperLogLog(Sketch):
         packed = np.packbits(present.reshape(self.m, 64), axis=1, bitorder="little")
         masks = packed.view(np.uint64).ravel()
         batch_max = hashing.bit_length_u64(masks)  # = max sigma + 1, 0 if none
-        np.maximum(self.dense, np.maximum(batch_max, 1) - 1, out=self.dense)
+        np.maximum(out, np.maximum(batch_max, 1) - 1, out=out)
+
+    def _dense_add(self, idx: np.ndarray, sigma: np.ndarray) -> None:
+        self._scatter_max(self.dense, idx, sigma)
 
     def _switch_to_dense(self) -> None:
         if not self.is_sparse:

@@ -1,0 +1,289 @@
+"""Ray Data stages for sketch building and merging.
+
+The scale pattern (SURVEY.md §3/EP2, §7.3): a stateless-or-actor
+``map_batches`` stage turns each Arrow batch into *tiny partial-sketch rows*
+(one per key per batch, each <= 2^b bytes), so the only shuffle in the whole
+pipeline moves kilobyte-scale partials — never raw tokens. A second, cheap
+``groupby(key).aggregate`` (or whole-dataset ``aggregate``) merges partials
+associatively, which is safe under Ray's unordered completion because
+register-max merge commutes (reference CardinalityEstimator.cs:606-609).
+
+This replaces the reference's Parallel.ForEach + batched PLINQ merge tree
+(CardinalityEstimatorExtensions.cs:224-280,
+ConcurrentCardinalityEstimator.cs:709-773) with Ray's streaming executor.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches import hashing
+from ..sketches.hll import HyperLogLog
+
+
+def _flatten_tokens(batch: pa.Table, token_column: str):
+    """(flat int32 values, parent row indices) of a list<int32> column."""
+    col = batch[token_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    parents = pc.list_parent_indices(col)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if isinstance(parents, pa.ChunkedArray):
+        parents = parents.combine_chunks()
+    return (flat.to_numpy(zero_copy_only=False),
+            parents.to_numpy(zero_copy_only=False))
+
+
+def _hash_column(batch: pa.Table, column: str, hash_name: str) -> np.ndarray:
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+            pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return hashing.hash_arrow_binary(col, hash_name)
+    return hashing.hash_fixed_batch(col.to_numpy(zero_copy_only=False), hash_name)
+
+
+class HllTokenPartials:
+    """map_batches stage: tokens batch -> one partial-sketch row per key.
+
+    Emits {key?, sketch: binary, n_added: int64}. With ``key_column=None``
+    a single global partial row per batch. Designed as a callable class so
+    ``map_batches(HllTokenPartials(...), concurrency=N)`` runs it in an actor
+    pool where construction cost (none to speak of, but uniform with heavier
+    stages) is paid once per actor.
+    """
+
+    def __init__(self, b: int = 14, *, token_column: str = "tokens",
+                 key_column: str | None = None,
+                 use_direct_counting: bool = True,
+                 hash_name: str = hashing.DEFAULT_HASH):
+        self.b = b
+        self.token_column = token_column
+        self.key_column = key_column
+        self.use_direct = use_direct_counting
+        self.hash_name = hash_name
+
+    def _new_sketch(self) -> HyperLogLog:
+        return HyperLogLog(b=self.b, use_direct_counting=self.use_direct,
+                           hash_name=self.hash_name)
+
+    #: chunk size for the hash+add loop — keeps every temporary in L2 so the
+    #: bandwidth-bound vectorized passes don't hit DRAM under high concurrency
+    #: (measured best at 8k on a 32-way box; see BASELINE.md)
+    CHUNK = 8192
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, parents = _flatten_tokens(batch, self.token_column)
+        if self.key_column is None:
+            sk = self._new_sketch()
+            for lo in range(0, len(values), self.CHUNK):
+                sk.add_hashes(
+                    hashing.hash_fixed_batch(values[lo:lo + self.CHUNK],
+                                             self.hash_name))
+            return pa.table({
+                "sketch": pa.array([sk.to_bytes()], type=pa.binary()),
+                "n_added": pa.array([len(values)], type=pa.int64()),
+            })
+        h = hashing.hash_fixed_batch(values, self.hash_name)
+        keys = batch[self.key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.dictionary_encode(keys)
+        key_values = codes.dictionary.to_pylist()
+        token_keys = codes.indices.to_numpy(zero_copy_only=False)[parents]
+        order = np.argsort(token_keys, kind="stable")
+        tk_sorted = token_keys[order]
+        h_sorted = h[order]
+        bounds = np.r_[0, np.flatnonzero(np.diff(tk_sorted)) + 1, len(tk_sorted)]
+        out_keys, out_blobs, out_counts = [], [], []
+        present = set()
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            code = int(tk_sorted[lo])
+            sk = self._new_sketch()
+            sk.add_hashes(h_sorted[lo:hi])
+            out_keys.append(key_values[code])
+            out_blobs.append(sk.to_bytes())
+            out_counts.append(hi - lo)
+            present.add(code)
+        # keys whose docs had zero tokens still yield an (empty-sketch) row
+        for code, key in enumerate(key_values):
+            if code not in present:
+                out_keys.append(key)
+                out_blobs.append(self._new_sketch().to_bytes())
+                out_counts.append(0)
+        return pa.table({
+            self.key_column: pa.array(out_keys),
+            "sketch": pa.array(out_blobs, type=pa.binary()),
+            "n_added": pa.array(out_counts, type=pa.int64()),
+        })
+
+
+class HllColumnPartials:
+    """map_batches stage hashing a scalar column (e.g. doc_id) into partials.
+
+    Same output shape as HllTokenPartials; counts distinct *rows* instead of
+    distinct tokens.
+    """
+
+    def __init__(self, value_column: str, b: int = 14, *,
+                 key_column: str | None = None,
+                 use_direct_counting: bool = True,
+                 hash_name: str = hashing.DEFAULT_HASH):
+        self.value_column = value_column
+        self.b = b
+        self.key_column = key_column
+        self.use_direct = use_direct_counting
+        self.hash_name = hash_name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = _hash_column(batch, self.value_column, self.hash_name)
+        if self.key_column is None:
+            sk = HyperLogLog(b=self.b, use_direct_counting=self.use_direct,
+                             hash_name=self.hash_name)
+            sk.add_hashes(h)
+            return pa.table({
+                "sketch": pa.array([sk.to_bytes()], type=pa.binary()),
+                "n_added": pa.array([len(h)], type=pa.int64()),
+            })
+        keys = batch[self.key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.dictionary_encode(keys)
+        key_values = codes.dictionary.to_pylist()
+        row_codes = codes.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(row_codes, kind="stable")
+        rc_sorted = row_codes[order]
+        h_sorted = h[order]
+        bounds = np.r_[0, np.flatnonzero(np.diff(rc_sorted)) + 1, len(rc_sorted)]
+        out_keys, out_blobs, out_counts = [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            sk = HyperLogLog(b=self.b, use_direct_counting=self.use_direct,
+                             hash_name=self.hash_name)
+            sk.add_hashes(h_sorted[lo:hi])
+            out_keys.append(key_values[int(rc_sorted[lo])])
+            out_blobs.append(sk.to_bytes())
+            out_counts.append(hi - lo)
+        return pa.table({
+            self.key_column: pa.array(out_keys),
+            "sketch": pa.array(out_blobs, type=pa.binary()),
+            "n_added": pa.array(out_counts, type=pa.int64()),
+        })
+
+
+def hll_merge_aggregate(b: int = 14, *, blob_column: str = "sketch",
+                        hash_name: str = hashing.DEFAULT_HASH,
+                        finalize_to: str = "estimate"):
+    """Mergeable Ray AggregateFn over partial-sketch blob rows.
+
+    Ray runs accumulate per block and merge across blocks/groups — exactly
+    the reference's two-level merge tree (partial combine then final fold,
+    ConcurrentCardinalityEstimator.cs:709-773), scheduled by the streaming
+    executor. ``finalize_to``: "estimate" (int) or "sketch" (binary blob).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def init(_key):
+        return HyperLogLog(b=b, hash_name=hash_name).to_bytes()
+
+    def accumulate_block(acc: bytes, block) -> bytes:
+        sk = HyperLogLog.from_bytes(acc, hash_name)
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        for blob in tbl[blob_column]:
+            sk.merge(HyperLogLog.from_bytes(blob.as_py(), hash_name))
+        return sk.to_bytes()
+
+    def merge(a: bytes, bb: bytes) -> bytes:
+        sk = HyperLogLog.from_bytes(a, hash_name)
+        sk.merge(HyperLogLog.from_bytes(bb, hash_name))
+        return sk.to_bytes()
+
+    def finalize(acc: bytes):
+        if finalize_to == "sketch":
+            return acc
+        return HyperLogLog.from_bytes(acc, hash_name).estimate()
+
+    return AggregateFn(
+        init=init,
+        merge=merge,
+        accumulate_block=accumulate_block,
+        finalize=finalize,
+        name="hll" if finalize_to == "sketch" else "estimate",
+    )
+
+
+def merge_partial_blobs(blobs: Iterable[bytes],
+                        hash_name: str = hashing.DEFAULT_HASH) -> HyperLogLog | None:
+    """Driver-side fold of a small iterable of partial blobs (tiny inputs only)."""
+    return HyperLogLog.merge_many(
+        HyperLogLog.from_bytes(b, hash_name) for b in blobs
+    )
+
+
+def _merge_rows_by_key(tbl: pa.Table, key_column: str,
+                       hash_name: str) -> pa.Table:
+    """Merge partial-sketch rows within one batch, one output row per key."""
+    acc: dict = {}
+    counts: dict = {}
+    keys = tbl[key_column].to_pylist()
+    blobs = tbl["sketch"].to_pylist()
+    added = tbl["n_added"].to_pylist()
+    for k, blob, n in zip(keys, blobs, added):
+        sk = HyperLogLog.from_bytes(blob, hash_name)
+        if k in acc:
+            acc[k].merge(sk)
+            counts[k] += n
+        else:
+            acc[k] = sk
+            counts[k] = n
+    ks = list(acc)
+    return pa.table({
+        key_column: pa.array(ks),
+        "sketch": pa.array([acc[k].to_bytes() for k in ks], type=pa.binary()),
+        "n_added": pa.array([counts[k] for k in ks], type=pa.int64()),
+    })
+
+
+def tree_merge_keyed_partials(partials_ds, key_column: str, *,
+                              hash_name: str = hashing.DEFAULT_HASH,
+                              fanout: int = 64):
+    """Two-level combiner tree over keyed partial-sketch rows — no all-to-all.
+
+    Level 1: coalesce the (tiny) partial rows into ``fanout`` blocks and merge
+    within each block per key (a stateless map — Ray's streaming executor
+    pipelines it with the scan). Level 2: fold the <= fanout x n_keys
+    surviving rows on the driver — bounded regardless of input size, the same
+    shape as the reference's batch-of-8 PLINQ merge tree
+    (ConcurrentCardinalityEstimator.cs:709-773).
+
+    Use for LOW-cardinality keys (sources, languages, shards). For
+    high-cardinality keys use ``groupby(key).aggregate(hll_merge_aggregate())``
+    which hash-partitions the merge itself.
+
+    Returns ``dict[key, (HyperLogLog, n_added)]``.
+    """
+    lvl1 = partials_ds.repartition(fanout).map_batches(
+        lambda t: _merge_rows_by_key(t, key_column, hash_name),
+        batch_format="pyarrow", batch_size=None,
+    )
+    acc: dict = {}
+    counts: dict = {}
+    for row in lvl1.take_all():
+        k = row[key_column]
+        sk = HyperLogLog.from_bytes(row["sketch"], hash_name)
+        if k in acc:
+            acc[k].merge(sk)
+            counts[k] += row["n_added"]
+        else:
+            acc[k] = sk
+            counts[k] = row["n_added"]
+    return {k: (acc[k], counts[k]) for k in acc}
