@@ -6,13 +6,21 @@ papers (the reference lists them only as future roadmap, ROADMAP.md:169-172).
 """
 
 from .base import Sketch, sketch_from_bytes
+from .bloom import BloomFilter
+from .countmin import CountMinSketch
 from .hll import HyperLogLog
+from .kll import KLLSketch
+from .tdigest import TDigest
 from . import constants, hashing, bias
 
 __all__ = [
     "Sketch",
     "sketch_from_bytes",
     "HyperLogLog",
+    "CountMinSketch",
+    "BloomFilter",
+    "TDigest",
+    "KLLSketch",
     "constants",
     "hashing",
     "bias",

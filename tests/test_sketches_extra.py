@@ -1,0 +1,233 @@
+"""F7 fixtures (FIXTURES.md): count-min / Bloom / t-digest / KLL against
+exact answers computed at generation time; merge-equivalence (exact for
+count-min and Bloom, bounded for t-digest/KLL); wire round-trips;
+adversarial blobs."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from cardinalityestimation_ray.sketches.bloom import BloomFilter
+from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+from cardinalityestimation_ray.sketches.kll import KLLSketch
+from cardinalityestimation_ray.sketches.tdigest import TDigest
+
+
+@pytest.fixture(scope="module")
+def zipf_stream():
+    rng = np.random.default_rng(0)
+    vals = rng.zipf(1.3, size=500_000).astype(np.int64)
+    return vals[vals < 100_000]
+
+
+@pytest.fixture(scope="module")
+def normal_stream():
+    return np.random.default_rng(1).normal(size=500_000)
+
+
+# ---------------------------------------------------------------------------
+# count-min
+
+
+def test_countmin_never_underestimates_and_bounded(zipf_stream):
+    cms = CountMinSketch.from_error(eps=0.001, delta=0.01)
+    cms.add_values(zipf_stream)
+    true = collections.Counter(zipf_stream.tolist())
+    probe = [v for v, _ in true.most_common(50)]
+    est = cms.query_values(np.asarray(probe, dtype=np.int64))
+    for v, e in zip(probe, est):
+        assert int(e) >= true[v]
+        assert int(e) - true[v] <= cms.eps * cms.total * 3
+
+    assert cms.total == len(zipf_stream)
+
+
+def test_countmin_merge_exact_equivalence(zipf_stream):
+    single = CountMinSketch(depth=5, width=1 << 14)
+    single.add_values(zipf_stream)
+    parts = [CountMinSketch(depth=5, width=1 << 14) for _ in range(4)]
+    for i, chunk in enumerate(np.array_split(zipf_stream, 4)):
+        parts[i].add_values(chunk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged == single
+
+
+def test_countmin_weighted_adds():
+    cms = CountMinSketch(depth=4, width=1 << 12)
+    cms.add_values(np.asarray([7, 8], dtype=np.int64),
+                   weights=np.asarray([10, 3]))
+    # element identity is the byte image: query with the same dtype as added
+    assert int(cms.query_values(np.asarray([7], dtype=np.int64))[0]) >= 10
+    assert cms.total == 13
+    # scalar convenience path round-trips through the int32 encoding rule
+    cms.add_values(np.asarray([9], dtype=np.int32))
+    assert cms.query(9) >= 1
+
+
+def test_countmin_roundtrip_and_validation(zipf_stream):
+    cms = CountMinSketch(depth=3, width=1 << 10)
+    cms.add_values(zipf_stream[:10_000])
+    rt = CountMinSketch.from_bytes(cms.to_bytes())
+    assert rt == cms
+    with pytest.raises(ValueError):
+        CountMinSketch.from_bytes(b"XXXX" + cms.to_bytes()[4:])
+    with pytest.raises(ValueError):
+        CountMinSketch.from_bytes(cms.to_bytes()[:-8])
+    with pytest.raises(ValueError):
+        CountMinSketch(depth=0)
+    with pytest.raises(ValueError):
+        CountMinSketch(width=1000)  # not a power of two
+    a, b = CountMinSketch(depth=3, width=1 << 10), CountMinSketch(depth=4, width=1 << 10)
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+# ---------------------------------------------------------------------------
+# bloom
+
+
+def test_bloom_no_false_negatives_bounded_fpr():
+    rng = np.random.default_rng(2)
+    members = rng.integers(0, 2**60, 50_000, dtype=np.int64)
+    non = rng.integers(2**60, 2**61, 50_000, dtype=np.int64)
+    bf = BloomFilter.from_capacity(50_000, fpp=0.01)
+    bf.add_values(members)
+    assert bf.contains_values(members).all()
+    assert bf.contains_values(non).mean() < 0.03
+    assert abs(bf.estimate_cardinality() / 50_000 - 1) < 0.05
+
+
+def test_bloom_merge_exact_equivalence():
+    rng = np.random.default_rng(3)
+    members = rng.integers(0, 2**60, 20_000, dtype=np.int64)
+    full = BloomFilter.from_capacity(20_000, 0.01)
+    full.add_values(members)
+    a = BloomFilter.from_capacity(20_000, 0.01)
+    b = BloomFilter.from_capacity(20_000, 0.01)
+    a.add_values(members[:10_000])
+    b.add_values(members[10_000:])
+    assert a.merge(b) == full
+
+
+def test_bloom_roundtrip_and_validation():
+    bf = BloomFilter(num_bits=1 << 12, num_hashes=5)
+    bf.add_values(np.arange(100, dtype=np.int64))
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert rt == bf
+    assert rt.count_additions == 100
+    with pytest.raises(ValueError):
+        BloomFilter.from_bytes(b"XXXX" + bf.to_bytes()[4:])
+    with pytest.raises(ValueError):
+        BloomFilter.from_bytes(bf.to_bytes()[:-1])
+    with pytest.raises(ValueError):
+        BloomFilter(num_bits=1000)
+    a, b = BloomFilter(1 << 12, 5), BloomFilter(1 << 13, 5)
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+def test_bloom_scalar_api():
+    bf = BloomFilter(num_bits=1 << 14, num_hashes=7)
+    bf.add_values(np.asarray([123], dtype=np.int32))
+    assert bf.contains(np.int32(123))
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+
+
+def test_tdigest_quantile_rank_error(normal_stream):
+    td = TDigest(delta=200)
+    for chunk in np.array_split(normal_stream, 10):
+        td.add_values(chunk)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        true_q = float(np.quantile(normal_stream, q))
+        assert abs(td.cdf(true_q) - q) < 0.01, q
+    assert td.quantile(0.0) == normal_stream.min()
+    assert td.quantile(1.0) == normal_stream.max()
+    assert td.n_centroids <= 2 * 200
+
+
+def test_tdigest_merge_within_bound(normal_stream):
+    parts = [TDigest(100) for _ in range(8)]
+    for i, chunk in enumerate(np.array_split(normal_stream, 8)):
+        parts[i].add_values(chunk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.total_weight == pytest.approx(len(normal_stream))
+    for q in (0.05, 0.5, 0.95):
+        true_q = float(np.quantile(normal_stream, q))
+        assert abs(merged.cdf(true_q) - q) < 0.02, q
+
+
+def test_tdigest_roundtrip_and_validation(normal_stream):
+    td = TDigest(delta=100)
+    td.add_values(normal_stream[:50_000])
+    rt = TDigest.from_bytes(td.to_bytes())
+    assert rt.quantile(0.5) == td.quantile(0.5)
+    assert rt.total_weight == pytest.approx(td.total_weight)
+    with pytest.raises(ValueError):
+        TDigest.from_bytes(b"XXXX" + td.to_bytes()[4:])
+    with pytest.raises(ValueError):
+        TDigest.from_bytes(td.to_bytes()[:-3])
+    with pytest.raises(ValueError):
+        TDigest(delta=5)
+    with pytest.raises(ValueError):
+        TDigest(100).merge(TDigest(200))
+
+
+def test_tdigest_nan_and_empty():
+    td = TDigest()
+    td.add_values(np.asarray([np.nan, np.nan]))
+    assert np.isnan(td.quantile(0.5))
+    td.add_values(np.asarray([1.0]))
+    assert td.quantile(0.5) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# KLL
+
+
+def test_kll_rank_error(normal_stream):
+    kll = KLLSketch(k=200)
+    for chunk in np.array_split(normal_stream, 10):
+        kll.add_values(chunk)
+    assert kll.n == len(normal_stream)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = kll.quantile(q)
+        assert abs((normal_stream <= est).mean() - q) < 0.02, q
+    assert kll.quantile(0.0) == normal_stream.min()
+    assert kll.quantile(1.0) == normal_stream.max()
+
+
+def test_kll_merge_within_bound(normal_stream):
+    parts = [KLLSketch(k=200, seed=i) for i in range(8)]
+    for i, chunk in enumerate(np.array_split(normal_stream, 8)):
+        parts[i].add_values(chunk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == len(normal_stream)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        assert abs((normal_stream <= est).mean() - q) < 0.03, q
+
+
+def test_kll_roundtrip_and_validation(normal_stream):
+    kll = KLLSketch(k=128)
+    kll.add_values(normal_stream[:30_000])
+    rt = KLLSketch.from_bytes(kll.to_bytes())
+    assert rt.n == kll.n
+    assert rt.quantile(0.5) == kll.quantile(0.5)
+    with pytest.raises(ValueError):
+        KLLSketch.from_bytes(b"XXXX" + kll.to_bytes()[4:])
+    with pytest.raises(ValueError):
+        KLLSketch.from_bytes(kll.to_bytes()[:-5])
+    with pytest.raises(ValueError):
+        KLLSketch(k=4)
+    with pytest.raises(ValueError):
+        KLLSketch(128).merge(KLLSketch(200))
