@@ -84,12 +84,95 @@ def _q_hll_distinct_lang_by_source(sf_dir: str):
     )
 
 
+def _q_token_topk_counts(sf_dir: str):
+    """Exact top-10 token frequencies (counts only: the Ray side keys tokens
+    by 31-bit hash ids, the oracle by strings — the count multiset is the
+    comparable invariant)."""
+    from cardinalityestimation_ray.pipelines.frequency import token_topk_exact
+
+    df = token_topk_exact(_tokens(sf_dir), k=10)
+    return df[["cnt"]]
+
+
+def _q_cms_token_frequencies(sf_dir: str):
+    """Count-min estimates for the top-5 tokens (rows-only driver check;
+    bounds est>=true, est<=true+eps*N are pytest-asserted)."""
+    from cardinalityestimation_ray.pipelines.frequency import (
+        token_frequencies_cms,
+        token_topk_exact,
+    )
+
+    top = token_topk_exact(_tokens(sf_dir), k=5)
+    return token_frequencies_cms(_tokens(sf_dir), top["token"].values)
+
+
+def _q_ntok_quantiles(sf_dir: str):
+    from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
+
+    return column_quantiles(_tokens(sf_dir), "n_tok", kind="tdigest")
+
+
+def _q_ntok_quantiles_kll(sf_dir: str):
+    from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
+
+    return column_quantiles(_tokens(sf_dir), "n_tok", kind="kll")
+
+
+def _q_bloom_token_membership(sf_dir: str):
+    import numpy as np
+
+    from cardinalityestimation_ray.pipelines.frequency import token_topk_exact
+    from cardinalityestimation_ray.pipelines.membership import (
+        probe_token_membership,
+    )
+
+    top = token_topk_exact(_tokens(sf_dir), k=5)
+    probes = np.r_[top["token"].values.astype(np.int64),
+                   np.array([999_999_999], dtype=np.int64)]
+    return probe_token_membership(_tokens(sf_dir), probes)
+
+
+def _q_exact_distinct_users_by_type(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.exact import exact_distinct_by_key
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return exact_distinct_by_key(ev, "user_id", "event_type",
+                                 distinct_name="distinct_users")
+
+
+def _q_event_counts_by_type(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.exact import exact_count_by_key
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    return exact_count_by_key(ev, "event_type", count_name="n_events")
+
+
+def _q_ntok_stats_by_source(sf_dir: str):
+    from cardinalityestimation_ray.pipelines.stats import ntok_stats_by_source
+
+    return ntok_stats_by_source(_tokens(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_tokens_by_source": _q_hll_distinct_tokens_by_source,
         "hll_distinct_tokens_global": _q_hll_distinct_tokens_global,
         "hll_distinct_docs_by_source": _q_hll_distinct_docs_by_source,
         "hll_distinct_lang_by_source": _q_hll_distinct_lang_by_source,
+        "token_topk_counts": _q_token_topk_counts,
+        "cms_token_frequencies": _q_cms_token_frequencies,
+        "ntok_quantiles_tdigest": _q_ntok_quantiles,
+        "ntok_quantiles_kll": _q_ntok_quantiles_kll,
+        "bloom_token_membership": _q_bloom_token_membership,
+        "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
+        "event_counts_by_type": _q_event_counts_by_type,
+        "ntok_stats_by_source": _q_ntok_stats_by_source,
     }
 
 
@@ -118,6 +201,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    count(DISTINCT lang) AS distinct_langs,
                    count(*) AS n_docs
+            FROM documents
+            GROUP BY source
+        """,
+        "token_topk_counts": f"""
+            SELECT cnt FROM (
+                SELECT t, count(*) AS cnt
+                FROM (SELECT unnest({_TOK}) AS t FROM documents)
+                GROUP BY t
+                ORDER BY cnt DESC, t ASC
+                LIMIT 10
+            )
+        """,
+        # cms_token_frequencies / ntok_quantiles_* / bloom_token_membership:
+        # approximate results -> rows-only checks (bounds pytest-asserted)
+        "exact_distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events
+            GROUP BY event_type
+        """,
+        "event_counts_by_type": """
+            SELECT event_type, count(*) AS n_events
+            FROM events
+            GROUP BY event_type
+        """,
+        "ntok_stats_by_source": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens,
+                   min(len({_TOK})) AS min_tokens,
+                   max(len({_TOK})) AS max_tokens
             FROM documents
             GROUP BY source
         """,

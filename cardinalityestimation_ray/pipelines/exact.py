@@ -1,0 +1,58 @@
+"""Exact distributed aggregates (the oracle-matchable complements of the
+sketches): exact distinct counts via two-level dedup, exact grouped counts.
+
+Pattern: always pre-aggregate/dedupe inside map_batches (combiner) so the
+groupby shuffle moves deduped pairs, never raw rows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _local_unique_pairs(batch: pa.Table, key_column: str,
+                        value_column: str) -> pa.Table:
+    """Within-batch dedup of (key, value) pairs (the combiner)."""
+    tbl = batch.select([key_column, value_column])
+    return tbl.group_by([key_column, value_column]).aggregate([]).select(
+        [key_column, value_column])
+
+
+def exact_distinct_by_key(ds, value_column: str, key_column: str, *,
+                          distinct_name: str = "distinct_values") -> pd.DataFrame:
+    """Exact per-key COUNT(DISTINCT value): local pair-dedup inside
+    map_batches, global pair-dedup via groupby, then a per-key count.
+
+    Shuffles only deduped (key, value) pairs — the exact-dedup analogue of
+    the partial-sketch pattern. Matches DuckDB COUNT(DISTINCT ...) exactly.
+    """
+    from ray.data.aggregate import Count
+
+    pairs = ds.map_batches(
+        lambda b: _local_unique_pairs(b, key_column, value_column),
+        batch_format="pyarrow")
+    uniq = pairs.groupby([key_column, value_column]).count()
+    out = uniq.groupby(key_column).aggregate(Count(alias_name=distinct_name))
+    df = out.to_pandas()[[key_column, distinct_name]]
+    return df.sort_values(key_column).reset_index(drop=True)
+
+
+def exact_count_by_key(ds, key_column: str, *,
+                       count_name: str = "n_rows") -> pd.DataFrame:
+    """Exact per-key COUNT(*) with a per-batch combiner."""
+    from ray.data.aggregate import Sum
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        keys = batch[key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        counted = pa.table({key_column: keys}).group_by(key_column).aggregate(
+            [([], "count_all")])
+        return counted.rename_columns([key_column, "cnt"])
+
+    partial = ds.map_batches(local_counts, batch_format="pyarrow")
+    out = partial.groupby(key_column).aggregate(Sum("cnt", alias_name=count_name))
+    df = out.to_pandas()[[key_column, count_name]]
+    return df.sort_values(key_column).reset_index(drop=True)

@@ -1,0 +1,70 @@
+"""Frequency pipelines: exact top-k (pre-aggregated groupby) and count-min
+point estimates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches.countmin import CountMinSketch
+from ..stages.sketch_stages import (
+    GenericSketchPartials,
+    _flatten_tokens,
+    tree_merge_partials,
+)
+
+
+def _batch_token_counts(batch: pa.Table, token_column: str) -> pa.Table:
+    """Pre-aggregate token counts within a batch (the combiner): emits at most
+    one row per distinct token per batch, so the downstream groupby shuffles
+    vocabulary-sized partials, never the corpus."""
+    values, _ = _flatten_tokens(batch, token_column)
+    uniq, counts = np.unique(values, return_counts=True)
+    return pa.table({
+        "token": pa.array(uniq, type=pa.int32()),
+        "cnt": pa.array(counts.astype(np.int64)),
+    })
+
+
+def token_topk_exact(tokens_ds, k: int = 100, token_column: str = "tokens"):
+    """Exact top-k most frequent token ids.
+
+    Per-batch combiner -> groupby(token).sum -> deterministic sort
+    (count desc, token asc) -> limit k. The only all-to-all moves
+    (distinct-tokens-per-batch) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = tokens_ds.map_batches(
+        lambda b: _batch_token_counts(b, token_column), batch_format="pyarrow")
+    agg = partial.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    top = agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+    return top.to_pandas()
+
+
+def token_frequencies_cms(tokens_ds, probe_tokens: np.ndarray, *,
+                          depth: int = 5, width: int = 1 << 16,
+                          token_column: str = "tokens") -> pd.DataFrame:
+    """Count-min frequency estimates for the probe tokens.
+
+    Guarantees est >= true count and est <= true + eps*N w.p. 1-delta
+    (published count-min bounds); the sketch is built distributed (partial
+    per batch, merge = elementwise add) and queried on the driver.
+    """
+    partials = tokens_ds.map_batches(
+        GenericSketchPartials("countmin", {"depth": depth, "width": width},
+                              token_column, explode_list=True),
+        batch_format="pyarrow",
+    )
+    cms, total = tree_merge_partials(partials, "countmin")
+    if cms is None:
+        cms = CountMinSketch(depth=depth, width=width)
+    probes = np.asarray(probe_tokens, dtype=np.int32)
+    est = cms.query_values(probes)
+    return pd.DataFrame({
+        "token": probes,
+        "est_count": est.astype(np.int64),
+        "total_tokens": np.int64(total),
+    })

@@ -22,7 +22,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sketches import hashing
+from ..sketches.base import Sketch
 from ..sketches.hll import HyperLogLog
+
+
+def build_sketch(kind: str, params: dict) -> Sketch:
+    """Instantiate a registered sketch kind from a picklable spec."""
+    return Sketch.REGISTRY[kind](**params)
+
+
+def sketch_from_blob(kind: str, blob: bytes) -> Sketch:
+    return Sketch.REGISTRY[kind].from_bytes(blob)
 
 
 def _flatten_tokens(batch: pa.Table, token_column: str):
@@ -227,6 +237,150 @@ def merge_partial_blobs(blobs: Iterable[bytes],
     return HyperLogLog.merge_many(
         HyperLogLog.from_bytes(b, hash_name) for b in blobs
     )
+
+
+class GenericSketchPartials:
+    """map_batches stage: build one partial sketch (any registered kind) per
+    batch over a scalar column or an exploded list<...> column.
+
+    Emits {sketch: binary, n_added: int64} (plus the key column when keyed).
+    The sketch spec (kind + constructor params) is plain data, so the stage
+    pickles cheaply into Ray tasks/actors.
+    """
+
+    CHUNK = 8192
+
+    def __init__(self, kind: str, params: dict | None, value_column: str, *,
+                 explode_list: bool = False, key_column: str | None = None):
+        self.kind = kind
+        self.params = dict(params or {})
+        self.value_column = value_column
+        self.explode_list = explode_list
+        self.key_column = key_column
+
+    def _new(self) -> Sketch:
+        return build_sketch(self.kind, self.params)
+
+    def _values(self, batch: pa.Table):
+        if self.explode_list:
+            flat, parents = _flatten_tokens(batch, self.value_column)
+            return flat, parents
+        col = batch[self.value_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.to_numpy(zero_copy_only=False), None
+
+    def _add_chunked(self, sk: Sketch, values: np.ndarray) -> None:
+        for lo in range(0, len(values), self.CHUNK):
+            sk.add_values(values[lo:lo + self.CHUNK])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, parents = self._values(batch)
+        if self.key_column is None:
+            sk = self._new()
+            self._add_chunked(sk, values)
+            return pa.table({
+                "sketch": pa.array([sk.to_bytes()], type=pa.binary()),
+                "n_added": pa.array([len(values)], type=pa.int64()),
+            })
+        keys = batch[self.key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.dictionary_encode(keys)
+        key_values = codes.dictionary.to_pylist()
+        row_codes = codes.indices.to_numpy(zero_copy_only=False)
+        value_codes = row_codes if parents is None else row_codes[parents]
+        order = np.argsort(value_codes, kind="stable")
+        vc_sorted = value_codes[order]
+        v_sorted = values[order]
+        bounds = np.r_[0, np.flatnonzero(np.diff(vc_sorted)) + 1, len(vc_sorted)]
+        out_keys, out_blobs, out_counts = [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            sk = self._new()
+            self._add_chunked(sk, v_sorted[lo:hi])
+            out_keys.append(key_values[int(vc_sorted[lo])])
+            out_blobs.append(sk.to_bytes())
+            out_counts.append(hi - lo)
+        return pa.table({
+            self.key_column: pa.array(out_keys),
+            "sketch": pa.array(out_blobs, type=pa.binary()),
+            "n_added": pa.array(out_counts, type=pa.int64()),
+        })
+
+
+def tree_merge_partials(partials_ds, kind: str, *, fanout: int = 64) -> tuple[Sketch | None, int]:
+    """Global two-level combiner tree for any sketch kind.
+
+    Level 1 merges within coalesced blocks (stateless map, streams with the
+    scan); level 2 folds <= fanout tiny rows on the driver. Returns
+    (merged sketch | None, total n_added)."""
+
+    def merge_block(tbl: pa.Table) -> pa.Table:
+        acc: Sketch | None = None
+        total = 0
+        for blob, n in zip(tbl["sketch"].to_pylist(), tbl["n_added"].to_pylist()):
+            sk = sketch_from_blob(kind, blob)
+            acc = sk if acc is None else acc.merge(sk)
+            total += n
+        if acc is None:
+            return pa.table({"sketch": pa.array([], type=pa.binary()),
+                             "n_added": pa.array([], type=pa.int64())})
+        return pa.table({"sketch": pa.array([acc.to_bytes()], type=pa.binary()),
+                         "n_added": pa.array([total], type=pa.int64())})
+
+    lvl1 = partials_ds.repartition(fanout).map_batches(
+        merge_block, batch_format="pyarrow", batch_size=None)
+    acc: Sketch | None = None
+    total = 0
+    for row in lvl1.take_all():
+        sk = sketch_from_blob(kind, row["sketch"])
+        acc = sk if acc is None else acc.merge(sk)
+        total += row["n_added"]
+    return acc, total
+
+
+def tree_merge_keyed_partials_generic(partials_ds, key_column: str, kind: str, *,
+                                      fanout: int = 64) -> dict:
+    """Keyed two-level combiner tree for any sketch kind.
+
+    Returns dict[key, (Sketch, n_added)]. Low-cardinality keys only (the
+    driver fold sees <= fanout x n_keys rows)."""
+
+    def merge_block(tbl: pa.Table) -> pa.Table:
+        acc: dict = {}
+        counts: dict = {}
+        for k, blob, n in zip(tbl[key_column].to_pylist(),
+                              tbl["sketch"].to_pylist(),
+                              tbl["n_added"].to_pylist()):
+            sk = sketch_from_blob(kind, blob)
+            if k in acc:
+                acc[k].merge(sk)
+                counts[k] += n
+            else:
+                acc[k] = sk
+                counts[k] = n
+        ks = list(acc)
+        return pa.table({
+            key_column: pa.array(ks),
+            "sketch": pa.array([acc[k].to_bytes() for k in ks], type=pa.binary()),
+            "n_added": pa.array([counts[k] for k in ks], type=pa.int64()),
+        })
+
+    lvl1 = partials_ds.repartition(fanout).map_batches(
+        merge_block, batch_format="pyarrow", batch_size=None)
+    acc: dict = {}
+    counts: dict = {}
+    for row in lvl1.take_all():
+        k = row[key_column]
+        sk = sketch_from_blob(kind, row["sketch"])
+        if k in acc:
+            acc[k].merge(sk)
+            counts[k] += row["n_added"]
+        else:
+            acc[k] = sk
+            counts[k] = row["n_added"]
+    return {k: (acc[k], counts[k]) for k in acc}
 
 
 def _merge_rows_by_key(tbl: pa.Table, key_column: str,
