@@ -1,0 +1,215 @@
+"""Vectorized text-analysis functions (language ID, quality scoring, token
+counting, fingerprinting) — the per-record scalar-function family a training
+-data pipeline needs, all Arrow/numpy kernels (no per-row Python).
+
+Both Arrow and DuckDB use RE2, so the regex-based counters are
+oracle-checkable with the same pattern strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches import hashing
+
+# BPE-ish word/number/punctuation pieces (RE2-compatible; same string works
+# in DuckDB regexp_extract_all for the oracle)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[^\w\s]"
+DIGIT_PATTERN = r"[0-9]"
+UPPER_PATTERN = r"[A-Z]"
+WORD_PATTERN = r"[A-Za-z]+"
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "was", "for", "on", "are", "with", "as", "this", "at", "be"},
+    "es": {"el", "la", "de", "que", "y", "a", "en", "un", "ser", "se", "no",
+           "por", "con", "para", "los", "las", "una", "su"},
+    "de": {"der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "pour", "qui", "dans", "par", "sur", "pas"},
+}
+# zh detection is script-based (CJK codepoints), not stopword-based
+_CJK_PATTERN = r"[\x{4E00}-\x{9FFF}]"
+
+
+def _as_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def token_count_whitespace(text: pa.Array) -> pa.Array:
+    """Number of whitespace-delimited tokens per string (empties dropped)."""
+    toks = pc.split_pattern_regex(_as_array(text), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    parents = _as_array(parents.filter(keep))
+    counts = np.zeros(len(text), dtype=np.int64)
+    np.add.at(counts, parents.to_numpy(zero_copy_only=False), 1)
+    return pa.array(counts)
+
+
+def token_count_bpe_ish(text: pa.Array) -> pa.Array:
+    """Count of BPE-ish pieces (letter runs, digit runs, punctuation marks)."""
+    return pc.count_substring_regex(_as_array(text), BPE_ISH_PATTERN)
+
+
+def quality_features(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append vectorized quality-signal columns to a documents batch.
+
+    Features: n_chars, n_tokens (whitespace), n_pieces (BPE-ish), punct_ratio,
+    digit_ratio, upper_ratio, avg_token_len, stopword_ratio (en),
+    quality_score (composite in [0, 1], heuristically weighted).
+    """
+    text = _as_array(batch[text_column])
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    safe_chars = np.maximum(n_chars, 1.0)
+    n_tokens = token_count_whitespace(text).to_numpy(zero_copy_only=False)
+    n_pieces = token_count_bpe_ish(text).to_numpy(zero_copy_only=False)
+    n_punct = pc.count_substring_regex(text, PUNCT_PATTERN).to_numpy(zero_copy_only=False)
+    n_digit = pc.count_substring_regex(text, DIGIT_PATTERN).to_numpy(zero_copy_only=False)
+    n_upper = pc.count_substring_regex(text, UPPER_PATTERN).to_numpy(zero_copy_only=False)
+    safe_tokens = np.maximum(n_tokens, 1)
+    avg_token_len = (n_chars - np.maximum(n_tokens - 1, 0)) / safe_tokens
+
+    # stopword ratio (en), vectorized: hash tokens, membership vs hashed set
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = _as_array(flat.filter(keep))
+    parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
+    lowered = pc.utf8_lower(flat)
+    h = hashing.hash_arrow_binary(_as_array(lowered), "fnv1a_mix")
+    stop_hashes = np.asarray(
+        sorted(hashing.fnv1a64_mix(w.encode()) for w in STOPWORDS["en"]),
+        dtype=np.uint64)
+    is_stop = stop_hashes[
+        np.clip(np.searchsorted(stop_hashes, h), 0, len(stop_hashes) - 1)] == h
+    n_stop = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_stop, parents[is_stop], 1)
+    stopword_ratio = n_stop / safe_tokens
+
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    upper_ratio = n_upper / safe_chars
+
+    # composite score: rewards mid-length docs with words, few digits/punct
+    len_score = np.clip(n_tokens / 64.0, 0, 1) * np.clip(2.0 - n_tokens / 4096.0, 0, 1)
+    clean_score = np.clip(1.0 - 3.0 * punct_ratio - 3.0 * digit_ratio, 0, 1)
+    word_score = np.clip(avg_token_len / 4.0, 0, 1) * np.clip(2.0 - avg_token_len / 8.0, 0, 1)
+    quality = np.clip(0.4 * len_score + 0.35 * clean_score + 0.25 * word_score, 0, 1)
+
+    out = batch
+    for name, arr in [
+        ("n_chars", n_chars.astype(np.int64)),
+        ("n_tokens", n_tokens.astype(np.int64)),
+        ("n_pieces", n_pieces.astype(np.int64)),
+        ("punct_ratio", punct_ratio),
+        ("digit_ratio", digit_ratio),
+        ("upper_ratio", upper_ratio),
+        ("avg_token_len", avg_token_len),
+        ("stopword_ratio", stopword_ratio),
+        ("quality_score", quality),
+    ]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def language_id(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append a deterministic language guess (en/es/de/fr/zh/unknown).
+
+    Heuristic: CJK codepoint presence -> zh; else the language whose
+    stopword list matches the most lowercase tokens (>= 2 hits required,
+    ties broken by fixed language order) -> that language; else unknown.
+    """
+    text = _as_array(batch[text_column])
+    n = len(text)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = _as_array(flat.filter(keep))
+    parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
+    h = hashing.hash_arrow_binary(flat, "fnv1a_mix")
+
+    langs = ["en", "es", "de", "fr"]
+    scores = np.zeros((len(langs), n), dtype=np.int64)
+    for i, lang in enumerate(langs):
+        sh = np.asarray(sorted(hashing.fnv1a64_mix(w.encode())
+                               for w in STOPWORDS[lang]), dtype=np.uint64)
+        hit = sh[np.clip(np.searchsorted(sh, h), 0, len(sh) - 1)] == h
+        np.add.at(scores[i], parents[hit], 1)
+
+    n_cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(zero_copy_only=False)
+    best = np.argmax(scores, axis=0)  # first max wins -> fixed tie order
+    best_score = scores[best, np.arange(n)]
+    guess = np.where(
+        n_cjk > 0, "zh",
+        np.where(best_score >= 2, np.asarray(langs, dtype=object)[best], "unknown"),
+    )
+    return batch.append_column("lang_guess", pa.array(guess.astype(str)))
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+
+
+def char_ngram_hashes(text: pa.Array, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling-hash values of all char n-grams per string.
+
+    Returns (hashes, parent_row_indices); vectorized polynomial rolling hash
+    over the flat UTF-8 buffer with per-string masking.
+    """
+    arr = _as_array(text)
+    if pa.types.is_string(arr.type):
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                count=len(arr) + arr.offset + 1)[arr.offset:]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    else:
+        raise TypeError(f"expected string array, got {arr.type}")
+    starts = offsets[:-1].astype(np.int64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    n_grams = np.maximum(lengths - n + 1, 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    parents = np.repeat(np.arange(len(arr)), n_grams)
+    gram_starts = (np.arange(total)
+                   - np.repeat(np.cumsum(n_grams) - n_grams, n_grams)
+                   + np.repeat(starts, n_grams))
+    base = np.uint64(1099511628211)
+    h = np.zeros(total, dtype=np.uint64)
+    for j in range(n):
+        h = h * base + data[gram_starts + j].astype(np.uint64)
+    return hashing.splitmix64(h), parents
+
+
+def document_fingerprint(batch: pa.Table, text_column: str = "text",
+                         ngram: int = 8) -> pa.Table:
+    """Append a 64-bit content fingerprint: min rolling-hash over char
+    n-grams (a 1-permutation MinHash — robust to small edits, unlike a full
+    content hash)."""
+    text = _as_array(batch[text_column])
+    h, parents = char_ngram_hashes(text, n=ngram)
+    fp = np.full(len(text), np.iinfo(np.uint64).max, dtype=np.uint64)
+    np.minimum.at(fp, parents, h)
+    # short strings (< ngram chars) fall back to a whole-string hash
+    short = fp == np.iinfo(np.uint64).max
+    if short.any():
+        full = hashing.hash_arrow_binary(text, "fnv1a_mix")
+        fp[short] = full[short]
+    return batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))
+
+
+def content_hash(batch: pa.Table, text_column: str = "text",
+                 out_column: str = "content_hash") -> pa.Table:
+    """Append the exact 64-bit content hash (for exact dedup)."""
+    h = hashing.hash_arrow_binary(_as_array(batch[text_column]), "fnv1a_mix")
+    return batch.append_column(out_column, pa.array(h.astype(np.int64)))

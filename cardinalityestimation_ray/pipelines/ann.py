@@ -1,0 +1,154 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``ann_topk_brute``: exact cosine top-k — the broadcast pattern (query
+  matrix ``ray.put`` once, numpy matmul per batch, per-batch partial top-k
+  rows, driver-side final heap over q*k*n_batches tiny rows).
+- ``ann_topk_ivf``: the scale path — coarse k-means cells (trained on a
+  driver-side sample), vectors pre-assigned to cells, queries probe only
+  their ``nprobe`` nearest cells, so each batch scores only the matching
+  subset. Same output shape; recall < 1 controlled by nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.stack(col.to_numpy(zero_copy_only=False))
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
+                   vector_column: str = "embedding",
+                   id_column: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k for each query vector (baseline + verifier).
+
+    Returns (query_id, rank, vec_id, cosine), rank 0 = best.
+    """
+    import ray
+
+    q_unit = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(q_unit)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)  # fetched once per actor, not per batch
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_to_matrix(batch[vector_column]).astype(np.float32))
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            sims = x @ self.q.T  # (n, q)
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+            qn = sims.shape[1]
+            qid = np.repeat(np.arange(qn, dtype=np.int64), kk)
+            rows = top.T.reshape(-1)  # query-major
+            return pa.table({
+                "query_id": pa.array(qid),
+                id_column: pa.array(ids[rows].astype(np.int64)),
+                "cosine": pa.array(sims[rows, np.repeat(np.arange(qn), kk)]
+                                   .astype(np.float64)),
+            })
+
+    partials = emb_ds.map_batches(Score, batch_format="pyarrow",
+                                  concurrency=(1, 8)).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        top = grp.sort_values(["cosine", id_column],
+                              ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(top.iterrows()):
+            out.append((int(qid), rank, int(row[id_column]), float(row["cosine"])))
+    return pd.DataFrame(out, columns=["query_id", "rank", id_column, "cosine"])
+
+
+def _kmeans_lite(sample: np.ndarray, n_cells: int, iters: int = 8,
+                 seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centers.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+        centers = _normalize(centers)
+    return centers
+
+
+def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
+                 n_cells: int = 16, nprobe: int = 4,
+                 sample_fraction: float = 0.1,
+                 vector_column: str = "embedding",
+                 id_column: str = "vec_id", seed: int = 11) -> pd.DataFrame:
+    """IVF-style ANN: probe only the nprobe nearest coarse cells per query.
+
+    Scale shape: centroid training reads a SAMPLE (never the full data on the
+    driver); the scoring stage broadcasts (centroids, queries) once and each
+    batch scores only rows whose cell is probed by some query. At
+    nprobe == n_cells this degrades gracefully to brute force.
+    """
+    import ray
+
+    q_unit = _normalize(np.asarray(queries, dtype=np.float32))
+    sample_rows = emb_ds.random_sample(sample_fraction, seed=seed).take_all()
+    if not sample_rows:
+        sample_rows = emb_ds.take(256)
+    sample = _normalize(np.stack([r[vector_column] for r in sample_rows])
+                        .astype(np.float32))
+    n_cells = min(n_cells, len(sample))
+    centers = _kmeans_lite(sample, n_cells, seed=seed)
+    # cells each query probes
+    probe = np.argsort(-(q_unit @ centers.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    bundle = ray.put((q_unit, centers, probe))
+
+    class Score:
+        def __init__(self):
+            self.q, self.centers, self.probe = ray.get(bundle)
+            qn = self.q.shape[0]
+            # cell -> query ids probing it
+            self.cell_queries = {c: np.flatnonzero((self.probe == c).any(axis=1))
+                                 for c in range(len(self.centers))}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_to_matrix(batch[vector_column]).astype(np.float32))
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            cells = np.argmax(x @ self.centers.T, axis=1)
+            out_qid, out_id, out_cos = [], [], []
+            for c in np.unique(cells):
+                qids = self.cell_queries.get(int(c))
+                if qids is None or len(qids) == 0:
+                    continue
+                mask = cells == c
+                sub = x[mask]
+                sub_ids = ids[mask]
+                sims = sub @ self.q[qids].T  # (m, nq)
+                kk = min(k, sims.shape[0])
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                for qi in range(len(qids)):
+                    rows = top[:, qi]
+                    out_qid.extend([int(qids[qi])] * len(rows))
+                    out_id.extend(sub_ids[rows].tolist())
+                    out_cos.extend(sims[rows, qi].tolist())
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                id_column: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_cos, type=pa.float64()),
+            })
+
+    partials = emb_ds.map_batches(Score, batch_format="pyarrow",
+                                  concurrency=(1, 8)).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        top = grp.sort_values(["cosine", id_column],
+                              ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(top.iterrows()):
+            out.append((int(qid), rank, int(row[id_column]), float(row["cosine"])))
+    return pd.DataFrame(out, columns=["query_id", "rank", id_column, "cosine"])

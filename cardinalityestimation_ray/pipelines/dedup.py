@@ -1,0 +1,342 @@
+"""Deduplication pipelines over the documents table.
+
+Five dedup modes, each Ray-Data-first:
+
+- exact:      content-hash -> hash-partitioned groupby -> keep min doc_id
+- minhash:    char-shingle MinHash -> LSH band explode -> bucket groupby ->
+              candidate pairs -> signature-Jaccard verify -> union-find
+- simhash:    64-bit SimHash -> band bucket groupby -> Hamming verify
+- ngram:      LSH candidates verified with EXACT word/char n-gram Jaccard
+- embedding:  random-hyperplane LSH buckets -> within-bucket cosine verify
+
+Partitioning assumption (documented per north_rule): candidate generation
+shuffles only (bucket_key, doc_id, signature) rows — signatures are O(100B);
+raw text moves only for the exact-jaccard verify mode, and only inside
+buckets. Union-find runs on the driver over the candidate-PAIR set, which
+LSH keeps tiny relative to the corpus (pairs, not rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.text import content_hash
+from ..stages.dedup import (
+    band_hashes,
+    estimate_jaccard,
+    exact_jaccard_char_ngrams,
+    hamming_distance_u64,
+    minhash_signatures,
+    simhash64,
+    simhash_bands,
+    word_ngram_jaccard,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(docs_ds, *, text_column: str = "text", id_column: str = "doc_id"):
+    """Exact dedup: keep the min-id row per distinct content.
+
+    Per-batch vectorized content hash, then a hash-partitioned groupby where
+    each group keeps its first row by id — the canonical
+    hash-partition + per-group-first pattern.
+    Returns a Dataset of kept rows (original columns).
+    """
+    hashed = docs_ds.map_batches(
+        lambda b: content_hash(b, text_column), batch_format="pyarrow")
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_column).head(1)
+
+    kept = hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas")
+    return kept.drop_columns(["content_hash"])
+
+
+def exact_dedup_stats(docs_ds, *, text_column: str = "text") -> pd.DataFrame:
+    """(n_docs, n_distinct) under exact content dedup."""
+    from ray.data.aggregate import Count
+
+    hashed = docs_ds.map_batches(
+        lambda b: content_hash(b, text_column).select(["content_hash"]),
+        batch_format="pyarrow")
+    per_hash = hashed.groupby("content_hash").aggregate(Count(alias_name="n"))
+    df = per_hash.to_pandas()
+    return pd.DataFrame({
+        "n_docs": [int(df["n"].sum())],
+        "n_distinct": [len(df)],
+    })
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate machinery (shared by minhash / ngram modes)
+
+
+class MinHashBandRows:
+    """map_batches stage: docs -> exploded (band, band_hash, doc_id, sig) rows."""
+
+    def __init__(self, *, num_perm: int = 64, num_bands: int = 16,
+                 ngram: int = 8, text_column: str = "text",
+                 id_column: str = "doc_id", keep_text: bool = False):
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.ngram = ngram
+        self.text_column = text_column
+        self.id_column = id_column
+        self.keep_text = keep_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sig = minhash_signatures(text, self.num_perm, ngram=self.ngram)
+        bands = band_hashes(sig, self.num_bands)
+        n = len(batch)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        tbl = pa.table({
+            "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bands.reshape(-1).astype(np.int64)),
+            self.id_column: pa.array(np.repeat(ids, self.num_bands)),
+            "sig": pa.array([b for b in sig_bytes for _ in range(self.num_bands)],
+                            type=pa.binary()),
+        })
+        if self.keep_text:
+            txt = text.to_pylist()
+            tbl = tbl.append_column(
+                "text",
+                pa.array([t for t in txt for _ in range(self.num_bands)],
+                         type=pa.string()))
+        return tbl
+
+
+def _candidate_pairs_from_buckets(bucket_rows, id_column: str, num_perm: int,
+                                  threshold: float, verify: str,
+                                  ngram: int) -> pd.DataFrame:
+    """Per-bucket pair generation + verification (runs inside map_groups)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
+        group = group.drop_duplicates(subset=[id_column]).sort_values(id_column)
+        ids = group[id_column].to_numpy()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"]]
+        texts = group["text"].tolist() if "text" in group else None
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = estimate_jaccard(sigs[i], sigs[j])
+                if est < threshold * 0.8:
+                    continue
+                if verify == "signature":
+                    sim = est
+                elif verify == "char_ngram":
+                    sim = exact_jaccard_char_ngrams(texts[i], texts[j], ngram)
+                else:  # word_ngram
+                    sim = word_ngram_jaccard(texts[i], texts[j])
+                if sim >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), sim))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "similarity"])
+
+    return bucket_rows.groupby(["band", "band_hash"]).map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def _union_find_clusters(pairs: pd.DataFrame) -> dict[int, int]:
+    """Driver-side union-find over candidate pairs (pairs << rows)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup_pairs(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
+                        ngram: int = 8, threshold: float = 0.7,
+                        verify: str = "signature",
+                        text_column: str = "text",
+                        id_column: str = "doc_id") -> pd.DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    verify: "signature" (MinHash Jaccard estimate), "char_ngram" or
+    "word_ngram" (exact Jaccard on text — ships text into buckets).
+    Returns a DataFrame (id_a, id_b, similarity), id_a < id_b, deduplicated.
+    """
+    stage = MinHashBandRows(num_perm=num_perm, num_bands=num_bands,
+                            ngram=ngram, text_column=text_column,
+                            id_column=id_column,
+                            keep_text=verify != "signature")
+    rows = docs_ds.map_batches(stage, batch_format="pyarrow")
+    pairs = _candidate_pairs_from_buckets(
+        rows, id_column, num_perm, threshold, verify, ngram).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "similarity": pd.Series([], dtype="float64")})
+    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["similarity"].max()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def minhash_dedup_keep(docs_ds, **kwargs) -> pd.DataFrame:
+    """Cluster near-duplicates (union-find over verified pairs) and report
+    (doc_id, cluster_id, keep) — keep = min doc_id per cluster."""
+    pairs = minhash_dedup_pairs(docs_ds, **kwargs)
+    labels = _union_find_clusters(pairs)
+    ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    out = pd.DataFrame({
+        "doc_id": ids,
+        "cluster_id": [labels.get(i, i) for i in ids],
+    })
+    out["keep"] = out["doc_id"] == out["cluster_id"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# simhash dedup
+
+
+class SimHashRows:
+    def __init__(self, *, num_bands: int = 4, ngram: int = 4,
+                 text_column: str = "text", id_column: str = "doc_id"):
+        self.num_bands = num_bands
+        self.ngram = ngram
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sim = simhash64(text, ngram=self.ngram)
+        bands = simhash_bands(sim, self.num_bands)
+        n = len(batch)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bands.reshape(-1).astype(np.int64)),
+            self.id_column: pa.array(np.repeat(ids, self.num_bands)),
+            "simhash": pa.array(np.repeat(sim.astype(np.int64), self.num_bands)),
+        })
+
+
+def simhash_dedup_pairs(docs_ds, *, max_hamming: int = 3, num_bands: int = 4,
+                        ngram: int = 4, text_column: str = "text",
+                        id_column: str = "doc_id") -> pd.DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance <= max_hamming.
+
+    Banding is lossless for max_hamming <= num_bands - 1 (pigeonhole).
+    """
+    if max_hamming > num_bands - 1:
+        raise ValueError(
+            f"banding with {num_bands} bands only guarantees recall for "
+            f"hamming <= {num_bands - 1}, got {max_hamming}")
+    rows = docs_ds.map_batches(
+        SimHashRows(num_bands=num_bands, ngram=ngram,
+                    text_column=text_column, id_column=id_column),
+        batch_format="pyarrow")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        group = group.drop_duplicates(subset=[id_column]).sort_values(id_column)
+        ids = group[id_column].to_numpy()
+        hashes = group["simhash"].to_numpy().astype(np.uint64)
+        out = []
+        for i in range(len(ids)):
+            d = hamming_distance_u64(np.full(len(ids) - i - 1, hashes[i]),
+                                     hashes[i + 1:])
+            for off, dist in enumerate(d):
+                if dist <= max_hamming:
+                    out.append((int(ids[i]), int(ids[i + 1 + off]), int(dist)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    pairs = rows.groupby(["band", "band_hash"]).map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
+                          num_planes: int = 12, seed: int = 7,
+                          vector_column: str = "embedding",
+                          id_column: str = "vec_id") -> pd.DataFrame:
+    """Near-duplicate (cosine >= threshold) vector pairs.
+
+    Random-hyperplane LSH buckets (num_planes sign bits — colliding vectors
+    are cosine-close w.h.p.), then exact cosine verification within buckets.
+    Recall is probabilistic (raise num_bands of independent projections for
+    more); precision is exact.
+    """
+
+    class BucketRows:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch[vector_column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = np.stack(col.to_numpy(zero_copy_only=False))
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.standard_normal((mat.shape[1], num_planes))
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.maximum(norms, 1e-12)
+            bits = (unit @ self.planes) > 0
+            bucket = np.packbits(bits, axis=1, bitorder="little")[:, :2]
+            bucket = bucket[:, 0].astype(np.int64) | (
+                bucket[:, 1].astype(np.int64) << 8)
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "bucket": pa.array(bucket),
+                id_column: pa.array(ids),
+                "unit": pa.array(list(unit.astype(np.float32))),
+            })
+
+    rows = emb_ds.map_batches(BucketRows, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        group = group.sort_values(id_column)
+        ids = group[id_column].to_numpy()
+        mat = np.stack(group["unit"].to_numpy())
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ii[keep]].astype(np.int64),
+            "id_b": ids[jj[keep]].astype(np.int64),
+            "cosine": sims[ii[keep], jj[keep]].astype(np.float64),
+        })
+
+    pairs = rows.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,130 @@
+"""Vectorized dedup kernels: MinHash signatures, LSH banding, SimHash.
+
+All kernels are numpy-vectorized over Arrow batches; per-doc Python only
+appears in candidate *verification*, which operates on LSH buckets (tiny by
+construction)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import char_ngram_hashes
+from ..sketches import hashing
+
+_U64 = np.uint64
+_MAX64 = np.iinfo(np.uint64).max
+
+
+def _perm_seeds(num_perm: int, seed: int = 42) -> np.ndarray:
+    return hashing.splitmix64(np.arange(seed, seed + num_perm, dtype=np.uint64))
+
+
+def minhash_signatures(text: pa.Array, num_perm: int = 64, *,
+                       ngram: int = 8, seed: int = 42) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signature matrix over char n-gram
+    shingles. Permutation i is the splitmix64 mix of (shingle_hash XOR
+    seed_i); the min per doc per permutation is taken with a sort + reduceat
+    (one sort for all permutations)."""
+    h, parents = char_ngram_hashes(text, n=ngram)
+    n = len(text)
+    sig = np.full((n, num_perm), _MAX64, dtype=np.uint64)
+    if len(h) == 0:
+        return sig
+    order = np.argsort(parents, kind="stable")
+    parents_s = parents[order]
+    h_s = h[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(parents_s)) + 1]
+    present = parents_s[starts]
+    seeds = _perm_seeds(num_perm, seed)
+    for i in range(num_perm):
+        mixed = hashing.splitmix64(h_s ^ seeds[i])
+        sig[present, i] = np.minimum.reduceat(mixed, starts)
+    return sig
+
+
+def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n_docs, num_bands) uint64 band bucket hashes of a signature matrix."""
+    n, num_perm = sig.shape
+    if num_perm % num_bands:
+        raise ValueError(f"num_perm {num_perm} not divisible by bands {num_bands}")
+    r = num_perm // num_bands
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    for b in range(num_bands):
+        h = np.full(n, _U64(1469598103934665603))
+        for j in range(b * r, (b + 1) * r):
+            h = (h ^ sig[:, j]) * _U64(1099511628211)
+        out[:, b] = hashing.splitmix64(h)
+    return out
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard_char_ngrams(text_a: str, text_b: str, ngram: int = 8) -> float:
+    """Exact Jaccard over char n-gram shingle sets (verification kernel)."""
+    a = {text_a[i:i + ngram] for i in range(max(1, len(text_a) - ngram + 1))}
+    b = {text_b[i:i + ngram] for i in range(max(1, len(text_b) - ngram + 1))}
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact Jaccard over word n-gram shingles."""
+    wa = text_a.split()
+    wb = text_b.split()
+    a = {tuple(wa[i:i + n]) for i in range(max(1, len(wa) - n + 1))}
+    b = {tuple(wb[i:i + n]) for i in range(max(1, len(wb) - n + 1))}
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: pa.Array, *, ngram: int = 4, chunk: int = 1 << 16) -> np.ndarray:
+    """64-bit SimHash per string over char n-gram features.
+
+    Bit j of the output is the sign of the sum over features of
+    (+1 if feature-hash bit j else -1); near-duplicate texts land within a
+    small Hamming distance. Vectorized: unpack feature-hash bits to a
+    (features, 64) matrix in chunks, scatter-add per doc.
+    """
+    h, parents = char_ngram_hashes(text, n=ngram)
+    n = len(text)
+    votes = np.zeros((n, 64), dtype=np.int32)
+    for lo in range(0, len(h), chunk):
+        hh = h[lo:lo + chunk]
+        pp = parents[lo:lo + chunk]
+        bits = np.unpackbits(
+            hh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)  # (chunk, 64)
+        np.add.at(votes, pp, 2 * bits - 1)
+    bools = (votes > 0)
+    packed = np.packbits(bools, axis=1, bitorder="little")
+    return packed.view(np.uint64).ravel()
+
+
+def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays (SWAR popcount)."""
+    x = (a ^ b).astype(np.uint64)
+    m1 = _U64(0x5555555555555555)
+    m2 = _U64(0x3333333333333333)
+    m4 = _U64(0x0F0F0F0F0F0F0F0F)
+    h01 = _U64(0x0101010101010101)
+    x = x - ((x >> _U64(1)) & m1)
+    x = (x & m2) + ((x >> _U64(2)) & m2)
+    x = (x + (x >> _U64(4))) & m4
+    return ((x * h01) >> _U64(56)).astype(np.int64)
+
+
+def simhash_bands(sim: np.ndarray, num_bands: int = 4) -> np.ndarray:
+    """(n, num_bands) band keys: 64/num_bands-bit slices. Two hashes within
+    Hamming distance < num_bands share at least one identical band
+    (pigeonhole), so banding is a lossless candidate generator for
+    distance <= num_bands - 1."""
+    width = 64 // num_bands
+    mask = _U64((1 << width) - 1)
+    return np.stack(
+        [(sim >> _U64(b * width)) & mask for b in range(num_bands)], axis=1)

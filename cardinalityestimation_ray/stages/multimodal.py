@@ -1,0 +1,168 @@
+"""Multimodal (image/audio/video) stages.
+
+Binary media ride as opaque ``binary`` columns with typed metadata columns
+next to them. Decode / feature-extraction run as ACTOR-POOL map_batches
+stages (decoder state built once per actor in __init__). The image/audio
+codec libraries are not in this container, so the codec call itself is
+stubbed: ``decoder="fake"`` (default) runs a deterministic stand-in so the
+Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+is real and tested; ``decoder="pil"``/``"soundfile"`` raise
+NotImplementedError until the libs exist.
+
+Memory rule for media: batches of large binary payloads must be SMALL —
+``media_batch_size`` defaults to 32 rows so batch x concurrency stays within
+a worker heap even at ~10 MB/row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketches import hashing
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload", pa.binary()),
+    ("media_type", pa.string()),     # "image" | "audio" | "video"
+    ("width", pa.int32()),           # images/video
+    ("height", pa.int32()),
+    ("sample_rate", pa.int32()),     # audio
+    ("duration_ms", pa.int32()),     # audio/video
+])
+
+DEFAULT_MEDIA_BATCH_SIZE = 32
+
+
+def synthesize_media_batch(ids: np.ndarray, media_type: str = "image",
+                           payload_bytes: int = 4096, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table (opaque byte payloads + metadata)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    rng_keys = hashing.splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+    payloads = []
+    for key in rng_keys:
+        g = np.random.Generator(np.random.PCG64(int(key)))
+        payloads.append(g.integers(0, 256, size=payload_bytes, dtype=np.uint8)
+                        .tobytes())
+    n = len(ids)
+    return pa.table({
+        "media_id": pa.array([f"media-{i:010d}" for i in ids]),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "media_type": pa.array([media_type] * n),
+        "width": pa.array(np.full(n, 64, dtype=np.int32)),
+        "height": pa.array(np.full(n, 64, dtype=np.int32)),
+        "sample_rate": pa.array(np.zeros(n, dtype=np.int32)),
+        "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+    })
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: binary payload -> decoded HxWx3 uint8 image column.
+
+    Use as ``ds.map_batches(ImageDecodeStage, batch_size=32,
+    concurrency=(2, 8), num_cpus=1)``. The real decoder would be constructed
+    once per actor here (PIL/turbojpeg handles, pinned buffers).
+    """
+
+    def __init__(self, decoder: str = "fake", out_size: int = 32):
+        self.decoder = decoder
+        self.out_size = out_size
+        if decoder == "pil":
+            raise NotImplementedError(
+                "PIL is not available in this container; use decoder='fake' "
+                "(deterministic stand-in) — the Ray plumbing is identical")
+        if decoder not in ("fake",):
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _decode_one(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        # STUB: deterministic pixels from the payload hash; a real decoder
+        # returns the actual HxWx3 array and this is the only line to swap
+        seed = hashing.fnv1a64_mix(payload[:64])
+        g = np.random.Generator(np.random.PCG64(seed))
+        return g.integers(0, 256, size=(self.out_size, self.out_size, 3),
+                          dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        imgs = np.stack([self._decode_one(p, w, h)
+                         for p, w, h in zip(payloads, widths, heights)])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "image": pa.FixedSizeListArray.from_arrays(
+                pa.array(imgs.reshape(-1)), self.out_size * self.out_size * 3),
+            "height": pa.array(np.full(len(batch), self.out_size, np.int32)),
+            "width": pa.array(np.full(len(batch), self.out_size, np.int32)),
+        })
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decoded image -> small feature vector (channel means,
+    stds, and a 64-bit perceptual-ish hash). Vectorized over the batch."""
+
+    def __init__(self, out_size: int = 32):
+        self.out_size = out_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["image"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        imgs = flat.reshape(len(batch), self.out_size, self.out_size, 3)
+        means = imgs.mean(axis=(1, 2)).astype(np.float32)        # (n, 3)
+        stds = imgs.std(axis=(1, 2)).astype(np.float32)
+        gray = imgs.mean(axis=3)
+        small = gray.reshape(len(batch), 8, self.out_size // 8,
+                             8, self.out_size // 8).mean(axis=(2, 4))
+        bits = (small > small.mean(axis=(1, 2), keepdims=True)).reshape(len(batch), 64)
+        phash = np.packbits(bits, axis=1, bitorder="little").view(np.uint64).ravel()
+        feats = np.concatenate([means, stds], axis=1)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), 6),
+            "phash": pa.array(phash.astype(np.int64)),
+        })
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: audio payload -> fixed-count frame energy samples.
+
+    The codec call is stubbed exactly like ImageDecodeStage; the
+    metadata-driven framing math (sample_rate, duration) is real.
+    """
+
+    def __init__(self, decoder: str = "fake", n_frames: int = 16):
+        if decoder == "soundfile":
+            raise NotImplementedError(
+                "soundfile is not available in this container; use "
+                "decoder='fake'")
+        if decoder not in ("fake",):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch["payload"].to_pylist():
+            seed = hashing.fnv1a64_mix(payload[:64])
+            g = np.random.Generator(np.random.PCG64(seed))
+            out.append(g.random(self.n_frames, dtype=np.float32))
+        frames = np.stack(out)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "frame_energy": pa.FixedSizeListArray.from_arrays(
+                pa.array(frames.reshape(-1)), self.n_frames),
+        })
+
+
+def media_pipeline(media_ds, *, batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
+                   concurrency=(1, 4)):
+    """decode -> feature-extract over a media Dataset (actor pools, small
+    batches for large binary rows)."""
+    decoded = media_ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+    return decoded.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,342 @@
+"""Ray Data pipeline tests (session-scoped Ray fixture, sf0.001 testdata +
+synthetic planted fixtures).
+
+Covers: distinct pipelines vs exact answers, block-split invariance
+(FIXTURES.md F6: same input at different parallelism -> identical merged
+registers), dedup with planted duplicates, ANN self-match, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray_session
+
+
+@pytest.fixture(scope="module")
+def tokens_small(sf_dir):
+    from cardinalityestimation_ray.sources.corpus import read_tokens
+
+    def make(parallelism=None):
+        return read_tokens(sf_dir, parallelism=parallelism)
+
+    return make
+
+
+def test_global_distinct_matches_exact(tokens_small, sf_dir):
+    import duckdb
+
+    from cardinalityestimation_ray.pipelines.distinct import global_distinct_tokens
+
+    res = global_distinct_tokens(tokens_small(), b=14)
+    exact_distinct, exact_total = duckdb.sql(f"""
+        SELECT count(DISTINCT t), count(t) FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                 x -> x <> '')) AS t
+          FROM '{sf_dir}/documents.parquet')
+    """).fetchone()
+    assert res["total_tokens"] == exact_total
+    # <=100 distinct surrogate tokens -> direct mode -> exact
+    assert res["distinct_tokens"] == exact_distinct
+
+
+def test_block_split_invariance(tokens_small):
+    """F6: different block layouts must produce bit-identical merged registers."""
+    from cardinalityestimation_ray.pipelines.distinct import global_distinct_tokens
+
+    a = global_distinct_tokens(tokens_small(parallelism=1), b=12)
+    b = global_distinct_tokens(tokens_small(parallelism=7), b=12)
+    assert np.array_equal(a["sketch"].registers(), b["sketch"].registers())
+    assert a["total_tokens"] == b["total_tokens"]
+    assert a["distinct_tokens"] == b["distinct_tokens"]
+
+
+def test_synthetic_corpus_deterministic_and_partition_independent(_ray):
+    from cardinalityestimation_ray.sources.corpus import (
+        synthesize_corpus_batch,
+        synthetic_corpus_dataset,
+    )
+
+    t1 = synthesize_corpus_batch(np.arange(100))
+    t2 = synthesize_corpus_batch(np.arange(100))
+    assert t1.equals(t2)
+    # per-doc regeneration is independent of the batch it rides in
+    solo = synthesize_corpus_batch(np.asarray([42]))
+    assert solo["tokens"][0].as_py() == t1["tokens"][42].as_py()
+    # through Ray, any block layout yields the same rows
+    ds = synthetic_corpus_dataset(500, docs_per_block=100)
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    direct = synthesize_corpus_batch(np.arange(500)).to_pandas()
+    assert (df["doc_id"] == direct["doc_id"]).all()
+    assert df["n_tok"].tolist() == direct["n_tok"].tolist()
+    assert df["tokens"].map(list).tolist() == direct["tokens"].map(list).tolist()
+
+
+def test_tokenize_per_row_token_equality(sf_dir):
+    """input_hint invariant: pipeline tokens == independently computed tokens."""
+    import pyarrow.parquet as pq
+
+    from cardinalityestimation_ray.sources.corpus import (
+        read_tokens,
+        tokenize_documents_batch,
+    )
+
+    via_ray = read_tokens(sf_dir).to_pandas().sort_values("doc_id")
+    direct = tokenize_documents_batch(
+        pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    ).to_pandas().sort_values("doc_id")
+    assert via_ray["doc_id"].tolist() == direct["doc_id"].tolist()
+    assert via_ray["tokens"].map(list).tolist() == direct["tokens"].map(list).tolist()
+
+
+def test_exact_distinct_and_counts(sf_dir, _ray):
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.exact import (
+        exact_count_by_key,
+        exact_distinct_by_key,
+    )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    got = exact_distinct_by_key(ev, "user_id", "event_type",
+                                distinct_name="d")
+    want = duckdb.sql(f"""
+        SELECT event_type, count(DISTINCT user_id) AS d
+        FROM '{sf_dir}/events.parquet' GROUP BY event_type ORDER BY event_type
+    """).df()
+    assert got["d"].astype(int).tolist() == want["d"].astype(int).tolist()
+
+    got2 = exact_count_by_key(ev, "event_type", count_name="n")
+    want2 = duckdb.sql(f"""
+        SELECT event_type, count(*) AS n FROM '{sf_dir}/events.parquet'
+        GROUP BY event_type ORDER BY event_type
+    """).df()
+    assert got2["n"].astype(int).tolist() == want2["n"].astype(int).tolist()
+
+
+def test_topk_and_cms_bounds(tokens_small):
+    from cardinalityestimation_ray.pipelines.frequency import (
+        token_frequencies_cms,
+        token_topk_exact,
+    )
+
+    top = token_topk_exact(tokens_small(), k=10)
+    assert (top["cnt"].values[:-1] >= top["cnt"].values[1:]).all()
+    cms = token_frequencies_cms(tokens_small(), top["token"].values[:5])
+    truth = dict(zip(top["token"], top["cnt"]))
+    for t, e in zip(cms["token"], cms["est_count"]):
+        assert e >= truth[int(t)]
+        assert e <= truth[int(t)] + 0.01 * cms["total_tokens"][0] + 1
+
+
+def test_quantiles_bounds(tokens_small, sf_dir):
+    import pyarrow.parquet as pq
+
+    from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
+
+    ntok = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    from cardinalityestimation_ray.functions.text import token_count_whitespace
+
+    exact = token_count_whitespace(ntok["text"].combine_chunks()).to_numpy()
+    for kind in ("tdigest", "kll"):
+        df = column_quantiles(tokens_small(), "n_tok", kind=kind,
+                              qs=(0.25, 0.5, 0.75))
+        for _, row in df.iterrows():
+            frac = (exact <= row["value"]).mean()
+            assert abs(frac - row["q"]) < 0.08, (kind, row["q"], frac)
+
+
+# ---------------------------------------------------------------------------
+# dedup (planted fixtures)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(_ray):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    vocab = [f"word{i}" for i in range(500)]
+    docs, ids = [], []
+    for i in range(150):
+        docs.append(" ".join(rng.choice(vocab, size=60)))
+        ids.append(i)
+    for j in range(8):
+        words = docs[j].split()
+        words[5] = "CHANGED"
+        docs.append(" ".join(words))
+        ids.append(1000 + j)
+    for j in range(8, 12):
+        docs.append(docs[j])
+        ids.append(2000 + j)
+    df = pd.DataFrame({"doc_id": ids, "text": docs})
+
+    def make():
+        return ray.data.from_pandas(df).repartition(4)
+
+    return make, df
+
+
+def test_exact_dedup(planted_docs):
+    from cardinalityestimation_ray.pipelines.dedup import (
+        exact_dedup,
+        exact_dedup_stats,
+    )
+
+    make, df = planted_docs
+    stats = exact_dedup_stats(make())
+    assert stats["n_docs"][0] == len(df)
+    assert stats["n_distinct"][0] == len(df) - 4
+    kept = exact_dedup(make()).to_pandas()
+    assert len(kept) == len(df) - 4
+    assert not (kept["doc_id"] >= 2000).any()
+
+
+def test_minhash_dedup(planted_docs):
+    from cardinalityestimation_ray.pipelines.dedup import (
+        minhash_dedup_keep,
+        minhash_dedup_pairs,
+    )
+
+    make, _ = planted_docs
+    pairs = minhash_dedup_pairs(make(), threshold=0.6)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(j, 2000 + j) for j in range(8, 12)} <= found  # exact dups certain
+    near = {(j, 1000 + j) for j in range(8)}
+    assert len(found & near) >= 6  # probabilistic recall
+    keep = minhash_dedup_keep(make(), threshold=0.6)
+    assert (keep[keep["doc_id"] >= 2000]["keep"] == False).all()  # noqa: E712
+
+
+def test_minhash_exact_jaccard_verify(planted_docs):
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+
+    make, df = planted_docs
+    pairs = minhash_dedup_pairs(make(), threshold=0.9, verify="char_ngram")
+    # exact duplicates have char-ngram jaccard 1.0
+    exact = pairs[pairs["similarity"] == 1.0]
+    assert {(j, 2000 + j) for j in range(8, 12)} <= set(
+        zip(exact["id_a"], exact["id_b"]))
+
+
+def test_simhash_dedup(planted_docs):
+    from cardinalityestimation_ray.pipelines.dedup import simhash_dedup_pairs
+
+    make, _ = planted_docs
+    pairs = simhash_dedup_pairs(make(), max_hamming=3)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(j, 2000 + j) for j in range(8, 12)} <= found
+    with pytest.raises(ValueError):
+        simhash_dedup_pairs(make(), max_hamming=5, num_bands=4)
+
+
+def test_embedding_dedup_and_ann(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ann import (
+        ann_topk_brute,
+        ann_topk_ivf,
+    )
+    from cardinalityestimation_ray.pipelines.dedup import embedding_dedup_pairs
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((80, 16)).astype(np.float32)
+    near = base[:6] + 0.01 * rng.standard_normal((6, 16)).astype(np.float32)
+    vecs = np.vstack([base, near])
+    ids = list(range(80)) + list(range(500, 506))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    def make():
+        return ray.data.from_pandas(df).repartition(2)
+
+    pairs = embedding_dedup_pairs(make(), threshold=0.95)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert len(found & {(i, 500 + i) for i in range(6)}) >= 5
+
+    queries = vecs[:3]
+    bf = ann_topk_brute(make(), queries, k=5)
+    for qi in range(3):
+        best = bf[(bf.query_id == qi) & (bf["rank"] == 0)]
+        assert best["vec_id"].iloc[0] == ids[qi]
+        assert best["cosine"].iloc[0] > 0.999
+    ivf_full = ann_topk_ivf(make(), queries, k=5, n_cells=4, nprobe=4)
+    for qi in range(3):
+        assert set(ivf_full[ivf_full.query_id == qi]["vec_id"]) == \
+            set(bf[bf.query_id == qi]["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis + multimodal
+
+
+def test_text_functions_pipeline(sf_dir, _ray):
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.functions.text import (
+        BPE_ISH_PATTERN,
+        quality_features,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    feats = docs.map_batches(lambda b: quality_features(b),
+                             batch_format="pyarrow").to_pandas()
+    want = duckdb.sql(f"""
+        SELECT doc_id, length(text) AS n_chars,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_pieces
+        FROM '{sf_dir}/documents.parquet'
+    """).df()
+    merged = feats.merge(want, on="doc_id", suffixes=("", "_want"))
+    assert (merged["n_chars"] == merged["n_chars_want"]).all()
+    assert (merged["n_pieces"] == merged["n_pieces_want"]).all()
+    assert feats["quality_score"].between(0, 1).all()
+
+
+def test_language_id_samples(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.functions.text import language_id
+
+    tbl = pa.table({
+        "text": [
+            "the cat sat on the mat and it was happy that day",
+            "el perro corre en la casa y no se va",
+            "der Hund ist in dem Haus und nicht auf der Strasse",
+            "le chat est dans la maison et il ne veut pas sortir",
+            "你好世界",
+            "zzz qqq",
+        ]
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        language_id, batch_format="pyarrow").to_pandas()
+    assert out["lang_guess"].tolist() == ["en", "es", "de", "fr", "zh", "unknown"]
+
+
+def test_multimodal_plumbing(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.stages.multimodal import (
+        media_pipeline,
+        synthesize_media_batch,
+    )
+
+    ds = ray.data.from_arrow(synthesize_media_batch(np.arange(64)))
+    feats = media_pipeline(ds, batch_size=16).to_pandas()
+    assert len(feats) == 64
+    assert len(feats["features"][0]) == 6
+    assert feats["phash"].nunique() > 1
+    # determinism
+    feats2 = media_pipeline(
+        ray.data.from_arrow(synthesize_media_batch(np.arange(64))),
+        batch_size=16).to_pandas()
+    assert feats["phash"].tolist() == feats2["phash"].tolist()
