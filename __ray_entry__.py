@@ -159,6 +159,96 @@ def _q_ntok_stats_by_source(sf_dir: str):
     return ntok_stats_by_source(_tokens(sf_dir))
 
 
+def _q_tumbling_event_windows(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    df = tumbling_window_agg(ev, window_minutes=60)
+    # ints + timestamps only: float sums are order-dependent in the last bits
+    out = df[["event_type", "window_start", "n_events"]].copy()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out
+
+
+def _q_session_window_stats(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import session_window_stats
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return session_window_stats(ev, gap_minutes=120)
+
+
+def _q_exact_dedup_stats(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import exact_dedup_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return exact_dedup_stats(docs)
+
+
+def _q_doc_length_stats(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.functions.text import quality_features
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    feats = docs.map_batches(lambda b: quality_features(b),
+                             batch_format="pyarrow")
+    return feats.select_columns(["doc_id", "n_chars", "n_tokens", "n_pieces"]
+                                ).to_pandas()
+
+
+def _q_doc_quality_scores(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.functions.text import (
+        document_fingerprint,
+        language_id,
+        quality_features,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = docs.map_batches(lambda b: document_fingerprint(
+        language_id(quality_features(b))), batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "quality_score", "stopword_ratio", "lang_guess",
+         "fingerprint"]).to_pandas()
+
+
+def _q_minhash_dedup_pairs(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return minhash_dedup_pairs(docs, threshold=0.7)
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ann import ann_topk_brute
+
+    def emb():
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+    rows = emb().take(3)
+    queries_mat = np.stack([r["embedding"] for r in rows])
+    return ann_topk_brute(emb(), queries_mat, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_tokens_by_source": _q_hll_distinct_tokens_by_source,
@@ -173,6 +263,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
+        "tumbling_event_windows": _q_tumbling_event_windows,
+        "session_window_stats": _q_session_window_stats,
+        "exact_dedup_stats": _q_exact_dedup_stats,
+        "doc_length_stats": _q_doc_length_stats,
+        "doc_quality_scores": _q_doc_quality_scores,
+        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "ann_topk": _q_ann_topk,
     }
 
 
@@ -234,4 +331,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
         """,
+        "tumbling_event_windows": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type, window_start
+        """,
+        "session_window_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER w > INTERVAL '120 minutes'
+                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sessions AS (
+              SELECT user_id,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM flagged
+            ), per_session AS (
+              SELECT user_id, sid, count(*) AS cnt
+              FROM sessions GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(max(sid) AS BIGINT) AS n_sessions,
+                   CAST(max(cnt) AS BIGINT) AS max_session_events
+            FROM per_session
+            GROUP BY user_id
+        """,
+        "exact_dedup_stats": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct
+            FROM documents
+        """,
+        "doc_length_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_TOK}) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces
+            FROM documents
+        """,
+        # doc_quality_scores / minhash_dedup_pairs / ann_topk: composite or
+        # approximate results -> rows-only checks (bounds pytest-asserted)
     }

@@ -1,0 +1,109 @@
+"""Windowed aggregates vs DuckDB window SQL; shared-accumulator actor parity
+with a single private sketch (the ConcurrentCardinalityEstimator test
+family translated: concurrent pushes in any order == sequential result)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray_session
+
+
+def test_tumbling_windows_match_oracle(sf_dir):
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    got = tumbling_window_agg(ev, window_minutes=30)
+    want = duckdb.sql(f"""
+        SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS w,
+               count(*) AS n, sum(value) AS s
+        FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert got["n_events"].astype(int).tolist() == want["n"].astype(int).tolist()
+    assert np.allclose(got["value_sum"], want["s"])
+
+
+def test_session_windows_match_oracle(sf_dir):
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import session_window_stats
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    got = session_window_stats(ev, gap_minutes=60)
+    want = duckdb.sql(f"""
+        WITH flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN ts - lag(ts) OVER w > INTERVAL '60 minutes'
+                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM '{sf_dir}/events.parquet'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        FROM flagged GROUP BY user_id ORDER BY user_id
+    """).df()
+    assert got["n_sessions"].astype(int).tolist() == \
+        want["n_sessions"].astype(int).tolist()
+
+
+def test_shared_sketch_actor_parity(_ray):
+    import ray
+
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+    from cardinalityestimation_ray.stages.shared_actor import (
+        create_shared_sketch,
+    )
+
+    actor = create_shared_sketch("hll", {"b": 12})
+    vals = np.arange(30_000, dtype=np.int64)
+    chunks = np.array_split(vals, 7)
+    ray.get([actor.add_values.remote(c) for c in chunks])
+    single = HyperLogLog(b=12)
+    single.add_values(vals)
+    assert ray.get(actor.estimate.remote()) == single.estimate()
+    assert ray.get(actor.count_additions.remote()) == 30_000
+    blob = ray.get(actor.to_bytes.remote())
+    assert np.array_equal(HyperLogLog.from_bytes(blob).registers(),
+                          single.registers())
+
+
+def test_shared_sketch_actor_merge_blob_and_reset(_ray):
+    import ray
+
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+    from cardinalityestimation_ray.stages.shared_actor import (
+        create_shared_sketch,
+    )
+
+    actor = create_shared_sketch("hll", {"b": 12})
+    side = HyperLogLog(b=12)
+    side.add_values(np.arange(500, dtype=np.int64))
+    ray.get(actor.merge_blob.remote(side.to_bytes()))
+    assert ray.get(actor.estimate.remote()) == side.estimate()
+    ray.get(actor.reset.remote())
+    assert ray.get(actor.estimate.remote()) == 0
+
+
+def test_shared_actor_other_kinds(_ray):
+    import ray
+
+    from cardinalityestimation_ray.stages.shared_actor import (
+        create_shared_sketch,
+    )
+
+    cms = create_shared_sketch("countmin", {"depth": 3, "width": 1 << 10})
+    ray.get(cms.add_values.remote(np.asarray([5, 5, 7], dtype=np.int64)))
+    blob = ray.get(cms.to_bytes.remote())
+    from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+
+    back = CountMinSketch.from_bytes(blob)
+    assert back.total == 3
