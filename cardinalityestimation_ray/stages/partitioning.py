@@ -1,0 +1,96 @@
+"""Partitioning utilities — the reference's PartitionStrategy family
+(RoundRobin / Chunked / Hash element->shard assignment,
+/root/reference/CardinalityEstimation/CardinalityEstimatorExtensions.cs:
+295-369) re-expressed for Ray Data, plus the explicit salted two-level
+merge for skewed keys required by the north rule.
+
+For HLL-family sketches partitioning is correctness-free (register-max merge
+is placement-independent, CardinalityEstimator.cs:606-609); these utilities
+exist for LOAD BALANCE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches import hashing
+from .sketch_stages import HllTokenPartials, hll_merge_aggregate
+
+
+def round_robin(ds, n: int):
+    """Reference RoundRobin (i % n): Ray's repartition without shuffle —
+    block splitting/coalescing, no data movement by key."""
+    return ds.repartition(n)
+
+
+def chunked(ds, n: int):
+    """Reference Chunked (contiguous i/chunk): Ray's default block layout
+    already is contiguous ranges of the input; repartition(n) keeps it."""
+    return ds.repartition(n)
+
+
+def add_hash_bucket(ds, column: str, num_buckets: int,
+                    bucket_column: str = "bucket"):
+    """Reference Hash strategy (GetHashCode % n): append a deterministic
+    bucket column; downstream ``groupby(bucket_column)`` (or a bucketed
+    two-sided join) co-locates equal keys."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+                pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            h = hashing.hash_arrow_binary(col, hashing.DEFAULT_HASH)
+        else:
+            h = hashing.hash_fixed_batch(
+                col.to_numpy(zero_copy_only=False), hashing.DEFAULT_HASH)
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column(bucket_column, pa.array(bucket))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def salted_distinct_tokens_by_key(tokens_ds, key_column: str = "source", *,
+                                  b: int = 14, num_salts: int = 16,
+                                  hash_name: str = hashing.DEFAULT_HASH):
+    """Per-key distinct tokens with EXPLICIT salted two-level merge.
+
+    Even with per-batch partial sketches, a heavily skewed key funnels all
+    its partials into one reducer in ``groupby(key).aggregate``. Salting
+    splits that hot key's merge across ``num_salts`` parallel reducers
+    (level 1: groupby on (key, salt)), then level 2 merges the <= num_salts
+    salted sketches per key. Register-max commutativity makes the result
+    IDENTICAL to the unsalted merge (asserted in tests).
+
+    Salt assignment is deterministic: the partial row's sketch-blob hash.
+    Returns a Dataset (key, distinct_tokens, total_tokens).
+    """
+    partials = tokens_ds.map_batches(
+        HllTokenPartials(b=b, key_column=key_column, hash_name=hash_name),
+        batch_format="pyarrow",
+    )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        col = batch["sketch"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hashing.hash_arrow_binary(col, hashing.DEFAULT_HASH)
+        salt = (h % np.uint64(num_salts)).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt))
+
+    salted = partials.map_batches(add_salt, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    lvl1 = salted.groupby([key_column, "salt"]).aggregate(
+        hll_merge_aggregate(b=b, hash_name=hash_name, finalize_to="sketch"),
+        Sum("n_added", alias_name="n_added"),
+    )
+    lvl2 = lvl1.groupby(key_column).aggregate(
+        hll_merge_aggregate(b=b, hash_name=hash_name, blob_column="hll"),
+        Sum("n_added", alias_name="total_tokens"),
+    )
+    return lvl2.rename_columns({"estimate": "distinct_tokens"})

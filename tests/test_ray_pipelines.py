@@ -340,3 +340,34 @@ def test_multimodal_plumbing(_ray):
         ray.data.from_arrow(synthesize_media_batch(np.arange(64))),
         batch_size=16).to_pandas()
     assert feats["phash"].tolist() == feats2["phash"].tolist()
+
+
+def test_salted_two_level_merge_identical(tokens_small):
+    """north_rule skew handling: salted (key, salt) two-level merge must give
+    byte-identical estimates to the direct merge (register-max commutes)."""
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_tokens_by_source,
+    )
+    from cardinalityestimation_ray.stages.partitioning import (
+        salted_distinct_tokens_by_key,
+    )
+
+    direct = distinct_tokens_by_source(tokens_small(parallelism=5), b=12)
+    salted = salted_distinct_tokens_by_key(
+        tokens_small(parallelism=5), "source", b=12, num_salts=8
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    assert salted["distinct_tokens"].tolist() == \
+        direct["distinct_tokens"].tolist()
+    assert salted["total_tokens"].tolist() == direct["total_tokens"].tolist()
+
+
+def test_hash_bucket_partitioning(tokens_small):
+    from cardinalityestimation_ray.stages.partitioning import add_hash_bucket
+
+    ds = add_hash_bucket(tokens_small(), "doc_id", 8)
+    df = ds.to_pandas()
+    assert df["bucket"].between(0, 7).all()
+    # deterministic: same doc -> same bucket across runs
+    df2 = add_hash_bucket(tokens_small(), "doc_id", 8).to_pandas()
+    merged = df.merge(df2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["bucket_a"] == merged["bucket_b"]).all()
