@@ -159,6 +159,15 @@ def _q_ntok_stats_by_source(sf_dir: str):
     return ntok_stats_by_source(_tokens(sf_dir))
 
 
+def _q_heavy_hitter_counts(sf_dir: str):
+    """Exact phi-heavy hitters via count-min candidates + exact verify
+    (counts only: token ids are 31-bit hashes on the Ray side)."""
+    from cardinalityestimation_ray.pipelines.frequency import heavy_hitters
+
+    df = heavy_hitters(lambda: _tokens(sf_dir), phi=0.02)
+    return df[["cnt"]]
+
+
 def _q_tumbling_event_windows(sf_dir: str):
     import ray.data
 
@@ -263,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
+        "heavy_hitter_counts": _q_heavy_hitter_counts,
         "tumbling_event_windows": _q_tumbling_event_windows,
         "session_window_stats": _q_session_window_stats,
         "exact_dedup_stats": _q_exact_dedup_stats,
@@ -330,6 +340,16 @@ def oracle_sql() -> dict[str, str]:
                    max(len({_TOK})) AS max_tokens
             FROM documents
             GROUP BY source
+        """,
+        "heavy_hitter_counts": f"""
+            WITH counts AS (
+                SELECT t, count(*) AS cnt
+                FROM (SELECT unnest({_TOK}) AS t FROM documents)
+                GROUP BY t
+            ), total AS (
+                SELECT sum(cnt) AS n FROM counts
+            )
+            SELECT cnt FROM counts, total WHERE cnt >= 0.02 * total.n
         """,
         "tumbling_event_windows": """
             SELECT event_type,

@@ -197,6 +197,9 @@ def main():
             "text_tokens_per_sec_hi": hi["text_tokens_per_sec"],
             "text_speedup": round(text_speedup, 3),
             "text_scaling_efficiency": round(text_eff, 3),
+            # cross-parallelism determinism: same registers -> same estimate
+            "results_identical": bool(
+                lo["distinct_tokens_est"] == hi["distinct_tokens_est"]),
             "note": ("pre-tokenized path is DRAM-bandwidth-bound on a single "
                      "shared-memory box (bandwidth is per-node on a real "
                      "cluster); the text path is CPU-bound and shows the "

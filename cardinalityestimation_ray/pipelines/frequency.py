@@ -44,6 +44,62 @@ def token_topk_exact(tokens_ds, k: int = 100, token_column: str = "tokens"):
     return top.to_pandas()
 
 
+def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
+                  depth: int = 5, width: int = 1 << 16,
+                  token_column: str = "tokens") -> pd.DataFrame:
+    """EXACT phi-heavy hitters (tokens with count >= phi * N) via a two-pass
+    sketch-then-verify plan that never shuffles the corpus:
+
+    1. build a count-min sketch (partials + merge tree);
+    2. per batch, query the broadcast sketch for the batch's distinct tokens
+       and emit only candidates with estimate >= phi*N — count-min never
+       underestimates, so NO true heavy hitter can be dismissed;
+    3. exact-count the candidate set (combiner + tiny groupby) and filter.
+
+    ``make_tokens_ds`` is a zero-arg factory (the dataset is consumed twice).
+    Output is exact -> oracle-checkable against GROUP BY ... HAVING.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..sketches.countmin import CountMinSketch as _CMS
+
+    partials = make_tokens_ds().map_batches(
+        GenericSketchPartials("countmin", {"depth": depth, "width": width},
+                              token_column, explode_list=True),
+        batch_format="pyarrow",
+    )
+    cms, total = tree_merge_partials(partials, "countmin")
+    if cms is None or total == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype="int32"),
+                             "cnt": pd.Series([], dtype="int64")})
+    threshold = phi * total
+    cms_ref = ray.put(cms.to_bytes())
+
+    class CandidateCounts:
+        def __init__(self):
+            self.cms = _CMS.from_bytes(ray.get(cms_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            values, _ = _flatten_tokens(batch, token_column)
+            uniq, counts = np.unique(values, return_counts=True)
+            est = self.cms.query_values(uniq.astype(np.int32))
+            keep = est >= threshold
+            return pa.table({
+                "token": pa.array(uniq[keep].astype(np.int32)),
+                "cnt": pa.array(counts[keep].astype(np.int64)),
+            })
+
+    cand = make_tokens_ds().map_batches(CandidateCounts,
+                                        batch_format="pyarrow",
+                                        concurrency=(1, 8))
+    agg = cand.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    df = agg.to_pandas()
+    df = df[df["cnt"] >= threshold]
+    return df.sort_values(["cnt", "token"],
+                          ascending=[False, True]).reset_index(drop=True)
+
+
 def token_frequencies_cms(tokens_ds, probe_tokens: np.ndarray, *,
                           depth: int = 5, width: int = 1 << 16,
                           token_column: str = "tokens") -> pd.DataFrame:

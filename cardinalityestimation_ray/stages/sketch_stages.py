@@ -102,7 +102,11 @@ class HllTokenPartials:
                 "sketch": pa.array([sk.to_bytes()], type=pa.binary()),
                 "n_added": pa.array([len(values)], type=pa.int64()),
             })
-        h = hashing.hash_fixed_batch(values, self.hash_name)
+        # hash in L2-sized chunks into a preallocated buffer
+        h = np.empty(len(values), dtype=np.uint64)
+        for lo in range(0, len(values), self.CHUNK):
+            hi = min(lo + self.CHUNK, len(values))
+            h[lo:hi] = hashing.hash_fixed_batch(values[lo:hi], self.hash_name)
         keys = batch[self.key_column]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -119,7 +123,8 @@ class HllTokenPartials:
             lo, hi = bounds[i], bounds[i + 1]
             code = int(tk_sorted[lo])
             sk = self._new_sketch()
-            sk.add_hashes(h_sorted[lo:hi])
+            for c in range(lo, hi, self.CHUNK):
+                sk.add_hashes(h_sorted[c:min(c + self.CHUNK, hi)])
             out_keys.append(key_values[code])
             out_blobs.append(sk.to_bytes())
             out_counts.append(hi - lo)

@@ -371,3 +371,23 @@ def test_hash_bucket_partitioning(tokens_small):
     df2 = add_hash_bucket(tokens_small(), "doc_id", 8).to_pandas()
     merged = df.merge(df2, on="doc_id", suffixes=("_a", "_b"))
     assert (merged["bucket_a"] == merged["bucket_b"]).all()
+
+
+def test_heavy_hitters_exact(tokens_small):
+    import duckdb
+
+    from cardinalityestimation_ray.pipelines.frequency import heavy_hitters
+
+    df = heavy_hitters(lambda: tokens_small(), phi=0.02)
+    want = duckdb.sql("""
+        WITH counts AS (
+          SELECT t, count(*) AS cnt FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> x <> '')) AS t
+            FROM '/root/testdata/sf0.001/documents.parquet')
+          GROUP BY t
+        ), total AS (SELECT sum(cnt) AS n FROM counts)
+        SELECT cnt FROM counts, total WHERE cnt >= 0.02 * total.n
+        ORDER BY cnt DESC
+    """).df()
+    assert df["cnt"].astype(int).tolist() == want["cnt"].astype(int).tolist()
