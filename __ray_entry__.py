@@ -244,6 +244,8 @@ def _q_minhash_dedup_pairs(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
+    """Exact cosine top-5 for query vectors vec_id 0..2 — integer columns
+    only (cosine values differ in the last float bits vs the SQL oracle)."""
     import numpy as np
     import ray.data
 
@@ -253,9 +255,33 @@ def _q_ann_topk(sf_dir: str):
         return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                      columns=["vec_id", "embedding"])
 
-    rows = emb().take(3)
-    queries_mat = np.stack([r["embedding"] for r in rows])
-    return ann_topk_brute(emb(), queries_mat, k=5)
+    qrows = sorted(
+        (r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
+        key=lambda r: r["vec_id"])
+    queries_mat = np.stack([r["embedding"] for r in qrows])
+    df = ann_topk_brute(emb(), queries_mat, k=5)
+    df["query_id"] = df["query_id"].map({i: r["vec_id"]
+                                         for i, r in enumerate(qrows)})
+    return df[["query_id", "rank", "vec_id"]].astype("int64")
+
+
+def _q_event_props_sum(sf_dir: str):
+    """JSON-parser operator: extract props.k and aggregate per event_type."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from cardinalityestimation_ray.functions.parse import extract_json_int
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    parsed = ev.map_batches(
+        lambda b: extract_json_int(b, "props", "k").drop_columns(["props"]),
+        batch_format="pyarrow")
+    out = parsed.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count(alias_name="n_events"))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -280,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": _q_doc_quality_scores,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ann_topk": _q_ann_topk,
+        "event_props_sum": _q_event_props_sum,
     }
 
 
@@ -392,6 +419,29 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces
             FROM documents
         """,
-        # doc_quality_scores / minhash_dedup_pairs / ann_topk: composite or
-        # approximate results -> rows-only checks (bounds pytest-asserted)
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.embedding,
+                                                       e.embedding) DESC,
+                                e.vec_id ASC) - 1 AS rank
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, rank, vec_id FROM scored WHERE rank < 5
+        """,
+        "event_props_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type
+        """,
+        # doc_quality_scores / minhash_dedup_pairs: composite or approximate
+        # results -> rows-only checks (bounds pytest-asserted)
     }

@@ -312,6 +312,32 @@ class HyperLogLog(Sketch):
         return self
 
     @staticmethod
+    def union_estimate(a: "HyperLogLog", b: "HyperLogLog") -> int:
+        """|A ∪ B| estimate (lossless: register max is exactly the union sketch)."""
+        return a.copy().merge(b).estimate()
+
+    @staticmethod
+    def intersection_estimate(a: "HyperLogLog", b: "HyperLogLog") -> int:
+        """|A ∩ B| by inclusion–exclusion (|A| + |B| − |A ∪ B|).
+
+        HLL cannot sketch intersections directly (SURVEY.md §2.7); the
+        absolute error is on the order of the union's error, so small
+        intersections of large sets are unreliable — documented limitation,
+        clamped at 0.
+        """
+        return max(0, a.estimate() + b.estimate()
+                   - HyperLogLog.union_estimate(a, b))
+
+    @staticmethod
+    def jaccard_estimate(a: "HyperLogLog", b: "HyperLogLog") -> float:
+        """|A ∩ B| / |A ∪ B| via inclusion–exclusion (same caveat)."""
+        union = HyperLogLog.union_estimate(a, b)
+        if union == 0:
+            return 1.0
+        inter = max(0, a.estimate() + b.estimate() - union)
+        return inter / union
+
+    @staticmethod
     def merge_many(sketches) -> "HyperLogLog | None":
         """Merge an iterable of sketches (None entries tolerated) into a new one."""
         result: HyperLogLog | None = None
