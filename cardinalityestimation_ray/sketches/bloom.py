@@ -69,6 +69,22 @@ class BloomFilter(Sketch):
     def add_values(self, values: np.ndarray) -> None:
         self.add_hashes(hashing.hash_fixed_batch(values, self.hash_name))
 
+    def add_arrow(self, arr) -> None:
+        """Add an Arrow array; string/binary columns hash via the zero-copy
+        buffer path, numeric columns via the fixed-width path."""
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            for chunk in arr.chunks:
+                self.add_arrow(chunk)
+            return
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_binary(t) or \
+                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            self.add_hashes(hashing.hash_arrow_binary(arr, self.hash_name))
+        else:
+            self.add_values(arr.to_numpy(zero_copy_only=False))
+
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
         h = np.ascontiguousarray(h, dtype=np.uint64)
         h2 = hashing.splitmix64(h) | _U64(1)

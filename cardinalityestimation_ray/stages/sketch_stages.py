@@ -273,9 +273,17 @@ class GenericSketchPartials:
         col = batch[self.value_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_binary(t) or \
+                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            return col, None  # string columns stay Arrow (zero-copy hash path)
         return col.to_numpy(zero_copy_only=False), None
 
-    def _add_chunked(self, sk: Sketch, values: np.ndarray) -> None:
+    def _add_chunked(self, sk: Sketch, values) -> None:
+        if isinstance(values, pa.Array):
+            for lo in range(0, len(values), self.CHUNK):
+                sk.add_arrow(values.slice(lo, self.CHUNK))
+            return
         for lo in range(0, len(values), self.CHUNK):
             sk.add_values(values[lo:lo + self.CHUNK])
 
@@ -297,7 +305,10 @@ class GenericSketchPartials:
         value_codes = row_codes if parents is None else row_codes[parents]
         order = np.argsort(value_codes, kind="stable")
         vc_sorted = value_codes[order]
-        v_sorted = values[order]
+        if isinstance(values, pa.Array):
+            v_sorted = values.take(pa.array(order))
+        else:
+            v_sorted = values[order]
         bounds = np.r_[0, np.flatnonzero(np.diff(vc_sorted)) + 1, len(vc_sorted)]
         out_keys, out_blobs, out_counts = [], [], []
         for i in range(len(bounds) - 1):

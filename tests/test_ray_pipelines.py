@@ -391,3 +391,68 @@ def test_heavy_hitters_exact(tokens_small):
         ORDER BY cnt DESC
     """).df()
     assert df["cnt"].astype(int).tolist() == want["cnt"].astype(int).tolist()
+
+
+def test_generic_partials_string_column(tokens_small):
+    """count-min / Bloom over a STRING column (doc_id) through the generic
+    partial stage — Arrow zero-copy hash path."""
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        GenericSketchPartials,
+        tree_merge_partials,
+    )
+
+    partials = tokens_small().map_batches(
+        GenericSketchPartials("bloom", {"num_bits": 1 << 16, "num_hashes": 5},
+                              "doc_id"),
+        batch_format="pyarrow")
+    bf, total = tree_merge_partials(partials, "bloom")
+    assert total == 500  # sf0.001 has 500 docs
+    assert bf.contains("doc-0")
+    assert not bf.contains("doc-nonexistent-xyz")
+
+    cpart = tokens_small().map_batches(
+        GenericSketchPartials("countmin", {"depth": 4, "width": 1 << 12},
+                              "source", key_column=None),
+        batch_format="pyarrow")
+    cms, ctotal = tree_merge_partials(cpart, "countmin")
+    assert ctotal == 500
+    assert cms.query("src0") >= 1
+
+
+def test_json_parse_functions(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.functions.parse import (
+        extract_json_int,
+        extract_json_str,
+    )
+
+    tbl = pa.table({"props": ['{"k": 42, "tag": "a"}', '{"k": -7}',
+                              "not json", '{"other": 1}']})
+    out = ray.data.from_arrow(tbl).map_batches(
+        lambda b: extract_json_str(extract_json_int(b, "props", "k"),
+                                   "props", "tag"),
+        batch_format="pyarrow").to_pandas()
+    assert out["k"].tolist()[:2] == [42, -7]
+    assert pd.isna(out["k"][2]) and pd.isna(out["k"][3])
+    assert out["tag"][0] == "a"
+
+
+def test_hll_set_operation_estimates():
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+    a = HyperLogLog(b=14)
+    a.add_values(np.arange(0, 60, dtype=np.int64))
+    b = HyperLogLog(b=14)
+    b.add_values(np.arange(40, 100, dtype=np.int64))
+    # direct (exact) regime: union 100, intersection 20
+    assert HyperLogLog.union_estimate(a, b) == 100
+    assert HyperLogLog.intersection_estimate(a, b) == 20
+    assert HyperLogLog.jaccard_estimate(a, b) == pytest.approx(0.2)
+    # large regime stays within a loose inclusion-exclusion bound
+    big_a = HyperLogLog(b=14)
+    big_a.add_values(np.arange(0, 60_000, dtype=np.int64))
+    big_b = HyperLogLog(b=14)
+    big_b.add_values(np.arange(30_000, 90_000, dtype=np.int64))
+    inter = HyperLogLog.intersection_estimate(big_a, big_b)
+    assert abs(inter / 30_000 - 1) < 0.1
