@@ -1,0 +1,113 @@
+"""Sources & sinks.
+
+Readers dispatch on format (parquet/csv/json) with column pruning where the
+format supports it. Sinks write partitioned Parquet directories (never one
+giant file) plus a tiny JSON manifest so a rerun can detect completed
+outputs — the resumable-output layout described in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sketches.base import Sketch
+
+
+def read_table(path: str, *, format: str | None = None,
+               columns: list[str] | None = None, **kwargs):
+    """Read a Dataset from parquet (default), csv, or json files."""
+    import ray.data
+
+    fmt = format
+    if fmt is None:
+        name = path.rstrip("/").lower()
+        if name.endswith(".csv"):
+            fmt = "csv"
+        elif name.endswith((".json", ".jsonl")):
+            fmt = "json"
+        else:
+            fmt = "parquet"
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=columns, **kwargs)
+    if fmt == "csv":
+        ds = ray.data.read_csv(path, **kwargs)
+    elif fmt == "json":
+        ds = ray.data.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_partitioned(ds, path: str, *, min_rows_per_file: int = 100_000) -> dict:
+    """Write a Dataset as a partitioned Parquet directory + _MANIFEST.json.
+
+    Atomic-ish: data files land first, the manifest last — a rerun treats a
+    directory without a manifest as incomplete and rewrites it.
+    """
+    os.makedirs(path, exist_ok=True)
+    try:
+        ds.write_parquet(path, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_parquet(path)
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    manifest = {"n_files": len(files), "files": files}
+    tmp = os.path.join(path, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    return manifest
+
+
+def is_complete_output(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_MANIFEST.json"))
+
+
+# ---------------------------------------------------------------------------
+# sketch-result tables
+
+
+def write_sketch_results(merged: dict, path: str, *, kind: str,
+                         key_name: str = "key") -> None:
+    """Persist a keyed merge result (dict[key, (Sketch, n_added)]) as a
+    Parquet table (key, kind, sketch blob, estimate, n_added) — the
+    reference's serializer round-trip (EP3) as a queryable results table."""
+    keys = sorted(merged)
+    rows = {
+        key_name: keys,
+        "kind": [kind] * len(keys),
+        "sketch": [merged[k][0].to_bytes() for k in keys],
+        "estimate": [getattr(merged[k][0], "estimate", lambda: None)()
+                     for k in keys],
+        "n_added": [merged[k][1] for k in keys],
+    }
+    tbl = pa.table({
+        key_name: pa.array(rows[key_name]),
+        "kind": pa.array(rows["kind"]),
+        "sketch": pa.array(rows["sketch"], type=pa.binary()),
+        "estimate": pa.array(rows["estimate"], type=pa.int64()),
+        "n_added": pa.array(rows["n_added"], type=pa.int64()),
+    })
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def read_sketch_results(path: str, *, key_name: str = "key") -> dict:
+    """Load a sketch-results table back into dict[key, (Sketch, n_added)] —
+    sketches remain mergeable across job runs (incremental corpus updates)."""
+    tbl = pq.read_table(path)
+    out = {}
+    for key, kind, blob, n in zip(tbl[key_name].to_pylist(),
+                                  tbl["kind"].to_pylist(),
+                                  tbl["sketch"].to_pylist(),
+                                  tbl["n_added"].to_pylist()):
+        out[key] = (Sketch.REGISTRY[kind].from_bytes(blob), n)
+    return out

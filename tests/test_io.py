@@ -1,0 +1,75 @@
+"""Sources & sinks: format dispatch, partitioned writes with manifests,
+sketch-result round trips (mergeable across runs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray_session
+
+
+def test_read_formats(tmp_path, _ray):
+    import ray.data
+
+    from cardinalityestimation_ray.sources.io import read_table
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    pq_path = str(tmp_path / "t.parquet")
+    csv_path = str(tmp_path / "t.csv")
+    json_path = str(tmp_path / "t.json")
+    df.to_parquet(pq_path)
+    df.to_csv(csv_path, index=False)
+    df.to_json(json_path, orient="records", lines=True)
+    for path in (pq_path, csv_path, json_path):
+        got = read_table(path, columns=["a"]).to_pandas()
+        assert sorted(got["a"].tolist()) == [1, 2, 3], path
+        assert list(got.columns) == ["a"]
+
+
+def test_write_partitioned_manifest(tmp_path, _ray):
+    import ray.data
+
+    from cardinalityestimation_ray.sources.io import (
+        is_complete_output,
+        read_table,
+        write_partitioned,
+    )
+
+    ds = ray.data.range(10_000).repartition(4)
+    out = str(tmp_path / "out")
+    assert not is_complete_output(out)
+    manifest = write_partitioned(ds, out, min_rows_per_file=2000)
+    assert manifest["n_files"] >= 1
+    assert is_complete_output(out)
+    back = read_table(out)
+    assert back.count() == 10_000
+
+
+def test_sketch_results_roundtrip_and_incremental_merge(tmp_path):
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+    from cardinalityestimation_ray.sources.io import (
+        read_sketch_results,
+        write_sketch_results,
+    )
+
+    day1 = {}
+    for src in ("web", "books"):
+        sk = HyperLogLog(b=12)
+        sk.add_values(np.arange(1000, dtype=np.int64))
+        day1[src] = (sk, 1000)
+    path = str(tmp_path / "results" / "day1.parquet")
+    write_sketch_results(day1, path, kind="hll", key_name="source")
+    loaded = read_sketch_results(path, key_name="source")
+    assert set(loaded) == {"web", "books"}
+    assert loaded["web"][0] == day1["web"][0]
+    # incremental: merge yesterday's sketch with today's new data
+    today = HyperLogLog(b=12)
+    today.add_values(np.arange(500, 1500, dtype=np.int64))
+    merged = loaded["web"][0].merge(today)
+    assert abs(merged.estimate() / 1500 - 1) < 0.05
