@@ -102,27 +102,56 @@ def bench_once() -> dict:
     # workers so the timed runs measure steady-state compute, not cold start
     global_distinct_tokens(corpus_ds(["tokens"]), b=14)
 
+    def timed(fn, repeats=2):
+        """Best-of-N to damp shared-VM noise; returns (result, seconds)."""
+        best = None
+        result = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            result = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return result, best
+
     # headline: global distinct tokens over the synthetic corpus
-    t0 = time.perf_counter()
-    res = global_distinct_tokens(corpus_ds(["tokens"]), b=14)
-    t_global = time.perf_counter() - t0
+    res, t_global = timed(lambda: global_distinct_tokens(corpus_ds(["tokens"]), b=14))
     queries["hll_global_synthetic"] = round(t_global, 3)
     total_tokens = res["total_tokens"]
     extras["total_tokens"] = total_tokens
     extras["distinct_tokens_est"] = res["distinct_tokens"]
     extras["tokens_per_sec"] = round(total_tokens / t_global, 1)
 
-    # per-source distinct (adds the grouped-aggregate path)
-    t0 = time.perf_counter()
-    by_src = distinct_tokens_by_source(corpus_ds(["tokens", "source"]), b=14)
-    queries["hll_by_source_synthetic"] = round(time.perf_counter() - t0, 3)
+    # per-source distinct (adds the grouped-merge path, skewed sources)
+    by_src, t_src = timed(
+        lambda: distinct_tokens_by_source(corpus_ds(["tokens", "source"]), b=14))
+    queries["hll_by_source_synthetic"] = round(t_src, 3)
     extras["n_sources"] = len(by_src)
 
     # sf-dir path: documents -> tokenize -> global distinct
-    t0 = time.perf_counter()
-    sf_res = global_distinct_tokens(read_tokens(SF_DIR), b=14)
-    queries["hll_tokens_sf"] = round(time.perf_counter() - t0, 3)
+    sf_res, t_sf = timed(lambda: global_distinct_tokens(read_tokens(SF_DIR), b=14))
+    queries["hll_tokens_sf"] = round(t_sf, 3)
     extras["sf_total_tokens"] = sf_res["total_tokens"]
+
+    # exact heavy hitters (count-min candidates + exact verify, two passes)
+    from cardinalityestimation_ray.pipelines.frequency import heavy_hitters
+
+    hh, t_hh = timed(
+        lambda: heavy_hitters(lambda: corpus_ds(["tokens"]), phi=0.001),
+        repeats=1)
+    queries["heavy_hitters_synthetic"] = round(t_hh, 3)
+    extras["n_heavy_hitters"] = len(hh)
+
+    # minhash near-dup over sf documents (LSH banding + bucket verify)
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+
+    def _dedup():
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return minhash_dedup_pairs(docs, threshold=0.7)
+
+    dd, t_dd = timed(_dedup, repeats=1)
+    queries["minhash_dedup_sf"] = round(t_dd, 3)
+    extras["n_dup_pairs"] = len(dd)
 
     # compute-dense path: raw text -> tokenize (regex split + string hash)
     # -> sketch. ~12x more CPU per token than the pre-tokenized path, so it
@@ -138,9 +167,7 @@ def bench_once() -> dict:
             b=14)
 
     text_pipeline()  # warm-up
-    t0 = time.perf_counter()
-    text_res = text_pipeline()
-    t_text = time.perf_counter() - t0
+    text_res, t_text = timed(text_pipeline)
     queries["hll_tokenize_text"] = round(t_text, 3)
     extras["text_total_tokens"] = text_res["total_tokens"]
     extras["text_tokens_per_sec"] = round(text_res["total_tokens"] / t_text, 1)

@@ -99,9 +99,13 @@ class MinHashBandRows:
         n = len(batch)
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         sig_bytes = [sig[i].tobytes() for i in range(n)]
+        band_hash = bands.reshape(-1).astype(np.int64)
         tbl = pa.table({
             "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bands.reshape(-1).astype(np.int64)),
+            "band_hash": pa.array(band_hash),
+            # super-bucket: buckets nest inside it, so grouping by "part"
+            # (256 groups) co-locates every bucket without per-bucket groups
+            "part": pa.array((band_hash % NUM_BUCKET_PARTS).astype(np.int32)),
             self.id_column: pa.array(np.repeat(ids, self.num_bands)),
             "sig": pa.array([b for b in sig_bytes for _ in range(self.num_bands)],
                             type=pa.binary()),
@@ -115,36 +119,52 @@ class MinHashBandRows:
         return tbl
 
 
+#: super-bucket fanout for candidate generation — map_groups runs once per
+#: part (vectorized inside), never once per LSH bucket
+NUM_BUCKET_PARTS = 256
+
+
 def _candidate_pairs_from_buckets(bucket_rows, id_column: str, num_perm: int,
                                   threshold: float, verify: str,
                                   ngram: int) -> pd.DataFrame:
-    """Per-bucket pair generation + verification (runs inside map_groups)."""
+    """Pair generation + verification, one map_groups call per super-bucket.
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
-        group = group.drop_duplicates(subset=[id_column]).sort_values(id_column)
-        ids = group[id_column].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"]]
-        texts = group["text"].tolist() if "text" in group else None
+    Inside a part: keep only rows whose (band, band_hash) bucket has >= 2
+    members (vectorized duplicated-mask), then enumerate pairs per real
+    bucket — the Python loop touches candidate rows only.
+    """
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        dup = group[group.duplicated(["band", "band_hash"], keep=False)]
+        if len(dup) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "similarity": pd.Series([], dtype="float64")})
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = estimate_jaccard(sigs[i], sigs[j])
-                if est < threshold * 0.8:
-                    continue
-                if verify == "signature":
-                    sim = est
-                elif verify == "char_ngram":
-                    sim = exact_jaccard_char_ngrams(texts[i], texts[j], ngram)
-                else:  # word_ngram
-                    sim = word_ngram_jaccard(texts[i], texts[j])
-                if sim >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), sim))
+        for (_, _), g in dup.groupby(["band", "band_hash"], sort=False):
+            g = g.drop_duplicates(subset=[id_column]).sort_values(id_column)
+            if len(g) < 2:
+                continue
+            ids = g[id_column].to_numpy()
+            sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+            texts = g["text"].tolist() if "text" in g else None
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    est = estimate_jaccard(sigs[i], sigs[j])
+                    if est < threshold * 0.8:
+                        continue
+                    if verify == "signature":
+                        sim = est
+                    elif verify == "char_ngram":
+                        sim = exact_jaccard_char_ngrams(texts[i], texts[j], ngram)
+                    else:  # word_ngram
+                        sim = word_ngram_jaccard(texts[i], texts[j])
+                    if sim >= threshold:
+                        rows.append((int(ids[i]), int(ids[j]), sim))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "similarity"])
 
-    return bucket_rows.groupby(["band", "band_hash"]).map_groups(
-        per_bucket, batch_format="pandas")
+    return bucket_rows.groupby("part").map_groups(
+        per_part, batch_format="pandas")
 
 
 def _union_find_clusters(pairs: pd.DataFrame) -> dict[int, int]:
@@ -179,7 +199,9 @@ def minhash_dedup_pairs(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
                             ngram=ngram, text_column=text_column,
                             id_column=id_column,
                             keep_text=verify != "signature")
-    rows = docs_ds.map_batches(stage, batch_format="pyarrow")
+    # signature computation is the CPU hog; spread small inputs (e.g. one
+    # parquet file) across the pool before it
+    rows = docs_ds.repartition(32).map_batches(stage, batch_format="pyarrow")
     pairs = _candidate_pairs_from_buckets(
         rows, id_column, num_perm, threshold, verify, ngram).to_pandas()
     if len(pairs) == 0:
@@ -224,9 +246,11 @@ class SimHashRows:
         bands = simhash_bands(sim, self.num_bands)
         n = len(batch)
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        band_hash = bands.reshape(-1).astype(np.int64)
         return pa.table({
             "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bands.reshape(-1).astype(np.int64)),
+            "band_hash": pa.array(band_hash),
+            "part": pa.array((band_hash % NUM_BUCKET_PARTS).astype(np.int32)),
             self.id_column: pa.array(np.repeat(ids, self.num_bands)),
             "simhash": pa.array(np.repeat(sim.astype(np.int64), self.num_bands)),
         })
@@ -243,28 +267,34 @@ def simhash_dedup_pairs(docs_ds, *, max_hamming: int = 3, num_bands: int = 4,
         raise ValueError(
             f"banding with {num_bands} bands only guarantees recall for "
             f"hamming <= {num_bands - 1}, got {max_hamming}")
-    rows = docs_ds.map_batches(
+    rows = docs_ds.repartition(32).map_batches(
         SimHashRows(num_bands=num_bands, ngram=ngram,
                     text_column=text_column, id_column=id_column),
         batch_format="pyarrow")
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        group = group.drop_duplicates(subset=[id_column]).sort_values(id_column)
-        ids = group[id_column].to_numpy()
-        hashes = group["simhash"].to_numpy().astype(np.uint64)
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        dup = group[group.duplicated(["band", "band_hash"], keep=False)]
+        if len(dup) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
         out = []
-        for i in range(len(ids)):
-            d = hamming_distance_u64(np.full(len(ids) - i - 1, hashes[i]),
-                                     hashes[i + 1:])
-            for off, dist in enumerate(d):
-                if dist <= max_hamming:
-                    out.append((int(ids[i]), int(ids[i + 1 + off]), int(dist)))
+        for (_, _), g in dup.groupby(["band", "band_hash"], sort=False):
+            g = g.drop_duplicates(subset=[id_column]).sort_values(id_column)
+            if len(g) < 2:
+                continue
+            ids = g[id_column].to_numpy()
+            hashes = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                d = hamming_distance_u64(np.full(len(ids) - i - 1, hashes[i]),
+                                         hashes[i + 1:])
+                for off, dist in enumerate(d):
+                    if dist <= max_hamming:
+                        out.append((int(ids[i]), int(ids[i + 1 + off]), int(dist)))
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
-    pairs = rows.groupby(["band", "band_hash"]).map_groups(
-        per_bucket, batch_format="pandas").to_pandas()
+    pairs = rows.groupby("part").map_groups(
+        per_part, batch_format="pandas").to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
@@ -310,6 +340,7 @@ def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
             ids = batch[id_column].to_numpy(zero_copy_only=False)
             return pa.table({
                 "bucket": pa.array(bucket),
+                "part": pa.array((bucket % NUM_BUCKET_PARTS).astype(np.int32)),
                 id_column: pa.array(ids),
                 "unit": pa.array(list(unit.astype(np.float32))),
             })
@@ -317,23 +348,30 @@ def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
     rows = emb_ds.map_batches(BucketRows, batch_format="pyarrow",
                               concurrency=(1, 8))
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        group = group.sort_values(id_column)
-        ids = group[id_column].to_numpy()
-        mat = np.stack(group["unit"].to_numpy())
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        return pd.DataFrame({
-            "id_a": ids[ii[keep]].astype(np.int64),
-            "id_b": ids[jj[keep]].astype(np.int64),
-            "cosine": sims[ii[keep], jj[keep]].astype(np.float64),
-        })
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in group.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_column)
+            ids = g[id_column].to_numpy()
+            mat = np.stack(g["unit"].to_numpy())
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            out.append(pd.DataFrame({
+                "id_a": ids[ii[keep]].astype(np.int64),
+                "id_b": ids[jj[keep]].astype(np.int64),
+                "cosine": sims[ii[keep], jj[keep]].astype(np.float64),
+            }))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
 
-    pairs = rows.groupby("bucket").map_groups(
-        per_bucket, batch_format="pandas").to_pandas()
+    pairs = rows.groupby("part").map_groups(
+        per_part, batch_format="pandas").to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),

@@ -45,7 +45,7 @@ def token_topk_exact(tokens_ds, k: int = 100, token_column: str = "tokens"):
 
 
 def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
-                  depth: int = 5, width: int = 1 << 16,
+                  depth: int = 5, width: int | None = None,
                   token_column: str = "tokens") -> pd.DataFrame:
     """EXACT phi-heavy hitters (tokens with count >= phi * N) via a two-pass
     sketch-then-verify plan that never shuffles the corpus:
@@ -59,10 +59,18 @@ def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
     ``make_tokens_ds`` is a zero-arg factory (the dataset is consumed twice).
     Output is exact -> oracle-checkable against GROUP BY ... HAVING.
     """
+    import math
+
     import ray
     from ray.data.aggregate import Sum
 
     from ..sketches.countmin import CountMinSketch as _CMS
+
+    if width is None:
+        # candidate completeness only needs the CMS overestimate to stay
+        # below ~phi/4 of N beyond truth; wider just shrinks the candidate
+        # set that exact verification filters anyway
+        width = 1 << max(10, math.ceil(math.log2(4 * math.e / phi)))
 
     partials = make_tokens_ds().map_batches(
         GenericSketchPartials("countmin", {"depth": depth, "width": width},
@@ -74,25 +82,23 @@ def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
         return pd.DataFrame({"token": pd.Series([], dtype="int32"),
                              "cnt": pd.Series([], dtype="int64")})
     threshold = phi * total
-    cms_ref = ray.put(cms.to_bytes())
+    cms_ref = ray.put(cms.to_bytes())  # broadcast once; plasma-cached per node
 
-    class CandidateCounts:
-        def __init__(self):
-            self.cms = _CMS.from_bytes(ray.get(cms_ref))
+    def candidate_counts(batch: pa.Table) -> pa.Table:
+        # stateless task: full scheduler width; the broadcast blob fetch is
+        # zero-copy from the local object store after the first task per node
+        sketch = _CMS.from_bytes(ray.get(cms_ref))
+        values, _ = _flatten_tokens(batch, token_column)
+        uniq, counts = np.unique(values, return_counts=True)
+        est = sketch.query_values(uniq.astype(np.int32))
+        keep = est >= threshold
+        return pa.table({
+            "token": pa.array(uniq[keep].astype(np.int32)),
+            "cnt": pa.array(counts[keep].astype(np.int64)),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            values, _ = _flatten_tokens(batch, token_column)
-            uniq, counts = np.unique(values, return_counts=True)
-            est = self.cms.query_values(uniq.astype(np.int32))
-            keep = est >= threshold
-            return pa.table({
-                "token": pa.array(uniq[keep].astype(np.int32)),
-                "cnt": pa.array(counts[keep].astype(np.int64)),
-            })
-
-    cand = make_tokens_ds().map_batches(CandidateCounts,
-                                        batch_format="pyarrow",
-                                        concurrency=(1, 8))
+    cand = make_tokens_ds().map_batches(candidate_counts,
+                                        batch_format="pyarrow")
     agg = cand.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
     df = agg.to_pandas()
     df = df[df["cnt"] >= threshold]

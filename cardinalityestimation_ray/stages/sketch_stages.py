@@ -254,6 +254,9 @@ class GenericSketchPartials:
     """
 
     CHUNK = 8192
+    #: sketches whose per-add state exceeds L2 anyway — chunking the input
+    #: only multiplies passes over that state, so feed them whole batches
+    UNCHUNKED_KINDS = frozenset({"countmin", "bloom"})
 
     def __init__(self, kind: str, params: dict | None, value_column: str, *,
                  explode_list: bool = False, key_column: str | None = None):
@@ -262,6 +265,8 @@ class GenericSketchPartials:
         self.value_column = value_column
         self.explode_list = explode_list
         self.key_column = key_column
+        if kind in self.UNCHUNKED_KINDS:
+            self.CHUNK = 1 << 31
 
     def _new(self) -> Sketch:
         return build_sketch(self.kind, self.params)
