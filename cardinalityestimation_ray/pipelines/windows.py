@@ -58,6 +58,56 @@ def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
     return df.sort_values([key_column, "window_start"]).reset_index(drop=True)
 
 
+def sliding_window_agg(events_ds, *, window_minutes: int = 60,
+                       slide_minutes: int = 15,
+                       key_column: str = "event_type",
+                       ts_column: str = "ts",
+                       value_column: str = "value") -> pd.DataFrame:
+    """Per (key, sliding window) exact count/sum; window length must be a
+    multiple of the slide. Each event is replicated into its
+    window/slide containing windows inside map_batches (vectorized repeat),
+    then the tumbling combiner + grouped sum runs unchanged."""
+    from ray.data.aggregate import Sum
+
+    if window_minutes % slide_minutes:
+        raise ValueError("window_minutes must be a multiple of slide_minutes")
+    k = window_minutes // slide_minutes
+    slide_us = np.int64(slide_minutes * 60 * 1_000_000)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_column]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (micros // slide_us) * slide_us
+        n = len(micros)
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * slide_us, n))
+        keys = batch[key_column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = batch[value_column]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        tbl = pa.table({
+            key_column: keys.take(idx),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            value_column: vals.take(idx),
+        })
+        return tbl.group_by([key_column, "window_start"]).aggregate(
+            [(value_column, "sum"), ([], "count_all")]
+        ).rename_columns([key_column, "window_start", "value_sum", "n_events"])
+
+    partial = events_ds.map_batches(explode, batch_format="pyarrow")
+    out = partial.groupby([key_column, "window_start"]).aggregate(
+        Sum("value_sum", alias_name="value_sum"),
+        Sum("n_events", alias_name="n_events"),
+    )
+    df = out.to_pandas()
+    return df.sort_values([key_column, "window_start"]).reset_index(drop=True)
+
+
 def session_window_stats(events_ds, *, gap_minutes: int = 30,
                          key_column: str = "user_id",
                          ts_column: str = "ts") -> pd.DataFrame:

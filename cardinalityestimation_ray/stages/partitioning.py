@@ -19,6 +19,16 @@ from ..sketches import hashing
 from .sketch_stages import HllTokenPartials, hll_merge_aggregate
 
 
+def create_sketches(n: int, kind: str = "hll", params: dict | None = None) -> list:
+    """Reference CreateMultiple (CardinalityEstimatorExtensions.cs:184-196):
+    n identically-configured sketches for sharded processing. In Ray this is
+    usually implicit (each map task builds its own from the same spec); the
+    explicit helper exists for driver-side sharding."""
+    from .sketch_stages import build_sketch
+
+    return [build_sketch(kind, dict(params or {})) for _ in range(n)]
+
+
 def round_robin(ds, n: int):
     """Reference RoundRobin (i % n): Ray's repartition without shuffle —
     block splitting/coalescing, no data movement by key."""

@@ -107,3 +107,38 @@ def test_shared_actor_other_kinds(_ray):
 
     back = CountMinSketch.from_bytes(blob)
     assert back.total == 3
+
+
+def test_sliding_windows_match_pandas(sf_dir):
+    import pandas as pd
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import sliding_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    got = sliding_window_agg(ev, window_minutes=60, slide_minutes=20)
+
+    raw = pd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts", "value"])
+    slide = np.int64(20 * 60 * 1_000_000)
+    k = 3
+    micros = raw["ts"].astype("int64").to_numpy()
+    base = micros // slide * slide
+    rows = []
+    for i in range(k):
+        rows.append(pd.DataFrame({
+            "event_type": raw["event_type"],
+            "window_start": base - i * slide,
+            "value": raw["value"],
+        }))
+    want = pd.concat(rows).groupby(["event_type", "window_start"]).agg(
+        value_sum=("value", "sum"), n_events=("value", "size")).reset_index()
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    want = want.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["n_events"].astype(int).tolist() == want["n_events"].tolist()
+    assert np.allclose(got["value_sum"], want["value_sum"])
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(ev, window_minutes=50, slide_minutes=20)
