@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) — the reference's random-grid testing
+technique upgraded to generated properties: split/merge invariance, wire
+round-trips, order insensitivity, for all sketch kinds."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cardinalityestimation_ray.sketches.bloom import BloomFilter
+from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+_elements = st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1),
+                     min_size=0, max_size=500)
+
+
+def _arr(xs):
+    return np.asarray(xs, dtype=np.int64)
+
+
+@settings(max_examples=30, deadline=None)
+@given(xs=_elements, b=st.integers(4, 16), cut=st.integers(0, 500))
+def test_hll_split_merge_equals_single(xs, b, cut):
+    cut = min(cut, len(xs))
+    single = HyperLogLog(b=b)
+    single.add_values(_arr(xs))
+    a = HyperLogLog(b=b)
+    a.add_values(_arr(xs[:cut]))
+    c = HyperLogLog(b=b)
+    c.add_values(_arr(xs[cut:]))
+    merged = a.merge(c)
+    assert np.array_equal(merged.registers(), single.registers())
+    assert merged.direct == single.direct
+    assert merged.estimate() == single.estimate()
+
+
+@settings(max_examples=30, deadline=None)
+@given(xs=_elements, b=st.integers(4, 16))
+def test_hll_wire_roundtrip_any_state(xs, b):
+    sk = HyperLogLog(b=b)
+    sk.add_values(_arr(xs))
+    back = HyperLogLog.from_bytes(sk.to_bytes())
+    assert back == sk
+    assert back.estimate() == sk.estimate()
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=_elements, batch=st.integers(1, 50))
+def test_hll_batching_insensitive(xs, batch):
+    whole = HyperLogLog(b=10)
+    whole.add_values(_arr(xs))
+    chunked = HyperLogLog(b=10)
+    for lo in range(0, len(xs), batch):
+        chunked.add_values(_arr(xs[lo:lo + batch]))
+    assert chunked == whole
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=_elements)
+def test_hll_order_insensitive(xs):
+    fwd = HyperLogLog(b=12)
+    fwd.add_values(_arr(xs))
+    rev = HyperLogLog(b=12)
+    rev.add_values(_arr(xs[::-1]))
+    assert fwd == rev
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=_elements, depth=st.integers(1, 8), logw=st.integers(4, 12),
+       cut=st.integers(0, 500))
+def test_countmin_split_merge_and_roundtrip(xs, depth, logw, cut):
+    cut = min(cut, len(xs))
+    w = 1 << logw
+    single = CountMinSketch(depth=depth, width=w)
+    single.add_values(_arr(xs))
+    a = CountMinSketch(depth=depth, width=w)
+    a.add_values(_arr(xs[:cut]))
+    b = CountMinSketch(depth=depth, width=w)
+    b.add_values(_arr(xs[cut:]))
+    assert a.merge(b) == single
+    assert CountMinSketch.from_bytes(single.to_bytes()) == single
+    # never underestimates
+    if xs:
+        uniq = _arr(sorted(set(xs)))
+        est = single.query_values(uniq)
+        import collections
+
+        true = collections.Counter(xs)
+        for v, e in zip(uniq, est):
+            assert e >= true[int(v)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=_elements, logm=st.integers(3, 14), k=st.integers(1, 10),
+       cut=st.integers(0, 500))
+def test_bloom_split_merge_no_false_negatives(xs, logm, k, cut):
+    cut = min(cut, len(xs))
+    m = 1 << logm
+    a = BloomFilter(num_bits=m, num_hashes=k)
+    a.add_values(_arr(xs[:cut]))
+    b = BloomFilter(num_bits=m, num_hashes=k)
+    b.add_values(_arr(xs[cut:]))
+    merged = a.merge(b)
+    single = BloomFilter(num_bits=m, num_hashes=k)
+    single.add_values(_arr(xs))
+    assert merged == single
+    if xs:
+        assert merged.contains_values(_arr(xs)).all()
+    assert BloomFilter.from_bytes(merged.to_bytes()) == merged
