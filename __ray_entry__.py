@@ -284,6 +284,25 @@ def _q_event_props_sum(sf_dir: str):
     return df
 
 
+def _q_customer_order_counts(sf_dir: str):
+    """Bucketed hash join (orders x customer) -> per-customer order counts."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from cardinalityestimation_ray.pipelines.joins import bucketed_inner_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow")
+    joined = bucketed_inner_join(orders, cust, "o_custkey", num_buckets=8)
+    out = joined.groupby("c_name").aggregate(Count(alias_name="n_orders"))
+    return out.to_pandas().sort_values("c_name").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_tokens_by_source": _q_hll_distinct_tokens_by_source,
@@ -307,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ann_topk": _q_ann_topk,
         "event_props_sum": _q_event_props_sum,
+        "customer_order_counts": _q_customer_order_counts,
     }
 
 
@@ -441,6 +461,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "customer_order_counts": """
+            SELECT c.c_name, count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_name
         """,
         # doc_quality_scores / minhash_dedup_pairs: composite or approximate
         # results -> rows-only checks (bounds pytest-asserted)

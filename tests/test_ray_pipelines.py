@@ -456,3 +456,31 @@ def test_hll_set_operation_estimates():
     big_b.add_values(np.arange(30_000, 90_000, dtype=np.int64))
     inter = HyperLogLog.intersection_estimate(big_a, big_b)
     assert abs(inter / 30_000 - 1) < 0.1
+
+
+def test_bucketed_inner_join_matches_duckdb(sf_dir, _ray):
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import bucketed_inner_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow")
+    joined = bucketed_inner_join(orders, cust, "o_custkey",
+                                 num_buckets=8).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey
+    """).df()
+    assert len(joined) == len(want)
+    a = joined.sort_values("o_orderkey").reset_index(drop=True)
+    b = want.sort_values("o_orderkey").reset_index(drop=True)
+    assert a["o_orderkey"].tolist() == b["o_orderkey"].tolist()
+    assert a["c_name"].tolist() == b["c_name"].tolist()
