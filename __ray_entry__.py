@@ -284,6 +284,60 @@ def _q_event_props_sum(sf_dir: str):
     return df
 
 
+def _q_exact_dup_pairs(sf_dir: str):
+    """Negative-control oracle: LSH candidates + EXACT char-ngram verify at
+    threshold 1.0 must produce exactly the SQL self-join's duplicate pairs
+    (empty at this sf — verifies no false positives survive verification)."""
+    import pandas as pd
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=1.0, verify="char_ngram")
+    out = pairs[pairs["similarity"] >= 1.0][["id_a", "id_b"]]
+    return out.astype("int64") if len(out) else pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64")})
+
+
+def _q_simhash_dedup_pairs(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import simhash_dedup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return simhash_dedup_pairs(docs, max_hamming=3)
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import embedding_dedup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_dedup_pairs(emb, threshold=0.95)
+
+
+def _q_ann_topk_ivf(sf_dir: str):
+    import numpy as np
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ann import ann_topk_ivf
+
+    def emb():
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+    qrows = sorted((r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
+                   key=lambda r: r["vec_id"])
+    queries_mat = np.stack([r["embedding"] for r in qrows])
+    return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
+
+
 def _q_customer_order_counts(sf_dir: str):
     """Bucketed hash join (orders x customer) -> per-customer order counts."""
     import ray.data
@@ -327,6 +381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "event_props_sum": _q_event_props_sum,
         "customer_order_counts": _q_customer_order_counts,
+        "exact_dup_pairs": _q_exact_dup_pairs,
+        "simhash_dedup_pairs": _q_simhash_dedup_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "ann_topk_ivf": _q_ann_topk_ivf,
     }
 
 
@@ -467,6 +525,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_name
         """,
-        # doc_quality_scores / minhash_dedup_pairs: composite or approximate
-        # results -> rows-only checks (bounds pytest-asserted)
+        "exact_dup_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        # doc_quality_scores / minhash_dedup_pairs / simhash_dedup_pairs /
+        # embedding_dup_pairs / ann_topk_ivf: approximate or probabilistic
+        # recall -> rows-only checks (planted-duplicate recall and bounds are
+        # pytest-asserted)
     }

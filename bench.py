@@ -121,6 +121,33 @@ def bench_once() -> dict:
     extras["distinct_tokens_est"] = res["distinct_tokens"]
     extras["tokens_per_sec"] = round(total_tokens / t_global, 1)
 
+    # exact distinct (dense bitmap over the known vocab — exact, one pass)
+    # to evidence the metric's rel-error bound in the recorded JSON
+    import numpy as np
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.stages.sketch_stages import _flatten_tokens
+
+    vocab = 1 << 17  # >= generator vocab_size
+
+    def seen_bitmap(batch: pa.Table) -> pa.Table:
+        values, _ = _flatten_tokens(batch, "tokens")
+        seen = np.zeros(vocab, dtype=bool)
+        seen[values] = True
+        return pa.table({"bits": pa.array([np.packbits(seen).tobytes()],
+                                          type=pa.binary())})
+
+    agg = np.zeros(vocab // 8, dtype=np.uint8)
+    for row in corpus_ds(["tokens"]).map_batches(
+            seen_bitmap, batch_format="pyarrow").take_all():
+        agg |= np.frombuffer(row["bits"], dtype=np.uint8)
+    exact_distinct = int(np.unpackbits(agg).sum())
+    rel_err = abs(res["distinct_tokens"] / exact_distinct - 1)
+    extras["distinct_tokens_exact"] = exact_distinct
+    extras["rel_error"] = round(rel_err, 5)
+    extras["rel_error_bound_3sigma"] = round(3 * 1.04 / (1 << 7), 5)  # b=14
+    assert rel_err <= 3 * 1.04 / (1 << 7), "estimate outside 3-sigma bound"
+
     # per-source distinct (adds the grouped-merge path, skewed sources)
     by_src, t_src = timed(
         lambda: distinct_tokens_by_source(corpus_ds(["tokens", "source"]), b=14))
