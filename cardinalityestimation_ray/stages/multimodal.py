@@ -156,6 +156,45 @@ class AudioFrameSampleStage:
         })
 
 
+class VideoFrameSampleStage:
+    """Actor-pool stage: video payload -> k uniformly-sampled frame features.
+
+    The metadata math (duration -> frame timestamps at the requested fps) is
+    real; the codec call is stubbed like the other decode stages.
+    """
+
+    def __init__(self, decoder: str = "fake", n_frames: int = 8,
+                 feature_dim: int = 16):
+        if decoder == "pyav":
+            raise NotImplementedError(
+                "PyAV is not available in this container; use decoder='fake'")
+        if decoder not in ("fake",):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.n_frames = n_frames
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durations = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        out_ts, out_feats = [], []
+        for payload, dur in zip(batch["payload"].to_pylist(), durations):
+            dur = max(int(dur), 1)
+            ts = np.linspace(0, dur, self.n_frames, endpoint=False).astype(np.int32)
+            seed = hashing.fnv1a64_mix(payload[:64])
+            g = np.random.Generator(np.random.PCG64(seed))
+            out_ts.append(ts)
+            out_feats.append(g.random((self.n_frames, self.feature_dim),
+                                      dtype=np.float32))
+        ts_arr = np.stack(out_ts)
+        feats = np.stack(out_feats)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "frame_ts_ms": pa.FixedSizeListArray.from_arrays(
+                pa.array(ts_arr.reshape(-1)), self.n_frames),
+            "frame_features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.n_frames * self.feature_dim),
+        })
+
+
 def media_pipeline(media_ds, *, batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
                    concurrency=(1, 4)):
     """decode -> feature-extract over a media Dataset (actor pools, small

@@ -484,3 +484,59 @@ def test_bucketed_inner_join_matches_duckdb(sf_dir, _ray):
     b = want.sort_values("o_orderkey").reset_index(drop=True)
     assert a["o_orderkey"].tolist() == b["o_orderkey"].tolist()
     assert a["c_name"].tolist() == b["c_name"].tolist()
+
+
+def test_video_frame_sample_stage(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        synthesize_media_batch,
+    )
+
+    tbl = synthesize_media_batch(np.arange(20), media_type="video")
+    tbl = tbl.set_column(tbl.schema.get_field_index("duration_ms"),
+                         "duration_ms",
+                         pa.array(np.full(20, 8000, dtype=np.int32)))
+    out = ray.data.from_arrow(tbl).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=8,
+        concurrency=2).to_pandas()
+    assert len(out) == 20
+    assert len(out["frame_ts_ms"][0]) == 8
+    assert out["frame_ts_ms"][0][0] == 0
+    assert len(out["frame_features"][0]) == 8 * 16
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(decoder="pyav")
+
+
+def test_empty_input_edge_cases(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        global_distinct_tokens,
+    )
+    from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "tokens": pa.array([], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([], type=pa.int32()),
+        "source": pa.array([], type=pa.string()),
+    }))
+    res = global_distinct_tokens(empty, b=12)
+    assert res["distinct_tokens"] == 0 and res["total_tokens"] == 0
+    q = column_quantiles(
+        ray.data.from_arrow(pa.table({"n_tok": pa.array([], type=pa.int32())})),
+        "n_tok", qs=(0.5,))
+    assert np.isnan(q["value"][0])
+
+    # docs with zero tokens (empty lists) flow through
+    one_empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([[], [5, 5, 7]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([0, 3], type=pa.int32()),
+        "source": pa.array(["s", "s"]),
+    }))
+    res2 = global_distinct_tokens(one_empty, b=12)
+    assert res2["total_tokens"] == 3
+    assert res2["distinct_tokens"] == 2
