@@ -540,3 +540,41 @@ def test_empty_input_edge_cases(_ray):
     res2 = global_distinct_tokens(one_empty, b=12)
     assert res2["total_tokens"] == 3
     assert res2["distinct_tokens"] == 2
+
+
+def test_groupby_strategy_matches_tree(tokens_small):
+    """Both merge strategies (combiner tree vs hash-partitioned groupby
+    AggregateFn) must produce identical results."""
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_column_by_key,
+        distinct_tokens_by_source,
+    )
+
+    tree = distinct_tokens_by_source(tokens_small(), b=12, strategy="tree")
+    grp = distinct_tokens_by_source(tokens_small(), b=12, strategy="groupby")
+    grp = grp.sort_values("source").reset_index(drop=True)
+    assert tree["distinct_tokens"].tolist() == grp["distinct_tokens"].tolist()
+    assert tree["total_tokens"].tolist() == grp["total_tokens"].tolist()
+
+    t2 = distinct_column_by_key(tokens_small(), "doc_id", "source", b=12,
+                                strategy="tree")
+    g2 = distinct_column_by_key(tokens_small(), "doc_id", "source", b=12,
+                                strategy="groupby")
+    g2 = g2.sort_values("source").reset_index(drop=True)
+    assert t2["distinct_values"].tolist() == g2["distinct_values"].tolist()
+
+
+def test_cli_driver_subprocess():
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cardinalityestimation_ray", "distinct",
+         "--input", "/root/testdata/sf0.001", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["distinct_tokens"] == 31  # exact (direct regime)
+    assert res["total_tokens"] > 0
