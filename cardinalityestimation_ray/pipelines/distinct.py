@@ -33,20 +33,23 @@ def _keyed_result_frame(merged: dict, key_column: str, estimate_name: str,
 
 
 def global_distinct_tokens(tokens_ds, b: int = 14,
-                           hash_name: str = hashing.DEFAULT_HASH) -> dict:
+                           hash_name: str = hashing.DEFAULT_HASH,
+                           fanout: int = 64) -> dict:
     """Estimate distinct token ids across the corpus.
 
     Returns {"distinct_tokens": int, "total_tokens": int, "sketch": HyperLogLog}.
-    The final fold runs on partial rows only (one per input batch).
+    Partial rows (one <=2^b-byte sketch per input batch) reduce through the
+    two-level combiner tree, so the driver folds at most ``fanout`` rows no
+    matter how many blocks the corpus has.
     """
+    from ..stages.sketch_stages import tree_merge_partials
+
     partials = tokens_ds.map_batches(
         HllTokenPartials(b=b, hash_name=hash_name), batch_format="pyarrow"
     )
-    rows = partials.take_all()  # tiny: one row per batch, <= 2^b bytes each
-    sketch = merge_partial_blobs((r["sketch"] for r in rows), hash_name)
+    sketch, total = tree_merge_partials(partials, "hll", fanout=fanout)
     if sketch is None:
         sketch = HyperLogLog(b=b, hash_name=hash_name)
-    total = sum(r["n_added"] for r in rows)
     return {
         "distinct_tokens": sketch.estimate(),
         "total_tokens": total,

@@ -330,13 +330,7 @@ class GenericSketchPartials:
         })
 
 
-def tree_merge_partials(partials_ds, kind: str, *, fanout: int = 64) -> tuple[Sketch | None, int]:
-    """Global two-level combiner tree for any sketch kind.
-
-    Level 1 merges within coalesced blocks (stateless map, streams with the
-    scan); level 2 folds <= fanout tiny rows on the driver. Returns
-    (merged sketch | None, total n_added)."""
-
+def _merge_block_fn(kind: str):
     def merge_block(tbl: pa.Table) -> pa.Table:
         acc: Sketch | None = None
         total = 0
@@ -350,23 +344,43 @@ def tree_merge_partials(partials_ds, kind: str, *, fanout: int = 64) -> tuple[Sk
         return pa.table({"sketch": pa.array([acc.to_bytes()], type=pa.binary()),
                          "n_added": pa.array([total], type=pa.int64())})
 
-    lvl1 = partials_ds.repartition(fanout).map_batches(
-        merge_block, batch_format="pyarrow", batch_size=None)
+    return merge_block
+
+
+def tree_merge_partials(partials_ds, kind: str, *, fanout: int = 64,
+                        levels: int = 2) -> tuple[Sketch | None, int]:
+    """Global combiner tree for any sketch kind — no all-to-all anywhere.
+
+    Each level is a stateless ``map_batches(merge_block, batch_size=fanout)``:
+    Ray bundles up to ``fanout`` upstream partial rows per task, so every
+    level divides the row count by its bundling factor while streaming with
+    the scan (no repartition shuffle, no barrier). The driver then folds the
+    surviving rows via streaming ``iter_batches``. Two levels bound the
+    driver fold to ~#blocks / bundling^2 rows — at 10^6-block scale add a
+    level rather than widening the driver fold.
+
+    Returns (merged sketch | None, total n_added)."""
+    merge_block = _merge_block_fn(kind)
+    ds = partials_ds
+    for _ in range(levels):
+        ds = ds.map_batches(merge_block, batch_format="pyarrow",
+                            batch_size=fanout)
     acc: Sketch | None = None
     total = 0
-    for row in lvl1.take_all():
-        sk = sketch_from_blob(kind, row["sketch"])
-        acc = sk if acc is None else acc.merge(sk)
-        total += row["n_added"]
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob, n in zip(batch["sketch"].to_pylist(),
+                           batch["n_added"].to_pylist()):
+            sk = sketch_from_blob(kind, blob)
+            acc = sk if acc is None else acc.merge(sk)
+            total += n
     return acc, total
 
 
 def tree_merge_keyed_partials_generic(partials_ds, key_column: str, kind: str, *,
-                                      fanout: int = 64) -> dict:
-    """Keyed two-level combiner tree for any sketch kind.
-
-    Returns dict[key, (Sketch, n_added)]. Low-cardinality keys only (the
-    driver fold sees <= fanout x n_keys rows)."""
+                                      fanout: int = 64, levels: int = 2) -> dict:
+    """Keyed combiner tree for any sketch kind (bundled map levels, no
+    all-to-all). Returns dict[key, (Sketch, n_added)]. Low-cardinality keys
+    only (the driver streams the reduced rows)."""
 
     def merge_block(tbl: pa.Table) -> pa.Table:
         acc: dict = {}
@@ -388,19 +402,23 @@ def tree_merge_keyed_partials_generic(partials_ds, key_column: str, kind: str, *
             "n_added": pa.array([counts[k] for k in ks], type=pa.int64()),
         })
 
-    lvl1 = partials_ds.repartition(fanout).map_batches(
-        merge_block, batch_format="pyarrow", batch_size=None)
+    ds = partials_ds
+    for _ in range(levels):
+        ds = ds.map_batches(merge_block, batch_format="pyarrow",
+                            batch_size=fanout)
     acc: dict = {}
     counts: dict = {}
-    for row in lvl1.take_all():
-        k = row[key_column]
-        sk = sketch_from_blob(kind, row["sketch"])
-        if k in acc:
-            acc[k].merge(sk)
-            counts[k] += row["n_added"]
-        else:
-            acc[k] = sk
-            counts[k] = row["n_added"]
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for k, blob, n in zip(batch[key_column].to_pylist(),
+                              batch["sketch"].to_pylist(),
+                              batch["n_added"].to_pylist()):
+            sk = sketch_from_blob(kind, blob)
+            if k in acc:
+                acc[k].merge(sk)
+                counts[k] += n
+            else:
+                acc[k] = sk
+                counts[k] = n
     return {k: (acc[k], counts[k]) for k in acc}
 
 
@@ -430,14 +448,14 @@ def _merge_rows_by_key(tbl: pa.Table, key_column: str,
 
 def tree_merge_keyed_partials(partials_ds, key_column: str, *,
                               hash_name: str = hashing.DEFAULT_HASH,
-                              fanout: int = 64):
-    """Two-level combiner tree over keyed partial-sketch rows — no all-to-all.
+                              fanout: int = 64, levels: int = 2):
+    """Combiner tree over keyed partial-sketch rows — no all-to-all.
 
-    Level 1: coalesce the (tiny) partial rows into ``fanout`` blocks and merge
-    within each block per key (a stateless map — Ray's streaming executor
-    pipelines it with the scan). Level 2: fold the <= fanout x n_keys
-    surviving rows on the driver — bounded regardless of input size, the same
-    shape as the reference's batch-of-8 PLINQ merge tree
+    Each level is a stateless ``map_batches(batch_size=fanout)`` that merges
+    per key within its bundle of upstream rows (Ray's streaming executor
+    pipelines it with the scan; no repartition shuffle). The driver then
+    streams the surviving <= rows/bundling^levels rows and folds per key —
+    the same shape as the reference's batch-of-8 PLINQ merge tree
     (ConcurrentCardinalityEstimator.cs:709-773).
 
     Use for LOW-cardinality keys (sources, languages, shards). For
@@ -446,19 +464,23 @@ def tree_merge_keyed_partials(partials_ds, key_column: str, *,
 
     Returns ``dict[key, (HyperLogLog, n_added)]``.
     """
-    lvl1 = partials_ds.repartition(fanout).map_batches(
-        lambda t: _merge_rows_by_key(t, key_column, hash_name),
-        batch_format="pyarrow", batch_size=None,
-    )
+    ds = partials_ds
+    for _ in range(levels):
+        ds = ds.map_batches(
+            lambda t: _merge_rows_by_key(t, key_column, hash_name),
+            batch_format="pyarrow", batch_size=fanout,
+        )
     acc: dict = {}
     counts: dict = {}
-    for row in lvl1.take_all():
-        k = row[key_column]
-        sk = HyperLogLog.from_bytes(row["sketch"], hash_name)
-        if k in acc:
-            acc[k].merge(sk)
-            counts[k] += row["n_added"]
-        else:
-            acc[k] = sk
-            counts[k] = row["n_added"]
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for k, blob, n in zip(batch[key_column].to_pylist(),
+                              batch["sketch"].to_pylist(),
+                              batch["n_added"].to_pylist()):
+            sk = HyperLogLog.from_bytes(blob, hash_name)
+            if k in acc:
+                acc[k].merge(sk)
+                counts[k] += n
+            else:
+                acc[k] = sk
+                counts[k] = n
     return {k: (acc[k], counts[k]) for k in acc}
