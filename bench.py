@@ -199,6 +199,29 @@ def bench_once() -> dict:
     extras["text_total_tokens"] = text_res["total_tokens"]
     extras["text_tokens_per_sec"] = round(text_res["total_tokens"] / t_text, 1)
 
+    # reference-parity microbenchmark: Add(string) over random ~70-char
+    # strings, single core (the reference's own BenchmarkDotNet shape,
+    # DifferentHashes 12.8 M adds/s with XxHash128)
+    rng = np.random.default_rng(0)
+    chars = np.frombuffer(bytes(range(33, 127)), dtype=np.uint8)
+    n_str = 1_000_000
+    lens = rng.integers(60, 80, n_str)
+    data = chars[rng.integers(0, len(chars), int(lens.sum()))]
+    offs = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    arr = pa.StringArray.from_buffers(
+        n_str, pa.py_buffer(offs.astype(np.int32).tobytes()),
+        pa.py_buffer(data.tobytes()))
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+    for name, key in (("fnv1a_mix", "string_adds_per_sec_fnv1a_mix"),
+                      ("polars", "string_adds_per_sec_polars")):
+        HyperLogLog(b=14, hash_name=name).add_arrow(arr.slice(0, 50_000))
+        sk = HyperLogLog(b=14, hash_name=name)
+        t0 = time.perf_counter()
+        sk.add_arrow(arr)
+        extras[key] = round(n_str / (time.perf_counter() - t0), 1)
+
     ray.shutdown()
     return {
         "metric": "tokens/sec sketched (HLL distinct-token, b=14)",

@@ -126,12 +126,20 @@ def fnv1a64_bytes_array(data: np.ndarray, offsets: np.ndarray, lengths: np.ndarr
     if n == 0:
         return h
     maxlen = int(lengths.max())
+    minlen = int(lengths.min())
     offsets = offsets.astype(np.int64, copy=False)
     lengths = lengths.astype(np.int64, copy=False)
+    tmp = np.empty(n, dtype=np.uint64)
+    # common prefix: every string is active — no compaction, in-place ops
+    for j in range(minlen):
+        tmp[:] = data[offsets + j]
+        np.bitwise_xor(h, tmp, out=h)
+        np.multiply(h, _FNV_PRIME, out=h)
+    # tail: compact the shrinking active set once per position
     active = np.arange(n)
     off = offsets
     lens = lengths
-    for j in range(maxlen):
+    for j in range(minlen, maxlen):
         keep = lens > j
         if not keep.all():
             active = active[keep]
@@ -146,8 +154,16 @@ def hash_arrow_binary(arr: pa.Array, hash_name: str = "fnv1a") -> np.ndarray:
     """Hash each element of an Arrow string/binary array (zero-copy buffers).
 
     ``fnv1a`` folds the raw bytes; ``fnv1a_mix`` (library default) applies the
-    splitmix64 finalizer on top.
+    splitmix64 finalizer on top; ``polars`` delegates to polars' native Rust
+    string hash (~10x faster on long strings; stable within a polars
+    version — use for throughput, not for cross-version persisted identity).
     """
+    if hash_name == "polars":
+        import polars as pl
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pl.from_arrow(arr).hash(seed=0).to_numpy()
     if isinstance(arr, pa.ChunkedArray):
         if arr.num_chunks == 1:
             arr = arr.chunk(0)
@@ -375,7 +391,8 @@ def hash_fixed_batch(values: np.ndarray, hash_name: str = DEFAULT_HASH) -> np.nd
         return fnv1a64_fixed(values)
     if hash_name == "fnv1a_mix":
         return splitmix64_inplace(fnv1a64_fixed(values))
-    if hash_name == "splitmix64":
+    if hash_name in ("splitmix64", "polars"):
+        # "polars" numeric identity rule: the 64-bit integer value (fast mixer)
         return splitmix64(values.astype(np.uint64, copy=False))
     if hash_name == "murmur3":
         # scalar fallback: murmur3 has no vectorized path (not the default)

@@ -85,3 +85,28 @@ def test_splitmix64_deterministic_and_dispersed():
     h = hashing.splitmix64(x)
     assert len(np.unique(h)) == len(h)
     assert np.array_equal(h, hashing.splitmix64(x))
+
+
+def test_polars_hash_backend():
+    """polars-native string hash: deterministic, well-dispersed, usable as an
+    HLL hash (stable within a polars version)."""
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+    strings = [f"doc-{i}" for i in range(5000)]
+    arr = pa.array(strings)
+    h1 = hashing.hash_arrow_binary(arr, "polars")
+    h2 = hashing.hash_arrow_binary(arr, "polars")
+    assert np.array_equal(h1, h2)
+    assert len(np.unique(h1)) == len(strings)
+
+    a = HyperLogLog(b=12, hash_name="polars")
+    a.add_arrow(arr.slice(0, 3000))
+    b = HyperLogLog(b=12, hash_name="polars")
+    b.add_arrow(arr.slice(3000))
+    merged = a.merge(b)
+    single = HyperLogLog(b=12, hash_name="polars")
+    single.add_arrow(arr)
+    assert merged == single
+    assert abs(merged.estimate() / 5000 - 1) < 10 * single.std_error
