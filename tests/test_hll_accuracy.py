@@ -104,3 +104,41 @@ def test_string_and_bytes_elements():
     hll.add(b"hello")  # same identity bytes as the UTF-8 string
     hll.add("world")
     assert hll.estimate() == 2
+
+
+def test_type_overload_matrix():
+    """The reference's memory-type overload matrices translated: the same
+    logical elements added through every input path must produce identical
+    register state (numpy array, Arrow array, Arrow large types, scalars,
+    pre-hashed)."""
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.sketches import hashing
+
+    vals = np.arange(200, dtype=np.int32)
+
+    via_numpy = HyperLogLog(b=12)
+    via_numpy.add_values(vals)
+
+    via_arrow = HyperLogLog(b=12)
+    via_arrow.add_arrow(pa.array(vals, type=pa.int32()))
+
+    via_chunked = HyperLogLog(b=12)
+    via_chunked.add_arrow(pa.chunked_array([vals[:100], vals[100:]],
+                                           type=pa.int32()))
+
+    via_hashes = HyperLogLog(b=12)
+    via_hashes.add_hashes(hashing.hash_fixed_batch(vals))
+
+    assert via_numpy == via_arrow == via_chunked == via_hashes
+
+    # string paths: str scalar == utf8 arrow == bytes scalar
+    s1 = HyperLogLog(b=12)
+    for word in ("alpha", "beta", "gamma"):
+        s1.add(word)
+    s2 = HyperLogLog(b=12)
+    s2.add_arrow(pa.array(["alpha", "beta", "gamma"]))
+    s3 = HyperLogLog(b=12)
+    for word in (b"alpha", b"beta", b"gamma"):
+        s3.add(word)
+    assert s1 == s2 == s3
