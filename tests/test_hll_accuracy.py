@@ -142,3 +142,20 @@ def test_type_overload_matrix():
     for word in (b"alpha", b"beta", b"gamma"):
         s3.add(word)
     assert s1 == s2 == s3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [10**8, 10**9])
+def test_extreme_cardinalities(n):
+    """10^8 and 10^9 regime (the reference skips its 2^32 test for runtime;
+    splitmix64 is a 64-bit bijection, so counter hashes are exactly-n
+    distinct well-mixed elements — this exercises the large-range HLL path
+    far beyond the LinearCounting threshold)."""
+    from cardinalityestimation_ray.sketches.hashing import splitmix64
+
+    hll = HyperLogLog(b=14, use_direct_counting=False)
+    chunk = 4_000_000
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        hll.add_hashes(splitmix64(np.arange(lo, hi, dtype=np.uint64)))
+    assert abs(hll.estimate() / n - 1) <= 10 * std_error(14)
