@@ -578,3 +578,41 @@ def test_cli_driver_subprocess():
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["distinct_tokens"] == 31  # exact (direct regime)
     assert res["total_tokens"] > 0
+
+
+def test_skewed_corpus_per_source_accuracy(_ray):
+    """Skew handling end-to-end: the synthetic corpus is deliberately skewed
+    (web=70%); per-source estimates must match per-source EXACT distinct
+    counts (vocab-bitmap method) within the HLL bound for every source."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_tokens_by_source,
+    )
+    from cardinalityestimation_ray.sources.corpus import (
+        CorpusConfig,
+        synthesize_corpus_batch,
+        synthetic_corpus_dataset,
+    )
+
+    cfg = CorpusConfig(vocab_size=50_000)
+    n_docs = 20_000
+    got = distinct_tokens_by_source(
+        synthetic_corpus_dataset(n_docs, cfg, docs_per_block=2000), b=14)
+
+    # exact per-source distinct via vocab bitmaps on the same deterministic data
+    tbl = synthesize_corpus_batch(np.arange(n_docs), cfg).to_pandas()
+    exact = {}
+    totals = {}
+    for src, grp in tbl.groupby("source"):
+        toks = np.concatenate(grp["tokens"].to_numpy())
+        exact[src] = len(np.unique(toks))
+        totals[src] = len(toks)
+    assert set(got["source"]) == set(exact)
+    for _, row in got.iterrows():
+        err = abs(row["distinct_tokens"] / exact[row["source"]] - 1)
+        assert err <= 10 * 1.04 / 2 ** 7, (row["source"], err)
+        assert row["total_tokens"] == totals[row["source"]]
+    # the hot source dominates volume (skew really present)
+    web_share = totals["web"] / sum(totals.values())
+    assert web_share > 0.6
