@@ -73,3 +73,43 @@ def test_sketch_results_roundtrip_and_incremental_merge(tmp_path):
     today.add_values(np.arange(500, 1500, dtype=np.int64))
     merged = loaded["web"][0].merge(today)
     assert abs(merged.estimate() / 1500 - 1) < 0.05
+
+
+def test_incremental_update_equals_single_pass(tmp_path, _ray):
+    """Two incremental updates over day-1 and day-2 slices must equal one
+    pass over the union (register-level, since merge is exact union)."""
+    from cardinalityestimation_ray.pipelines.incremental import (
+        incremental_distinct_update,
+    )
+    from cardinalityestimation_ray.sources.corpus import (
+        synthetic_corpus_dataset,
+    )
+    from cardinalityestimation_ray.sources.io import read_sketch_results
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        HllTokenPartials,
+        tree_merge_keyed_partials,
+    )
+
+    def day(lo, hi):
+        import ray.data
+
+        from cardinalityestimation_ray.sources.corpus import (
+            synthesize_corpus_batch,
+        )
+
+        return ray.data.from_arrow(
+            synthesize_corpus_batch(np.arange(lo, hi))).repartition(3)
+
+    path = str(tmp_path / "results.parquet")
+    incremental_distinct_update(path, day(0, 2000))
+    df2 = incremental_distinct_update(path, day(2000, 4000))
+
+    single = tree_merge_keyed_partials(
+        day(0, 4000).map_batches(HllTokenPartials(b=14, key_column="source"),
+                                 batch_format="pyarrow"), "source")
+    stored = read_sketch_results(path, key_name="source")
+    assert set(stored) == set(single)
+    for k in single:
+        assert stored[k][0] == single[k][0], k
+        assert stored[k][1] == single[k][1]
+    assert df2["total_tokens"].sum() == sum(v[1] for v in single.values())
