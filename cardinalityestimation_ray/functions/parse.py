@@ -5,7 +5,6 @@ column is flat key/value."""
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

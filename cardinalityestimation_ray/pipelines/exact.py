@@ -6,10 +6,8 @@ groupby shuffle moves deduped pairs, never raw rows."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _local_unique_pairs(batch: pa.Table, key_column: str,

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..sketches import hashing
 from .sketch_stages import HllTokenPartials, hll_merge_aggregate
