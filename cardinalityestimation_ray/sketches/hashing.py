@@ -180,12 +180,101 @@ def hash_arrow_binary(arr: pa.Array, hash_name: str = "fnv1a") -> np.ndarray:
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     starts = offsets[:-1].astype(np.int64)
     lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    if hash_name == "wordfnv_mix":
+        return splitmix64_inplace(wordfnv64_bytes_array(data, starts, lengths))
     h = fnv1a64_bytes_array(data, starts, lengths)
     if hash_name == "fnv1a":
         return h
     if hash_name == "fnv1a_mix":
         return splitmix64(h)
     raise ValueError(f"unsupported hash for binary arrays: {hash_name}")
+
+
+# ---------------------------------------------------------------------------
+# word-wise FNV variant — numpy-only fast path for variable-length strings
+
+_WORD_TAIL_MASKS = np.array(
+    [(1 << (8 * r)) - 1 for r in range(1, 8)] + [0xFFFFFFFFFFFFFFFF],
+    dtype=np.uint64)  # index = remaining_bytes - 1
+
+
+def wordfnv64(data: bytes) -> int:
+    """Scalar word-wise FNV variant: fold little-endian 8-byte words (tail
+    zero-padded), then mix the length so trailing NUL bytes stay distinct.
+    Identity = exact bytes. ~8x fewer operations per byte than FNV-1a; not
+    byte-compatible with it (a different registered hash name)."""
+    h = 14695981039346656037
+    for j in range(0, len(data), 8):
+        w = int.from_bytes(data[j:j + 8].ljust(8, b"\0"), "little")
+        h = ((h ^ w) * 0x100000001B3) & _MASK64
+    h = ((h ^ len(data)) * 0x100000001B3) & _MASK64
+    return h
+
+
+def wordfnv64_mix(data: bytes) -> int:
+    return splitmix64_scalar(wordfnv64(data))
+
+
+def wordfnv64_bytes_array(data: np.ndarray, starts: np.ndarray,
+                          lengths: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`wordfnv64` over n byte strings.
+
+    Trick: a string starting at byte offset o has all its 8-byte words at
+    offsets o+8j, which share the phase p = o mod 8 — so one u64 view per
+    phase turns word access into single vectorized u64 gathers (8 bytes per
+    gather op instead of 1). O(total_bytes / 8) gathers total.
+    """
+    n = len(starts)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    starts = starts.astype(np.int64, copy=False)
+    lengths = lengths.astype(np.int64, copy=False)
+    dpad = np.concatenate([data, np.zeros(16, dtype=np.uint8)])
+    views = []
+    for p in range(8):
+        usable = (len(dpad) - p) // 8 * 8
+        views.append(dpad[p:p + usable].view(np.uint64))
+    n_words = (lengths + 7) >> 3
+    phases = (starts & 7).astype(np.int64)
+    for p in range(8):
+        sel = np.flatnonzero(phases == p)
+        if len(sel) == 0:
+            continue
+        view = views[p]
+        # sort by descending word count so "still active at word j" is a
+        # PREFIX — the inner loop is then pure in-place prefix arithmetic
+        nw_sel = n_words[sel]
+        order = np.argsort(-nw_sel, kind="stable")
+        sel = sel[order]
+        nw = nw_sel[order]
+        widx = (starts[sel] - p) >> 3
+        lens = lengths[sel]
+        hh = np.full(len(sel), _FNV_OFFSET, dtype=np.uint64)
+        max_w = int(nw[0]) if len(nw) else 0
+        # active-count per full-word index j (strings with nw-1 > j)
+        counts_full = np.searchsorted(-nw, -(np.arange(1, max_w + 1) + 1),
+                                      side="right") if max_w else np.empty(0)
+        for j in range(max_w - 1 if max_w else 0):
+            c = int(counts_full[j])
+            if c == 0:
+                continue
+            w = view[widx[:c] + j]
+            np.bitwise_xor(hh[:c], w, out=hh[:c])
+            np.multiply(hh[:c], _FNV_PRIME, out=hh[:c])
+        # fold each string's LAST word (tail-masked) — order-correct because
+        # all preceding full words were already folded
+        has_word = nw > 0
+        if has_word.any():
+            last_idx = widx + nw - 1
+            w_last = view[np.where(has_word, last_idx, 0)]
+            rem = np.clip(lens - 8 * (nw - 1), 1, 8)
+            w_last &= _WORD_TAIL_MASKS[rem - 1]
+            nh = (hh ^ w_last) * _FNV_PRIME
+            hh = np.where(has_word, nh, hh)
+        hh = (hh ^ lens.astype(np.uint64)) * _FNV_PRIME
+        h[sel] = hh
+    return h
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +460,7 @@ DEFAULT_HASH = "fnv1a_mix"
 HASH_FUNCTIONS = {
     "fnv1a": fnv1a64,
     "fnv1a_mix": fnv1a64_mix,
+    "wordfnv_mix": wordfnv64_mix,
     "murmur3": murmur3_128_x64_low64,
     "splitmix64": lambda data: splitmix64_scalar(int.from_bytes(data[:8].ljust(8, b"\0"), "little")),
 }

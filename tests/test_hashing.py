@@ -110,3 +110,19 @@ def test_polars_hash_backend():
     single.add_arrow(arr)
     assert merged == single
     assert abs(merged.estimate() / 5000 - 1) < 10 * single.std_error
+
+
+def test_wordfnv_vectorized_matches_scalar():
+    """wordfnv_mix (word-wise numpy fast path): vectorized == scalar on edge
+    cases (empty, exact word multiples, tail bytes, trailing NULs, unicode)."""
+    strings = ["", "a", "12345678", "123456789", "x" * 70, "abc\0", "abc",
+               "héllo wörld", "q" * 8, "q" * 16, "q" * 17]
+    arr = pa.array(strings)
+    vec = hashing.hash_arrow_binary(arr, "wordfnv_mix")
+    for s, h in zip(strings, vec):
+        assert hashing.wordfnv64_mix(s.encode()) == int(h), repr(s)
+    # trailing NUL must stay distinct (length is mixed in)
+    assert vec[5] != vec[6]
+    # sliced (offset) arrays hash identically
+    assert list(hashing.hash_arrow_binary(arr.slice(2, 4), "wordfnv_mix")) == \
+        list(vec[2:6])
