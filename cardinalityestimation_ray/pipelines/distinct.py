@@ -34,19 +34,31 @@ def _keyed_result_frame(merged: dict, key_column: str, estimate_name: str,
 
 def global_distinct_tokens(tokens_ds, b: int = 14,
                            hash_name: str = hashing.DEFAULT_HASH,
-                           fanout: int = 64) -> dict:
+                           fanout: int = 64,
+                           concurrency=None) -> dict:
     """Estimate distinct token ids across the corpus.
 
     Returns {"distinct_tokens": int, "total_tokens": int, "sketch": HyperLogLog}.
     Partial rows (one <=2^b-byte sketch per input batch) reduce through the
-    two-level combiner tree, so the driver folds at most ``fanout`` rows no
-    matter how many blocks the corpus has.
+    combiner tree, so the driver folds a bounded number of rows no matter how
+    many blocks the corpus has.
+
+    ``concurrency``: None runs the scan as stateless tasks (cheap, elastic —
+    right for this stage's trivial per-actor state); an int or (min, max)
+    runs it as an ACTOR POOL (``map_batches(HllTokenPartials, concurrency=…)``),
+    the pattern for stages with real per-actor setup cost. Both produce
+    identical results (tested).
     """
     from ..stages.sketch_stages import tree_merge_partials
 
-    partials = tokens_ds.map_batches(
-        HllTokenPartials(b=b, hash_name=hash_name), batch_format="pyarrow"
-    )
+    if concurrency is None:
+        partials = tokens_ds.map_batches(
+            HllTokenPartials(b=b, hash_name=hash_name), batch_format="pyarrow")
+    else:
+        partials = tokens_ds.map_batches(
+            HllTokenPartials, batch_format="pyarrow",
+            fn_constructor_kwargs={"b": b, "hash_name": hash_name},
+            concurrency=concurrency, num_cpus=1)
     sketch, total = tree_merge_partials(partials, "hll", fanout=fanout)
     if sketch is None:
         sketch = HyperLogLog(b=b, hash_name=hash_name)

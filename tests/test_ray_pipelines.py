@@ -616,3 +616,17 @@ def test_skewed_corpus_per_source_accuracy(_ray):
     # the hot source dominates volume (skew really present)
     web_share = totals["web"] / sum(totals.values())
     assert web_share > 0.6
+
+
+def test_actor_pool_scan_identical_to_stateless(tokens_small):
+    """Actor-pool flagship scan (north_rule: 'actor pools for stateful
+    stages') produces bit-identical registers to the stateless-task scan."""
+    from cardinalityestimation_ray.pipelines.distinct import (
+        global_distinct_tokens,
+    )
+
+    stateless = global_distinct_tokens(tokens_small(), b=12)
+    pooled = global_distinct_tokens(tokens_small(), b=12, concurrency=(1, 3))
+    assert np.array_equal(pooled["sketch"].registers(),
+                          stateless["sketch"].registers())
+    assert pooled["total_tokens"] == stateless["total_tokens"]
