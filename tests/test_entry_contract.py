@@ -1,0 +1,87 @@
+"""Driver-contract tests: __ray_entry__.entry() and representative queries
+run inside an existing Ray session (as the driver does) — no ray.init calls
+anywhere in the import or execution path."""
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_runs_with_stable_schema(entry_mod):
+    df = entry_mod.entry()
+    assert len(df) > 0
+    assert list(df.columns) == ["source", "distinct_tokens", "total_tokens"]
+    assert (df["distinct_tokens"] >= 0).all()
+    # __all__ row aggregates the per-source rows' volume
+    total_row = df[df["source"] == "__all__"]
+    assert len(total_row) == 1
+    assert total_row["total_tokens"].iloc[0] == \
+        df[df["source"] != "__all__"]["total_tokens"].sum()
+
+
+def test_queries_and_oracles_registered(entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 20
+    assert set(oracles) <= set(qs)  # every oracle has a query
+    assert len(oracles) >= 15
+
+
+def test_representative_queries_run_at_sf0001(entry_mod):
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    out = qs["hll_distinct_tokens_global"](sf)
+    assert out["distinct_tokens"][0] == 31  # exact (direct regime)
+    stats = qs["ntok_stats_by_source"](sf)
+    assert len(stats) == 20
+    hh = qs["heavy_hitter_counts"](sf)
+    assert (hh["cnt"].values[:-1] >= hh["cnt"].values[1:]).all()
+
+
+def test_bloom_semi_join_filters(ray_session):
+    import ray
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import bloom_semi_join
+    from cardinalityestimation_ray.sketches.bloom import BloomFilter
+
+    bf = BloomFilter(num_bits=1 << 14, num_hashes=7)
+    bf.add_values(np.arange(0, 50, dtype=np.int64))
+    ref = ray.put(bf.to_bytes())
+    ds = ray.data.from_items([{"k": int(i)} for i in range(100)]).repartition(2)
+    kept = bloom_semi_join(ds, ref, "k").to_pandas()
+    assert set(kept["k"]) >= set(range(50))  # no false negatives
+    anti = bloom_semi_join(
+        ray.data.from_items([{"k": int(i)} for i in range(100)]).repartition(2),
+        ref, "k", negate=True).to_pandas()
+    assert set(anti["k"]).isdisjoint(set(kept["k"]))
+    assert len(kept) + len(anti) == 100
+
+
+def test_partition_helper_trivia(ray_session):
+    import ray.data
+
+    from cardinalityestimation_ray.stages.partitioning import (
+        chunked,
+        create_sketches,
+        round_robin,
+    )
+
+    sketches = create_sketches(4, "hll", {"b": 12})
+    assert len(sketches) == 4 and all(s.b == 12 for s in sketches)
+    ds = ray.data.range(100)
+    assert round_robin(ds, 5).count() == 100
+    assert chunked(ds, 5).count() == 100
