@@ -338,6 +338,16 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
 
 
+def _q_doc_vocab_stats(sf_dir: str):
+    """Per-doc distinct-token counts (vectorized distinct-in-list)."""
+    from cardinalityestimation_ray.functions.text import distinct_tokens_per_row
+
+    ds = _tokens(sf_dir).map_batches(distinct_tokens_per_row,
+                                     batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tok", "n_distinct_tokens"]
+                             ).to_pandas()
+
+
 def _q_customer_order_counts(sf_dir: str):
     """Bucketed hash join (orders x customer) -> per-customer order counts."""
     import ray.data
@@ -381,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "event_props_sum": _q_event_props_sum,
         "customer_order_counts": _q_customer_order_counts,
+        "doc_vocab_stats": _q_doc_vocab_stats,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -524,6 +535,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_name, count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_name
+        """,
+        "doc_vocab_stats": f"""
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len({_TOK}) AS INTEGER) AS n_tok,
+                   CAST(len(list_distinct({_TOK})) AS BIGINT)
+                       AS n_distinct_tokens
+            FROM documents
         """,
         "exact_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -60,6 +60,35 @@ def token_count_bpe_ish(text: pa.Array) -> pa.Array:
     return pc.count_substring_regex(_as_array(text), BPE_ISH_PATTERN)
 
 
+def distinct_tokens_per_row(batch: pa.Table,
+                            token_column: str = "tokens") -> pa.Table:
+    """Append per-row vocabulary stats over a list<int32> column:
+    n_distinct_tokens and type_token_ratio (distinct/total; 1.0 for empty).
+
+    Vectorized: one lexsort over (row, token) then a segment diff — no
+    per-row Python."""
+    col = batch[token_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    parents = pc.list_parent_indices(col)
+    values = _as_array(flat).to_numpy(zero_copy_only=False)
+    rows = _as_array(parents).to_numpy(zero_copy_only=False)
+    n = len(batch)
+    distinct = np.zeros(n, dtype=np.int64)
+    if len(values):
+        order = np.lexsort((values, rows))
+        r = rows[order]
+        v = values[order]
+        new_group = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])]
+        np.add.at(distinct, r[new_group], 1)
+    totals = np.asarray(pc.list_value_length(col).fill_null(0))
+    ttr = np.divide(distinct, totals, out=np.ones(n, dtype=np.float64),
+                    where=totals > 0)
+    out = batch.append_column("n_distinct_tokens", pa.array(distinct))
+    return out.append_column("type_token_ratio", pa.array(ttr))
+
+
 def quality_features(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Append vectorized quality-signal columns to a documents batch.
 

@@ -74,12 +74,27 @@ class HllTokenPartials:
     def __init__(self, b: int = 14, *, token_column: str = "tokens",
                  key_column: str | None = None,
                  use_direct_counting: bool = True,
-                 hash_name: str = hashing.DEFAULT_HASH):
+                 hash_name: str = hashing.DEFAULT_HASH,
+                 progress_actor: str | None = None):
         self.b = b
         self.token_column = token_column
         self.key_column = key_column
         self.use_direct = use_direct_counting
         self.hash_name = hash_name
+        # live-progress hook: name of a SharedSketch actor that receives each
+        # partial blob fire-and-forget, so a running estimate can be polled
+        # mid-scan (the reference's ConcurrentCardinalityEstimator use case)
+        self.progress_actor = progress_actor
+        self._progress_handle = None
+
+    def _push_progress(self, blob: bytes) -> None:
+        if self.progress_actor is None:
+            return
+        if self._progress_handle is None:
+            import ray
+
+            self._progress_handle = ray.get_actor(self.progress_actor)
+        self._progress_handle.merge_blob.remote(blob)  # fire-and-forget
 
     def _new_sketch(self) -> HyperLogLog:
         return HyperLogLog(b=self.b, use_direct_counting=self.use_direct,
@@ -98,8 +113,10 @@ class HllTokenPartials:
                 sk.add_hashes(
                     hashing.hash_fixed_batch(values[lo:lo + self.CHUNK],
                                              self.hash_name))
+            blob = sk.to_bytes()
+            self._push_progress(blob)
             return pa.table({
-                "sketch": pa.array([sk.to_bytes()], type=pa.binary()),
+                "sketch": pa.array([blob], type=pa.binary()),
                 "n_added": pa.array([len(values)], type=pa.int64()),
             })
         # hash in L2-sized chunks into a preallocated buffer

@@ -142,3 +142,29 @@ def test_sliding_windows_match_pandas(sf_dir):
 
     with pytest.raises(ValueError):
         sliding_window_agg(ev, window_minutes=50, slide_minutes=20)
+
+
+def test_live_progress_actor_during_scan(_ray, sf_dir):
+    """ConcurrentCardinalityEstimator's live-count use case end-to-end:
+    partial blobs stream to a named SharedSketch during the scan; the final
+    polled estimate equals the pipeline's own result."""
+    import ray
+
+    from cardinalityestimation_ray.sources.corpus import read_tokens
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        HllTokenPartials,
+        tree_merge_partials,
+    )
+    from cardinalityestimation_ray.stages.shared_actor import (
+        create_shared_sketch,
+    )
+
+    actor = create_shared_sketch("hll", {"b": 12}, name="scan-progress")
+    partials = read_tokens(sf_dir).map_batches(
+        HllTokenPartials(b=12, progress_actor="scan-progress"),
+        batch_format="pyarrow")
+    sketch, total = tree_merge_partials(partials, "hll")
+    # drain the actor mailbox (fire-and-forget sends), then compare
+    live_est = ray.get(actor.estimate.remote())
+    assert live_est == sketch.estimate()
+    ray.kill(actor)
