@@ -164,7 +164,14 @@ def test_live_progress_actor_during_scan(_ray, sf_dir):
         HllTokenPartials(b=12, progress_actor="scan-progress"),
         batch_format="pyarrow")
     sketch, total = tree_merge_partials(partials, "hll")
-    # drain the actor mailbox (fire-and-forget sends), then compare
-    live_est = ray.get(actor.estimate.remote())
-    assert live_est == sketch.estimate()
+    # fire-and-forget sends: poll until the actor has absorbed every partial
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if ray.get(actor.count_additions.remote()) == total:
+            break
+        time.sleep(0.2)
+    assert ray.get(actor.count_additions.remote()) == total
+    assert ray.get(actor.estimate.remote()) == sketch.estimate()
     ray.kill(actor)
