@@ -10,6 +10,7 @@ from .bloom import BloomFilter
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .reservoir import ReservoirSample
 from .tdigest import TDigest
 from . import constants, hashing, bias
 
@@ -21,6 +22,7 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLLSketch",
+    "ReservoirSample",
     "constants",
     "hashing",
     "bias",

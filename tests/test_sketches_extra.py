@@ -231,3 +231,68 @@ def test_kll_roundtrip_and_validation(normal_stream):
         KLLSketch(k=4)
     with pytest.raises(ValueError):
         KLLSketch(128).merge(KLLSketch(200))
+
+
+# ---------------------------------------------------------------------------
+# reservoir sample
+
+
+def test_reservoir_uniformity_and_merge():
+    from cardinalityestimation_ray.sketches.reservoir import ReservoirSample
+
+    pop = np.arange(100_000, dtype=np.float64)
+    rs = ReservoirSample(k=2000, seed=1)
+    for chunk in np.array_split(pop, 10):
+        rs.add_values(chunk)
+    assert rs.n == len(pop)
+    s = rs.sample()
+    assert len(s) == 2000
+    assert set(s) <= set(pop)
+    # uniform sample mean ~ population mean (se = sigma/sqrt(k) ~ 645)
+    assert abs(s.mean() - pop.mean()) < 4 * pop.std() / np.sqrt(2000)
+
+    # distributed: per-shard reservoirs merged == valid uniform sample
+    parts = [ReservoirSample(k=2000, seed=i) for i in range(8)]
+    for i, chunk in enumerate(np.array_split(pop, 8)):
+        parts[i].add_values(chunk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == len(pop)
+    ms = merged.sample()
+    assert len(ms) == 2000
+    assert abs(ms.mean() - pop.mean()) < 4 * pop.std() / np.sqrt(2000)
+
+
+def test_reservoir_small_stream_and_roundtrip():
+    from cardinalityestimation_ray.sketches.reservoir import ReservoirSample
+
+    rs = ReservoirSample(k=100, seed=3)
+    rs.add_values(np.arange(30, dtype=np.float64))
+    assert sorted(rs.sample()) == list(range(30))  # n <= k keeps everything
+    rt = ReservoirSample.from_bytes(rs.to_bytes())
+    assert rt.n == rs.n
+    assert sorted(rt.sample()) == sorted(rs.sample())
+    with pytest.raises(ValueError):
+        ReservoirSample.from_bytes(b"XXXX" + rs.to_bytes()[4:])
+    with pytest.raises(ValueError):
+        ReservoirSample(100).merge(ReservoirSample(50))
+
+
+def test_reservoir_via_ray_stage(ray_session):
+    import ray.data
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        GenericSketchPartials,
+        tree_merge_partials,
+    )
+
+    ds = ray.data.range(50_000).repartition(8)
+    partials = ds.map_batches(
+        GenericSketchPartials("reservoir", {"k": 500}, "id"),
+        batch_format="pyarrow")
+    rs, total = tree_merge_partials(partials, "reservoir")
+    assert total == 50_000 and rs.n == 50_000
+    s = rs.sample()
+    assert len(s) == 500
+    assert abs(s.mean() - 25_000) < 4 * (50_000 / np.sqrt(12)) / np.sqrt(500)
