@@ -45,18 +45,27 @@ def read_table(path: str, *, format: str | None = None,
     return ds
 
 
-def write_partitioned(ds, path: str, *, min_rows_per_file: int = 100_000) -> dict:
+def write_partitioned(ds, path: str, *, min_rows_per_file: int = 100_000,
+                      partition_cols: list[str] | None = None) -> dict:
     """Write a Dataset as a partitioned Parquet directory + _MANIFEST.json.
 
-    Atomic-ish: data files land first, the manifest last — a rerun treats a
-    directory without a manifest as incomplete and rewrites it.
+    ``partition_cols`` produces hive-style key directories (one directory per
+    key value — the resumable/skippable output layout); otherwise a flat
+    directory of part files. Atomic-ish: data files land first, the manifest
+    last — a rerun treats a directory without a manifest as incomplete and
+    rewrites it.
     """
     os.makedirs(path, exist_ok=True)
+    kwargs = {}
+    if partition_cols:
+        kwargs["partition_cols"] = partition_cols
     try:
-        ds.write_parquet(path, min_rows_per_file=min_rows_per_file)
+        ds.write_parquet(path, min_rows_per_file=min_rows_per_file, **kwargs)
     except TypeError:  # older Ray releases
-        ds.write_parquet(path)
-    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        ds.write_parquet(path, **kwargs)
+    files = sorted(
+        os.path.relpath(os.path.join(root, f), path)
+        for root, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
     manifest = {"n_files": len(files), "files": files}
     tmp = os.path.join(path, "_MANIFEST.json.tmp")
     with open(tmp, "w") as f:

@@ -113,3 +113,24 @@ def test_incremental_update_equals_single_pass(tmp_path, _ray):
         assert stored[k][0] == single[k][0], k
         assert stored[k][1] == single[k][1]
     assert df2["total_tokens"].sum() == sum(v[1] for v in single.values())
+
+
+def test_write_partitioned_by_key(tmp_path, _ray):
+    import os
+
+    import ray.data
+
+    from cardinalityestimation_ray.sources.corpus import synthesize_corpus_batch
+    from cardinalityestimation_ray.sources.io import (
+        read_table,
+        write_partitioned,
+    )
+
+    ds = ray.data.from_arrow(synthesize_corpus_batch(np.arange(2000)))
+    out = str(tmp_path / "by_source")
+    manifest = write_partitioned(ds, out, partition_cols=["source"])
+    assert manifest["n_files"] >= 1
+    subdirs = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert len(subdirs) >= 5  # hive-style per-key directories
+    back = read_table(out)
+    assert back.count() == 2000
