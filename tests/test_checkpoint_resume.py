@@ -106,3 +106,40 @@ def test_different_b_invalidates(corpus_files, tmp_path):
     resumable_distinct_tokens(corpus_files[:2], ckpt, b=12)
     res = resumable_distinct_tokens(corpus_files[:2], ckpt, b=14)
     assert res["n_fresh"] == 2  # different precision -> recompute
+
+
+def test_corrupt_partition_fails_cleanly_then_resumes(corpus_files, tmp_path):
+    """A corrupted input partition fails the job loudly; completed partitions
+    keep their lineage records, and after restoring the file the rerun only
+    processes what is missing."""
+    import shutil
+
+    from cardinalityestimation_ray.state.checkpoint import (
+        CheckpointStore,
+        resumable_distinct_tokens,
+    )
+
+    work = tmp_path / "mutable2"
+    work.mkdir()
+    files = []
+    for f in corpus_files:
+        dst = str(work / os.path.basename(f))
+        shutil.copy(f, dst)
+        files.append(dst)
+
+    # corrupt the LAST partition (sorted order) so earlier ones complete
+    backup = files[-1] + ".bak"
+    shutil.copy(files[-1], backup)
+    with open(files[-1], "wb") as f:
+        f.write(b"not a parquet file")
+
+    ckpt = str(tmp_path / "ckpt_corrupt")
+    with pytest.raises(Exception):
+        resumable_distinct_tokens(files, ckpt, b=12, max_in_flight=1)
+    done_after_crash = len(CheckpointStore(ckpt).completed())
+    assert 0 < done_after_crash < len(files)
+
+    shutil.copy(backup, files[-1])
+    res = resumable_distinct_tokens(files, ckpt, b=12)
+    assert res["n_partitions"] == len(files)
+    assert res["n_skipped"] == done_after_crash
