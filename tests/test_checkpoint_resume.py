@@ -127,10 +127,11 @@ def test_corrupt_partition_fails_cleanly_then_resumes(corpus_files, tmp_path):
         shutil.copy(f, dst)
         files.append(dst)
 
-    # corrupt the LAST partition (sorted order) so earlier ones complete
-    backup = files[-1] + ".bak"
-    shutil.copy(files[-1], backup)
-    with open(files[-1], "wb") as f:
+    # the scheduler pops the pending queue from its tail, so corrupt the
+    # FIRST (sorted) partition — it is processed last and the rest complete
+    backup = files[0] + ".bak"
+    shutil.copy(files[0], backup)
+    with open(files[0], "wb") as f:
         f.write(b"not a parquet file")
 
     ckpt = str(tmp_path / "ckpt_corrupt")
@@ -139,7 +140,7 @@ def test_corrupt_partition_fails_cleanly_then_resumes(corpus_files, tmp_path):
     done_after_crash = len(CheckpointStore(ckpt).completed())
     assert 0 < done_after_crash < len(files)
 
-    shutil.copy(backup, files[-1])
+    shutil.copy(backup, files[0])
     res = resumable_distinct_tokens(files, ckpt, b=12)
     assert res["n_partitions"] == len(files)
     assert res["n_skipped"] == done_after_crash
