@@ -338,6 +338,31 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
 
 
+def _q_lineitem_qty_stats(sf_dir: str):
+    """Exact grouped stats over lineitem (count + min/max are selection ops,
+    so doubles compare exactly)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    out = li.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_items"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+    )
+    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_ntok_quantiles_by_source(sf_dir: str):
+    from cardinalityestimation_ray.pipelines.quantiles import (
+        column_quantiles_by_key,
+    )
+
+    return column_quantiles_by_key(_tokens(sf_dir), "n_tok", "source",
+                                   qs=(0.25, 0.5, 0.75))
+
+
 def _q_doc_vocab_stats(sf_dir: str):
     """Per-doc distinct-token counts (vectorized distinct-in-list)."""
     from cardinalityestimation_ray.functions.text import distinct_tokens_per_row
@@ -391,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "event_props_sum": _q_event_props_sum,
         "customer_order_counts": _q_customer_order_counts,
+        "lineitem_qty_stats": _q_lineitem_qty_stats,
+        "ntok_quantiles_by_source": _q_ntok_quantiles_by_source,
         "doc_vocab_stats": _q_doc_vocab_stats,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
@@ -536,6 +563,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_name
         """,
+        "lineitem_qty_stats": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        # ntok_quantiles_by_source: approximate -> rows-only
         "doc_vocab_stats": f"""
             SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST(len({_TOK}) AS INTEGER) AS n_tok,
