@@ -338,6 +338,18 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
 
 
+def _q_exact_distinct_users_global(sf_dir: str):
+    """Exact global COUNT(DISTINCT user_id) — valid at any cardinality
+    (unlike the HLL direct regime)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.exact import exact_distinct_global
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return exact_distinct_global(ev, "user_id", distinct_name="distinct_users")
+
+
 def _q_lineitem_qty_stats(sf_dir: str):
     """Exact grouped stats over lineitem (count + min/max are selection ops,
     so doubles compare exactly)."""
@@ -416,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "event_props_sum": _q_event_props_sum,
         "customer_order_counts": _q_customer_order_counts,
+        "exact_distinct_users_global": _q_exact_distinct_users_global,
         "lineitem_qty_stats": _q_lineitem_qty_stats,
         "ntok_quantiles_by_source": _q_ntok_quantiles_by_source,
         "doc_vocab_stats": _q_doc_vocab_stats,
@@ -562,6 +575,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_name, count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_name
+        """,
+        "exact_distinct_users_global": """
+            SELECT count(DISTINCT user_id) AS distinct_users FROM events
         """,
         "lineitem_qty_stats": """
             SELECT l_returnflag,

@@ -37,6 +37,21 @@ def exact_distinct_by_key(ds, value_column: str, key_column: str, *,
     return df.sort_values(key_column).reset_index(drop=True)
 
 
+def exact_distinct_global(ds, value_column: str, *,
+                          distinct_name: str = "distinct_values") -> pd.DataFrame:
+    """Exact global COUNT(DISTINCT value): within-batch dedup (combiner) ->
+    global dedup via groupby(value) -> count. Works at any cardinality
+    (unlike the HLL direct regime); shuffles deduped values only."""
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([value_column])
+        return tbl.group_by([value_column]).aggregate([]).select([value_column])
+
+    uniq = ds.map_batches(local_unique, batch_format="pyarrow")
+    n = uniq.groupby(value_column).count().count()
+    return pd.DataFrame({distinct_name: [int(n)]})
+
+
 def exact_count_by_key(ds, key_column: str, *,
                        count_name: str = "n_rows") -> pd.DataFrame:
     """Exact per-key COUNT(*) with a per-batch combiner."""
