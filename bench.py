@@ -227,6 +227,20 @@ def bench_once() -> dict:
         sk.add_arrow(arr)
         extras[key] = round(n_str / (time.perf_counter() - t0), 1)
 
+    # b-sensitivity (reference parity: <=7% slowdown b=4 -> b=16 because
+    # hashing dominates the register update)
+    if not fast_mode:
+        toks = rng.integers(0, 1 << 20, size=4_000_000).astype(np.int32)
+        for bb in (4, 16):
+            sk = HyperLogLog(b=bb, use_direct_counting=False)
+            sk.add_values(toks[:100_000])
+            sk = HyperLogLog(b=bb, use_direct_counting=False)
+            t0 = time.perf_counter()
+            for lo in range(0, len(toks), 8192):
+                sk.add_values(toks[lo:lo + 8192])
+            extras[f"kernel_adds_per_sec_b{bb}"] = round(
+                len(toks) / (time.perf_counter() - t0), 1)
+
     ray.shutdown()
     return {
         "metric": "tokens/sec sketched (HLL distinct-token, b=14)",

@@ -210,8 +210,9 @@ class HyperLogLog(Sketch):
     def _scatter_max(self, out: np.ndarray, idx: np.ndarray, sigma: np.ndarray) -> None:
         """out[idx] = max(out[idx], sigma) with duplicate indices."""
         n = len(idx)
-        if n < (self.m >> 4) or n < 4096:
-            # small batch: direct scatter-max (ufunc.at cost ~ O(n))
+        if n < self.m:
+            # ufunc.at costs ~O(n); the bitmap path below costs ~O(64m) —
+            # only worth it when the batch outnumbers the register bank
             np.maximum.at(out, idx, sigma)
             return
         # large batch: bitmap scatter (duplicate-safe fancy assignment), then
