@@ -184,6 +184,29 @@ def bench_once() -> dict:
         queries["minhash_dedup_sf"] = round(t_dd, 3)
         extras["n_dup_pairs"] = len(dd)
 
+    # task-parallel path: the resumable job (one single-threaded Ray task per
+    # input file, pyarrow use_threads=False) — parallelism is exactly
+    # num_cpus, so this is the CLEAN cluster-size scaling measurement (the
+    # Dataset paths let pyarrow's internal pool blur low-cpu levels)
+    import glob as _glob
+    import shutil as _shutil
+
+    from cardinalityestimation_ray.state.checkpoint import (
+        resumable_distinct_tokens,
+    )
+
+    corpus_files = sorted(_glob.glob(os.path.join(CORPUS_DIR, "*.parquet")))
+
+    def _resumable():
+        ckpt = f"/tmp/ces_bench_ckpt_{NUM_CPUS}"
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        return resumable_distinct_tokens(corpus_files, ckpt, b=14,
+                                         max_in_flight=NUM_CPUS)
+
+    res_r, t_res = timed(_resumable)
+    queries["resumable_tasks"] = round(t_res, 3)
+    extras["resumable_tokens_per_sec"] = round(res_r["total_tokens"] / t_res, 1)
+
     # compute-dense path: raw text -> tokenize (regex split + string hash)
     # -> sketch. ~12x more CPU per token than the pre-tokenized path, so it
     # is CPU-bound rather than DRAM-bound — the honest single-box proxy for
@@ -303,6 +326,9 @@ def main():
         text_speedup = (lo["queries"]["hll_tokenize_text"]
                         / hi["queries"]["hll_tokenize_text"])
         text_eff = text_speedup / (hi_cpus / lo_cpus)
+        task_speedup = (lo["queries"]["resumable_tasks"]
+                        / hi["queries"]["resumable_tasks"])
+        task_eff = task_speedup / (hi_cpus / lo_cpus)
         print(json.dumps({
             "metric": f"scaling efficiency (N={lo_cpus} -> 4N={hi_cpus} cpus, same input)",
             "cpus_lo": lo_cpus,
@@ -320,6 +346,11 @@ def main():
             "text_tokens_per_sec_hi": hi["text_tokens_per_sec"],
             "text_speedup": round(text_speedup, 3),
             "text_scaling_efficiency": round(text_eff, 3),
+            # the clean pair: single-threaded tasks, parallelism == num_cpus
+            "task_sec_lo": lo["queries"]["resumable_tasks"],
+            "task_sec_hi": hi["queries"]["resumable_tasks"],
+            "task_speedup": round(task_speedup, 3),
+            "task_scaling_efficiency": round(task_eff, 3),
             # cross-parallelism determinism: same registers -> same estimate
             "results_identical": bool(
                 lo["distinct_tokens_est"] == hi["distinct_tokens_est"]),

@@ -115,7 +115,11 @@ def _process_partition(input_file: str, checkpoint_root: str, b: int,
     kernel), and a crash mid-write leaves only a tmp file that is ignored.
     """
     t0 = time.perf_counter()
-    table = pq.read_table(input_file, columns=[token_column])
+    # use_threads=False: the TASK is the parallelism unit here — letting
+    # pyarrow's internal pool fan out inside a 1-CPU Ray task oversubscribes
+    # the node and distorts cluster-size scaling
+    table = pq.read_table(input_file, columns=[token_column],
+                          use_threads=False)
     stage = HllTokenPartials(b=b, token_column=token_column,
                              hash_name=hash_name)
     out = stage(table)
