@@ -115,9 +115,11 @@ class TDigest(Sketch):
             lo_x, lo_c = self.means[i - 1], centers[i - 1]
             hi_x, hi_c = self.means[i], centers[i]
         if hi_c == lo_c:
-            return float(lo_x)
+            return float(min(max(lo_x, self._min), self._max))
         frac = (target - lo_c) / (hi_c - lo_c)
-        return float(lo_x + frac * (hi_x - lo_x))
+        # clamp: the interpolation can overshoot min/max by one ulp when
+        # |hi_x - lo_x| underflows relative to the endpoints
+        return float(min(max(lo_x + frac * (hi_x - lo_x), self._min), self._max))
 
     def quantiles(self, qs) -> np.ndarray:
         return np.asarray([self.quantile(float(q)) for q in qs])

@@ -107,3 +107,57 @@ def test_bloom_split_merge_no_false_negatives(xs, logm, k, cut):
     if xs:
         assert merged.contains_values(_arr(xs)).all()
     assert BloomFilter.from_bytes(merged.to_bytes()) == merged
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                             allow_nan=False), min_size=1, max_size=400),
+       delta=st.integers(20, 200))
+def test_tdigest_quantile_monotone_and_bounded(xs, delta):
+    from cardinalityestimation_ray.sketches.tdigest import TDigest
+
+    td = TDigest(delta=delta)
+    td.add_values(np.asarray(xs))
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    vals = [td.quantile(q) for q in qs]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+    assert vals[0] == min(xs)
+    assert vals[-1] == max(xs)
+    assert min(xs) <= td.quantile(0.5) <= max(xs)
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                             allow_nan=False), min_size=1, max_size=400),
+       k=st.integers(8, 128))
+def test_kll_quantile_monotone_and_membership(xs, k):
+    from cardinalityestimation_ray.sketches.kll import KLLSketch
+
+    kll = KLLSketch(k=k)
+    kll.add_values(np.asarray(xs))
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    vals = [kll.quantile(q) for q in qs]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+    # KLL quantiles are actual retained stream items (plus min/max)
+    pool = set(xs)
+    assert all(v in pool for v in vals)
+
+
+@settings(max_examples=15, deadline=None)
+@given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                             allow_nan=False), min_size=2, max_size=300),
+       cut=st.integers(1, 299))
+def test_quantile_sketches_merge_bounds(xs, cut):
+    from cardinalityestimation_ray.sketches.kll import KLLSketch
+    from cardinalityestimation_ray.sketches.tdigest import TDigest
+
+    cut = min(cut, len(xs) - 1)
+    for cls, kw in ((TDigest, {"delta": 100}), (KLLSketch, {"k": 64})):
+        a = cls(**kw)
+        a.add_values(np.asarray(xs[:cut]))
+        b = cls(**kw)
+        b.add_values(np.asarray(xs[cut:]))
+        merged = a.merge(b)
+        assert merged.quantile(0.0) == min(xs)
+        assert merged.quantile(1.0) == max(xs)
+        assert min(xs) <= merged.quantile(0.5) <= max(xs)
