@@ -161,3 +161,62 @@ def test_quantile_sketches_merge_bounds(xs, cut):
         assert merged.quantile(0.0) == min(xs)
         assert merged.quantile(1.0) == max(xs)
         assert min(xs) <= merged.quantile(0.5) <= max(xs)
+
+
+_byte_strings = st.lists(st.binary(min_size=0, max_size=40), min_size=1,
+                         max_size=60)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=_byte_strings)
+def test_binary_hash_vectorized_matches_scalar(data):
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.sketches import hashing
+
+    arr = pa.array(data, type=pa.binary())
+    for name, scalar in (("fnv1a", hashing.fnv1a64),
+                         ("fnv1a_mix", hashing.fnv1a64_mix),
+                         ("wordfnv_mix", hashing.wordfnv64_mix)):
+        vec = hashing.hash_arrow_binary(arr, name)
+        for s, h in zip(data, vec):
+            assert scalar(s) == int(h), (name, s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                             allow_nan=False), min_size=0, max_size=300),
+       k=st.integers(1, 64), cut=st.integers(0, 300))
+def test_reservoir_properties(xs, k, cut):
+    from cardinalityestimation_ray.sketches.reservoir import ReservoirSample
+
+    cut = min(cut, len(xs))
+    a = ReservoirSample(k=k, seed=1)
+    a.add_values(np.asarray(xs[:cut]))
+    b = ReservoirSample(k=k, seed=2)
+    b.add_values(np.asarray(xs[cut:]))
+    merged = a.merge(b)
+    assert merged.n == len(xs)
+    s = merged.sample()
+    assert len(s) == min(k, len(xs))
+    assert set(s) <= set(xs)
+    rt = ReservoirSample.from_bytes(merged.to_bytes())
+    assert rt.n == merged.n and sorted(rt.sample()) == sorted(s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=_elements, ys=_elements, probe=st.integers(-2**31, 2**31 - 1))
+def test_countmin_merge_monotone(xs, ys, probe):
+    from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+
+    a = CountMinSketch(depth=3, width=1 << 8)
+    a.add_values(_arr(xs))
+    b = CountMinSketch(depth=3, width=1 << 8)
+    b.add_values(_arr(ys))
+    p = np.asarray([probe], dtype=np.int64)
+    ea = int(a.query_values(p)[0])
+    eb = int(b.query_values(p)[0])
+    merged = a.merge(b)
+    em = int(merged.query_values(p)[0])
+    assert em >= max(ea, eb)
+    assert em <= ea + eb  # counters add exactly
