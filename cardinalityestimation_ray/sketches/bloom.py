@@ -152,7 +152,12 @@ class BloomFilter(Sketch):
                    hash_name: str = hashing.DEFAULT_HASH) -> "BloomFilter":
         if blob[:4] != _MAGIC:
             raise ValueError("invalid bloom blob: bad magic")
-        num_bits, num_hashes, adds = struct.unpack_from("<QHQ", blob, 4)
+        try:
+            num_bits, num_hashes, adds = struct.unpack_from("<QHQ", blob, 4)
+        except struct.error as e:
+            raise ValueError(f"truncated bloom blob: {e}") from None
+        if num_bits < 8 or num_bits > (1 << 40) or (num_bits & (num_bits - 1)):
+            raise ValueError(f"invalid bloom blob: num_bits {num_bits}")
         out = cls(num_bits=num_bits, num_hashes=num_hashes, hash_name=hash_name)
         payload = blob[4 + struct.calcsize("<QHQ"):]
         if len(payload) != num_bits // 8:

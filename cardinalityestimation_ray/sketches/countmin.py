@@ -156,7 +156,10 @@ class CountMinSketch(Sketch):
                    hash_name: str = hashing.DEFAULT_HASH) -> "CountMinSketch":
         if blob[:4] != _MAGIC:
             raise ValueError("invalid count-min blob: bad magic")
-        depth, width, total = struct.unpack_from("<HIQ", blob, 4)
+        try:
+            depth, width, total = struct.unpack_from("<HIQ", blob, 4)
+        except struct.error as e:
+            raise ValueError(f"truncated count-min blob: {e}") from None
         out = cls(depth=depth, width=width, hash_name=hash_name)
         expected = depth * width * 8
         payload = blob[4 + struct.calcsize("<HIQ"):]

@@ -169,7 +169,12 @@ class KLLSketch(Sketch):
     def from_bytes(cls, blob: bytes) -> "KLLSketch":
         if blob[:4] != _MAGIC:
             raise ValueError("invalid KLL blob: bad magic")
-        k, levels, n, mn, mx = struct.unpack_from("<IIQdd", blob, 4)
+        try:
+            k, levels, n, mn, mx = struct.unpack_from("<IIQdd", blob, 4)
+        except struct.error as e:
+            raise ValueError(f"truncated KLL blob: {e}") from None
+        if k < 8:
+            raise ValueError(f"invalid KLL blob: k {k}")
         if levels > 64:
             raise ValueError(f"invalid KLL blob: {levels} levels")
         off = 4 + struct.calcsize("<IIQdd")

@@ -84,7 +84,12 @@ class ReservoirSample(Sketch):
     def from_bytes(cls, blob: bytes) -> "ReservoirSample":
         if blob[:4] != _MAGIC:
             raise ValueError("invalid reservoir blob: bad magic")
-        k, n, cnt = struct.unpack_from("<IQQ", blob, 4)
+        try:
+            k, n, cnt = struct.unpack_from("<IQQ", blob, 4)
+        except struct.error as e:
+            raise ValueError(f"truncated reservoir blob: {e}") from None
+        if k < 1 or cnt > k:
+            raise ValueError(f"invalid reservoir blob: k={k} cnt={cnt}")
         off = 4 + struct.calcsize("<IQQ")
         if len(blob) - off != cnt * 16:
             raise ValueError(

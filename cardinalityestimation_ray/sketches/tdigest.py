@@ -192,7 +192,12 @@ class TDigest(Sketch):
     def from_bytes(cls, blob: bytes) -> "TDigest":
         if blob[:4] != _MAGIC:
             raise ValueError("invalid t-digest blob: bad magic")
-        delta, n, mn, mx = struct.unpack_from("<IQdd", blob, 4)
+        try:
+            delta, n, mn, mx = struct.unpack_from("<IQdd", blob, 4)
+        except struct.error as e:
+            raise ValueError(f"truncated t-digest blob: {e}") from None
+        if delta < 10:
+            raise ValueError(f"invalid t-digest blob: delta {delta}")
         off = 4 + struct.calcsize("<IQdd")
         expected = 2 * n * 8
         if len(blob) - off != expected:

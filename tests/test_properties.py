@@ -220,3 +220,53 @@ def test_countmin_merge_monotone(xs, ys, probe):
     em = int(merged.query_values(p)[0])
     assert em >= max(ea, eb)
     assert em <= ea + eb  # counters add exactly
+
+
+@settings(max_examples=100, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=200))
+def test_from_bytes_fuzz_never_crashes(blob):
+    """Adversarial robustness: arbitrary blobs either parse or raise
+    ValueError — no other exception type escapes any deserializer."""
+    from cardinalityestimation_ray.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        KLLSketch,
+        ReservoirSample,
+        TDigest,
+    )
+
+    for cls in (HyperLogLog, CountMinSketch, BloomFilter, TDigest,
+                KLLSketch, ReservoirSample):
+        try:
+            cls.from_bytes(blob)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(magic=st.sampled_from([b"CMS1", b"BLM1", b"TDG1", b"KLL1", b"RSV1",
+                              b"\x03\x00", b"\x02\x00", b"\x01\x00"]),
+       tail=st.binary(min_size=0, max_size=120))
+def test_from_bytes_fuzz_with_valid_magic(magic, tail):
+    """Blobs that pass the magic/version check but carry garbage payloads
+    must still fail with ValueError only."""
+    import struct as _struct
+
+    from cardinalityestimation_ray.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        KLLSketch,
+        ReservoirSample,
+        TDigest,
+    )
+
+    del _struct
+    blob = magic + tail
+    for cls in (HyperLogLog, CountMinSketch, BloomFilter, TDigest,
+                KLLSketch, ReservoirSample):
+        try:
+            cls.from_bytes(blob)
+        except ValueError:
+            pass  # the only exception type allowed to escape
