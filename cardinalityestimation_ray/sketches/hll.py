@@ -495,7 +495,10 @@ class HyperLogLog(Sketch):
             dense = np.frombuffer(view, dtype=np.uint8, count=count, offset=pos).copy()
             pos += count
         count_additions = 0
-        if major >= 2 and minor >= 1:
+        # reference rule: CountAdditions present for format >= 2.1
+        # (CardinalityEstimatorSerializer.cs:328-333) — tuple compare so a
+        # hypothetical 3.0 blob keeps its counter.
+        if (major, minor) >= (2, 1):
             (count_additions,) = take("<Q")
         return cls.from_state(
             b=b,
