@@ -157,6 +157,11 @@ def hash_arrow_binary(arr: pa.Array, hash_name: str = "fnv1a") -> np.ndarray:
     splitmix64 finalizer on top; ``polars`` delegates to polars' native Rust
     string hash (~10x faster on long strings; stable within a polars
     version — use for throughput, not for cross-version persisted identity).
+
+    Output is positional (one hash per input slot); a null entry hashes as
+    the empty string because the offsets buffer carries no gap for it.
+    Callers needing SQL null semantics (the sketch ``add_arrow`` paths do
+    this) must ``drop_null()``/filter before calling.
     """
     if hash_name == "polars":
         import polars as pl

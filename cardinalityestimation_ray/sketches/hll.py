@@ -161,11 +161,17 @@ class HyperLogLog(Sketch):
         self.add_hashes(hashing.hash_fixed_batch(values, self.hash_name))
 
     def add_arrow(self, arr: pa.Array | pa.ChunkedArray) -> None:
-        """Vectorized add of an Arrow array (ints, floats, strings, binary)."""
+        """Vectorized add of an Arrow array (ints, floats, strings, binary).
+
+        Nulls are skipped (SQL ``COUNT(DISTINCT)`` semantics): they are
+        neither counted as an element nor included in ``count_additions``.
+        """
         if isinstance(arr, pa.ChunkedArray):
             for chunk in arr.chunks:
                 self.add_arrow(chunk)
             return
+        if arr.null_count:
+            arr = arr.drop_null()
         t = arr.type
         if pa.types.is_string(t) or pa.types.is_binary(t) or \
                 pa.types.is_large_string(t) or pa.types.is_large_binary(t):

@@ -69,13 +69,15 @@ class KLLSketch(Sketch):
         if len(items) < 2:
             return
         offset = int(self._rng.integers(0, 2))
-        promoted = items[offset::2]
         keep = np.empty(0, dtype=np.float64)
-        if len(items) % 2 == 1 and offset == 0:
-            # odd count promotes ceil(n/2); keep sizes consistent by leaving
-            # the last unpaired item in place instead
-            promoted = items[offset::2][:-1]
+        if len(items) % 2 == 1:
+            # odd count: the last item has no pair partner — keep it in
+            # place at its own weight regardless of the random offset, so
+            # total retained weight stays exactly n (round-1 ADVICE fix:
+            # offset==1 used to silently discard it).
             keep = items[-1:]
+            items = items[:-1]
+        promoted = items[offset::2]
         self.compactors[level] = keep
         if level + 1 >= len(self.compactors):
             self.compactors.append(np.empty(0, dtype=np.float64))

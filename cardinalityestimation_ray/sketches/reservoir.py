@@ -7,13 +7,20 @@ commutative like every other sketch here, so it plugs into the same
 partial/merge-tree scaffold (classic distributed reservoir sampling;
 Vitter 1985 lineage, bottom-k formulation).
 
-Tags come from a per-sketch seeded PCG stream: single-threaded runs are
-reproducible; merge order changes which occurrences win (uniformity holds
-regardless).
+Tag-stream independence matters: if every per-batch/per-partition partial
+drew tags from the SAME seeded stream, elements at equal intra-batch
+positions would share tags and the merged "uniform" sample would be
+position-correlated across partitions (round-1 ADVICE finding).  The
+default ``seed=None`` therefore draws fresh per-instance entropy from
+``os.urandom``; pass an explicit int seed only when single-process
+reproducibility is required and no two partials share it (the distributed
+stages mix a per-instance nonce in regardless via :func:`_instance_seed`).
 """
 
 from __future__ import annotations
 
+import itertools
+import os
 import struct
 
 import numpy as np
@@ -22,13 +29,27 @@ from .base import Sketch
 
 _MAGIC = b"RSV1"
 
+_instance_counter = itertools.count()
+
+
+def _instance_seed(seed: int | None) -> np.random.SeedSequence:
+    """Per-instance seed: explicit ``seed`` alone is reproducible; ``None``
+    mixes urandom entropy + a process-local counter so every instance —
+    including partials built from one shared spec across actors — gets an
+    independent tag stream."""
+    if seed is not None:
+        return np.random.SeedSequence(seed)
+    return np.random.SeedSequence(
+        [int.from_bytes(os.urandom(8), "little"),
+         os.getpid(), next(_instance_counter)])
+
 
 class ReservoirSample(Sketch):
     kind = "reservoir"
 
     __slots__ = ("k", "seed", "tags", "values", "n", "_rng")
 
-    def __init__(self, k: int = 1024, seed: int = 42):
+    def __init__(self, k: int = 1024, seed: int | None = None):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         self.k = k
@@ -36,7 +57,7 @@ class ReservoirSample(Sketch):
         self.tags = np.empty(0, dtype=np.uint64)
         self.values = np.empty(0, dtype=np.float64)
         self.n = 0
-        self._rng = np.random.Generator(np.random.PCG64(seed))
+        self._rng = np.random.Generator(np.random.PCG64(_instance_seed(seed)))
 
     def _keep_bottom_k(self, tags: np.ndarray, values: np.ndarray) -> None:
         if len(tags) > self.k:
@@ -69,11 +90,11 @@ class ReservoirSample(Sketch):
         return self
 
     def copy(self) -> "ReservoirSample":
-        out = ReservoirSample(self.k, self.seed)
+        out = ReservoirSample(self.k, None)  # fresh tag stream for the copy
+        out.seed = self.seed
         out.tags = self.tags.copy()
         out.values = self.values.copy()
         out.n = self.n
-        out._rng = np.random.Generator(np.random.PCG64(self.seed + 1))
         return out
 
     def to_bytes(self) -> bytes:

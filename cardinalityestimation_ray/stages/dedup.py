@@ -40,7 +40,29 @@ def minhash_signatures(text: pa.Array, num_perm: int = 64, *,
     for i in range(num_perm):
         mixed = hashing.splitmix64(h_s ^ seeds[i])
         sig[present, i] = np.minimum.reduceat(mixed, starts)
+    _fill_short_doc_signatures(sig, text, present, seeds)
     return sig
+
+
+def _fill_short_doc_signatures(sig: np.ndarray, text: pa.Array,
+                               present: np.ndarray, seeds: np.ndarray) -> None:
+    """Docs shorter than the shingle width produce zero n-grams; left as the
+    all-MAX64 sentinel they would collide in every LSH band and estimate
+    Jaccard 1.0 against each other (round-1 ADVICE finding). Mirror
+    :func:`exact_jaccard_char_ngrams`'s fallback — treat the whole string as
+    its single shingle — so signature-based verification agrees with the
+    exact kernel."""
+    n = sig.shape[0]
+    mask = np.zeros(n, dtype=bool)
+    mask[present] = True
+    missing = np.flatnonzero(~mask)
+    if len(missing) == 0:
+        return
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    whole = hashing.hash_arrow_binary(text.take(pa.array(missing)), "fnv1a_mix")
+    for i in range(sig.shape[1]):
+        sig[missing, i] = hashing.splitmix64(whole ^ seeds[i])
 
 
 def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:

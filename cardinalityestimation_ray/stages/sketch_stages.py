@@ -177,6 +177,11 @@ class HllColumnPartials:
         self.hash_name = hash_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.value_column]
+        if col.null_count:
+            # SQL COUNT(DISTINCT) semantics: null values are not elements.
+            # Filter whole rows so key alignment is preserved.
+            batch = batch.filter(pc.is_valid(col))
         h = _hash_column(batch, self.value_column, self.hash_name)
         if self.key_column is None:
             sk = HyperLogLog(b=self.b, use_direct_counting=self.use_direct,

@@ -103,8 +103,14 @@ class CheckpointStore:
 
 
 def _partition_id_for(path: str) -> str:
-    base = os.path.basename(path)
-    return base.replace(".parquet", "").replace(".", "_")
+    """Stable partition id: basename stem + short digest of the full path,
+    so same-named files in different directories get distinct lineage
+    records (round-1 ADVICE fix)."""
+    import hashlib
+
+    base = os.path.basename(path).replace(".parquet", "").replace(".", "_")
+    digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+    return f"{base}_{digest}"
 
 
 def _process_partition(input_file: str, checkpoint_root: str, b: int,
@@ -147,11 +153,15 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
                               fail_after: int | None = None) -> dict:
     """Resumable global distinct-token job over a list of Parquet files.
 
-    Skips partitions with a valid lineage record (input size unchanged),
-    processes the rest as parallel Ray tasks, then merges saved + fresh
-    partial sketches. ``fail_after`` aborts the driver loop after N fresh
-    completions (test hook simulating a crash — completed partitions keep
-    their records, so the next call resumes).
+    Skips partitions with a valid lineage record (input size, b, AND hash
+    unchanged — resuming under a different hash function must reprocess, not
+    silently merge sketches hashed under different functions), processes the
+    rest as parallel Ray tasks, then merges saved + fresh partial sketches.
+    The final merge is restricted to records for the CURRENT ``input_files``
+    — stale records for inputs removed from the job no longer inflate the
+    result (both round-1 ADVICE fixes). ``fail_after`` aborts the driver
+    loop after N fresh completions (test hook simulating a crash —
+    completed partitions keep their records, so the next call resumes).
     """
     import ray
 
@@ -165,7 +175,8 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
         pid = _partition_id_for(path)
         rec = done.get(pid)
         if rec is not None and rec.input_bytes == os.path.getsize(path) \
-                and rec.metrics.get("b") == b:
+                and rec.metrics.get("b") == b \
+                and rec.metrics.get("hash") == hash_name:
             continue
         pending.append(path)
 
@@ -193,7 +204,8 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
                 queue = []
                 break
 
-    recs = store.completed()
+    wanted = {_partition_id_for(p) for p in input_files}
+    recs = {pid: r for pid, r in store.completed().items() if pid in wanted}
     merged = HyperLogLog.merge_many(
         HyperLogLog.from_bytes(r.sketch_blob(), hash_name)
         for r in recs.values())

@@ -144,3 +144,72 @@ def test_corrupt_partition_fails_cleanly_then_resumes(corpus_files, tmp_path):
     res = resumable_distinct_tokens(files, ckpt, b=12)
     assert res["n_partitions"] == len(files)
     assert res["n_skipped"] == done_after_crash
+
+
+def test_removed_input_file_not_merged_from_stale_records(corpus_files, tmp_path):
+    """Round-1 ADVICE fix: resume merges only records for the CURRENT
+    input_files; dropping a file from the job must drop its partition."""
+    from cardinalityestimation_ray.state.checkpoint import (
+        resumable_distinct_tokens,
+    )
+
+    ckpt = str(tmp_path / "stale")
+    full = resumable_distinct_tokens(corpus_files, ckpt, b=14)
+    subset = corpus_files[:-2]
+    res = resumable_distinct_tokens(subset, ckpt, b=14)
+    assert res["n_partitions"] == len(subset)
+    assert res["n_fresh"] == 0  # all subset records reused
+    assert res["rows"] < full["rows"]
+
+    # direct run on the subset in a fresh store must agree exactly
+    fresh = resumable_distinct_tokens(subset, str(tmp_path / "fresh"), b=14)
+    assert res["distinct_tokens"] == fresh["distinct_tokens"]
+    assert res["rows"] == fresh["rows"]
+
+
+def test_hash_change_forces_reprocess(corpus_files, tmp_path):
+    """Round-1 ADVICE fix: a checkpoint written under hash A must not be
+    merged into a job running hash B."""
+    from cardinalityestimation_ray.state.checkpoint import (
+        resumable_distinct_tokens,
+    )
+
+    ckpt = str(tmp_path / "hashswap")
+    a = resumable_distinct_tokens(corpus_files, ckpt, b=14,
+                                  hash_name="fnv1a_mix")
+    b_run = resumable_distinct_tokens(corpus_files, ckpt, b=14,
+                                      hash_name="fnv1a")
+    assert b_run["n_skipped"] == 0  # nothing reused across hash functions
+    assert b_run["n_fresh"] == len(corpus_files)
+
+    # and the re-run result matches a clean run under the new hash
+    clean = resumable_distinct_tokens(corpus_files, str(tmp_path / "clean"),
+                                      b=14, hash_name="fnv1a")
+    assert b_run["distinct_tokens"] == clean["distinct_tokens"]
+
+
+def test_same_basename_different_dirs_distinct_partitions(tmp_path, ray_session):
+    """Round-1 ADVICE fix: partition id includes a path digest so two files
+    named block_0.parquet in different directories don't share a record."""
+    from cardinalityestimation_ray.sources.corpus import write_synthetic_corpus
+    from cardinalityestimation_ray.state.checkpoint import (
+        _partition_id_for, resumable_distinct_tokens,
+    )
+
+    import shutil
+
+    d1 = str(tmp_path / "a"); d2 = str(tmp_path / "b")
+    from cardinalityestimation_ray.sources.corpus import CorpusConfig
+    write_synthetic_corpus(d1, 300, CorpusConfig(seed=1), docs_per_block=300)
+    write_synthetic_corpus(d2, 300, CorpusConfig(seed=2), docs_per_block=300)
+    src1 = sorted(glob.glob(os.path.join(d1, "*.parquet")))[0]
+    src2 = sorted(glob.glob(os.path.join(d2, "*.parquet")))[0]
+    f1 = os.path.join(d1, "block.parquet"); f2 = os.path.join(d2, "block.parquet")
+    os.replace(src1, f1); os.replace(src2, f2)
+    assert os.path.basename(f1) == os.path.basename(f2)
+    assert _partition_id_for(f1) != _partition_id_for(f2)
+
+    ckpt = str(tmp_path / "ckpt")
+    res = resumable_distinct_tokens([f1, f2], ckpt, b=14)
+    assert res["n_partitions"] == 2
+    assert res["rows"] == 600

@@ -126,3 +126,54 @@ def test_wordfnv_vectorized_matches_scalar():
     # sliced (offset) arrays hash identically
     assert list(hashing.hash_arrow_binary(arr.slice(2, 4), "wordfnv_mix")) == \
         list(vec[2:6])
+
+
+class TestNullSemantics:
+    """Nulls in Arrow columns are skipped by every sketch ingest path
+    (SQL COUNT(DISTINCT) semantics) — ADVICE round-1 fix."""
+
+    def test_hll_add_arrow_skips_nulls(self):
+        import pyarrow as pa
+        from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+        vals = pa.array(["a", None, "b", None, "a", ""], type=pa.string())
+        h = HyperLogLog(b=14)
+        h.add_arrow(vals)
+        # distinct non-null: {"a", "b", ""} -> exact via direct mode
+        assert h.estimate() == 3
+        assert h.count_additions == 4  # nulls not counted as additions
+
+    def test_hll_null_not_same_as_empty_string(self):
+        import pyarrow as pa
+        from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+        only_nulls = pa.array([None, None], type=pa.string())
+        h = HyperLogLog(b=14)
+        h.add_arrow(only_nulls)
+        assert h.estimate() == 0
+
+    def test_bloom_and_cms_skip_nulls(self):
+        import pyarrow as pa
+        from cardinalityestimation_ray.sketches.bloom import BloomFilter
+        from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+
+        vals = pa.array([None, "x"], type=pa.string())
+        bf = BloomFilter(num_bits=1 << 12, num_hashes=5)
+        bf.add_arrow(vals)
+        assert bf.contains("x")
+        assert not bf.contains("")  # the null did not smuggle in ""
+
+        cms = CountMinSketch(depth=4, width=256)
+        cms.add_arrow(vals)
+        assert cms.query("x") >= 1
+        assert cms.query("") == 0
+
+    def test_hll_numeric_nulls_skipped(self):
+        import pyarrow as pa
+        from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+        vals = pa.array([1, None, 2, 2], type=pa.int32())
+        h = HyperLogLog(b=14)
+        h.add_arrow(vals)
+        assert h.estimate() == 2
+        assert h.count_additions == 3

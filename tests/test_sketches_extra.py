@@ -12,6 +12,7 @@ from cardinalityestimation_ray.sketches.bloom import BloomFilter
 from cardinalityestimation_ray.sketches.countmin import CountMinSketch
 from cardinalityestimation_ray.sketches.kll import KLLSketch
 from cardinalityestimation_ray.sketches.tdigest import TDigest
+from cardinalityestimation_ray.sketches.reservoir import ReservoirSample
 
 
 @pytest.fixture(scope="module")
@@ -296,3 +297,75 @@ def test_reservoir_via_ray_stage(ray_session):
     s = rs.sample()
     assert len(s) == 500
     assert abs(s.mean() - 25_000) < 4 * (50_000 / np.sqrt(12)) / np.sqrt(500)
+
+
+def test_reservoir_default_seed_streams_independent():
+    """Round-1 ADVICE fix: default-constructed reservoirs (the shape
+    GenericSketchPartials builds per batch from one shared spec) must not
+    share a tag stream, else merged samples are position-correlated."""
+    vals = np.arange(1000, dtype=np.float64)
+    a = ReservoirSample(k=1000)
+    b = ReservoirSample(k=1000)
+    a.add_values(vals)
+    b.add_values(vals)
+    assert not np.array_equal(np.sort(a.tags), np.sort(b.tags))
+
+
+def test_reservoir_merged_partials_uniform_across_partitions():
+    """8 default-seeded partials over disjoint ranges; merged k=400 sample
+    should draw from all partitions roughly evenly (binomial 3-sigma)."""
+    parts = []
+    for i in range(8):
+        r = ReservoirSample(k=400)
+        r.add_values(np.arange(i * 1000, (i + 1) * 1000, dtype=np.float64))
+        parts.append(r)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    samp = merged.sample()
+    assert len(samp) == 400
+    counts = np.bincount((samp // 1000).astype(int), minlength=8)
+    # E[count]=50, sigma=sqrt(400*(1/8)*(7/8))~6.6 -> 3 sigma ~ 20
+    assert np.all(np.abs(counts - 50) < 25), counts
+
+
+def test_reservoir_explicit_seed_reproducible():
+    a = ReservoirSample(k=10, seed=7)
+    b = ReservoirSample(k=10, seed=7)
+    vals = np.arange(100, dtype=np.float64)
+    a.add_values(vals)
+    b.add_values(vals)
+    assert np.array_equal(a.tags, b.tags)
+
+
+def test_kll_weight_conservation():
+    """Total retained weight (sum of 2^level over items) must equal n
+    exactly after any number of compactions — the odd-length/offset==1
+    path used to discard the unpaired item (round-1 ADVICE fix)."""
+    for seed in range(5):
+        kll = KLLSketch(k=16, seed=seed)  # tiny k -> many compactions
+        rng = np.random.default_rng(seed)
+        total = 0
+        for _ in range(30):
+            m = int(rng.integers(1, 400))
+            kll.add_values(rng.normal(size=m))
+            total += m
+        weight = sum(len(c) * 2 ** lvl for lvl, c in enumerate(kll.compactors))
+        assert weight == total == kll.n
+
+
+def test_minhash_short_docs_not_all_duplicates():
+    """Docs shorter than the shingle width must not collapse to a shared
+    all-sentinel signature (round-1 ADVICE fix)."""
+    import pyarrow as pa
+    from cardinalityestimation_ray.stages.dedup import (
+        estimate_jaccard, minhash_signatures)
+
+    text = pa.array(["cat", "dog", "cat", "", "elephant rides a bicycle daily"])
+    sig = minhash_signatures(text, num_perm=64, ngram=8)
+    assert not np.any(sig == np.iinfo(np.uint64).max)  # no sentinel survives
+    # identical short docs still match exactly...
+    assert estimate_jaccard(sig[0], sig[2]) == 1.0
+    # ...but different short docs do not
+    assert estimate_jaccard(sig[0], sig[1]) < 0.5
+    assert estimate_jaccard(sig[0], sig[3]) < 0.5
