@@ -187,6 +187,8 @@ def hash_arrow_binary(arr: pa.Array, hash_name: str = "fnv1a") -> np.ndarray:
     lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
     if hash_name == "wordfnv_mix":
         return splitmix64_inplace(wordfnv64_bytes_array(data, starts, lengths))
+    if hash_name == "xxhash64":
+        return xxh64_bytes_array(data, starts, lengths)
     h = fnv1a64_bytes_array(data, starts, lengths)
     if hash_name == "fnv1a":
         return h
@@ -438,6 +440,201 @@ def encode_str(x: str) -> bytes:
     return x.encode("utf-8")
 
 
+# ---------------------------------------------------------------------------
+# XXH64 — fills the reference's default-hash role (the reference defaults to
+# XxHash128→low64, CardinalityEstimator.cs:212-213; no xxhash wheel exists in
+# this environment, so the classic XXH64 — same family, published spec —
+# is implemented bit-exactly instead and registered as "xxhash64". Golden
+# vectors below are the published reference values (xxHash spec / python-
+# xxhash docs). Hash choice is pluggable exactly as in the reference
+# (GetHashCodeDelegate, CardinalityEstimator.cs:39-46).
+
+_XP1 = U64(0x9E3779B185EBCA87)
+_XP2 = U64(0xC2B2AE3D27D4EB4F)
+_XP3 = U64(0x165667B19E3779F9)
+_XP4 = U64(0x85EBCA77C2B2AE63)
+_XP5 = U64(0x27D4EB2F165667C5)
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _vrotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << U64(r)) | (x >> U64(64 - r))
+
+
+def _xxh_avalanche(h: np.ndarray) -> np.ndarray:
+    h ^= h >> U64(33)
+    h *= _XP2
+    h ^= h >> U64(29)
+    h *= _XP3
+    h ^= h >> U64(32)
+    return h
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """Scalar XXH64 (spec-exact; golden-vector-tested)."""
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _MASK64
+
+    P1, P2, P3, P4, P5 = (int(_XP1), int(_XP2), int(_XP3), int(_XP4), int(_XP5))
+    n = len(data)
+    i = 0
+    if n >= 32:
+        acc = [(seed + P1 + P2) & _MASK64, (seed + P2) & _MASK64,
+               seed & _MASK64, (seed - P1) & _MASK64]
+        while i + 32 <= n:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                acc[j] = (rotl((acc[j] + lane * P2) & _MASK64, 31) * P1) & _MASK64
+            i += 32
+        h = (rotl(acc[0], 1) + rotl(acc[1], 7)
+             + rotl(acc[2], 12) + rotl(acc[3], 18)) & _MASK64
+        for a in acc:
+            h = (((h ^ ((rotl((a * P2) & _MASK64, 31) * P1) & _MASK64))
+                  * P1) + P4) & _MASK64
+    else:
+        h = (seed + P5) & _MASK64
+    h = (h + n) & _MASK64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h = (rotl(h ^ ((rotl((lane * P2) & _MASK64, 31) * P1) & _MASK64), 27)
+             * P1 + P4) & _MASK64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = (rotl(h ^ ((lane * P1) & _MASK64), 23) * P2 + P3) & _MASK64
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * P5) & _MASK64), 11) * P1) & _MASK64
+        i += 1
+    h ^= h >> 33
+    h = (h * int(_XP2)) & _MASK64
+    h ^= h >> 29
+    h = (h * int(_XP3)) & _MASK64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_step8(h: np.ndarray, lane: np.ndarray) -> np.ndarray:
+    return _vrotl64(h ^ (_vrotl64(lane * _XP2, 31) * _XP1), 27) * _XP1 + _XP4
+
+
+def _xxh_step4(h: np.ndarray, lane32: np.ndarray) -> np.ndarray:
+    return _vrotl64(h ^ (lane32 * _XP1), 23) * _XP2 + _XP3
+
+
+def _xxh_step1(h: np.ndarray, byte: np.ndarray) -> np.ndarray:
+    return _vrotl64(h ^ (byte * _XP5), 11) * _XP1
+
+
+def xxh64_fixed(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized XXH64 of fixed-width (4/8-byte LE image) elements.
+
+    Bit-identical to ``xxh64(struct.pack('<I'/'<Q', v))`` — preserves the
+    reference's Add(123) == Add(LE bytes) identity rule under xxhash64.
+    Pure numpy: two rotate-multiply passes + avalanche per batch.
+    """
+    values = np.ascontiguousarray(values)
+    if values.dtype == np.float32:
+        values = values.view(np.uint32)
+    elif values.dtype == np.float64:
+        values = values.view(np.uint64)
+    width = values.dtype.itemsize
+    n = len(values)
+    h = np.full(n, (seed + int(_XP5) + width) & _MASK64, dtype=np.uint64)
+    if width == 4:
+        lane = values.astype(np.uint32, copy=False).astype(np.uint64)
+        h = _xxh_step4(h, lane)
+    elif width == 8:
+        lane = values.view(np.uint64).astype(np.uint64, copy=False)
+        h = _xxh_step8(h, lane)
+    else:
+        raise TypeError(f"unsupported dtype for xxh64_fixed: {values.dtype}")
+    return _xxh_avalanche(h)
+
+
+def _gather_u64(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Unaligned little-endian u64 loads at arbitrary byte positions."""
+    out = data[pos].astype(np.uint64)
+    for j in range(1, 8):
+        out |= data[pos + j].astype(np.uint64) << U64(8 * j)
+    return out
+
+
+def _gather_u32(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    out = data[pos].astype(np.uint64)
+    for j in range(1, 4):
+        out |= data[pos + j].astype(np.uint64) << U64(8 * j)
+    return out
+
+
+def xxh64_bytes_array(data: np.ndarray, starts: np.ndarray,
+                      lengths: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized XXH64 over n variable-length byte strings (all lengths).
+
+    Strings are processed in parallel position-wise: the 32-byte block loop
+    iterates max(n_blocks) rounds over a shrinking active set; the ≤31-byte
+    tail is three masked 8-byte steps + one 4-byte + three 1-byte steps.
+    Bit-identical to :func:`xxh64` on every element.
+    """
+    n = len(starts)
+    starts = starts.astype(np.int64, copy=False)
+    lengths = lengths.astype(np.int64, copy=False)
+    h = np.empty(n, dtype=np.uint64)
+    nblocks = lengths >> 5
+    big = np.flatnonzero(nblocks > 0)
+    if len(big):
+        m = len(big)
+        acc = [np.full(m, (seed + int(_XP1) + int(_XP2)) & _MASK64, dtype=np.uint64),
+               np.full(m, (seed + int(_XP2)) & _MASK64, dtype=np.uint64),
+               np.full(m, seed & _MASK64, dtype=np.uint64),
+               np.full(m, (seed - int(_XP1)) & _MASK64, dtype=np.uint64)]
+        pos = starts[big].copy()
+        remaining = nblocks[big].copy()
+        act = np.arange(m)
+        while len(act):
+            p = pos[act]
+            for j in range(4):
+                lane = _gather_u64(data, p + 8 * j)
+                acc[j][act] = _vrotl64(acc[j][act] + lane * _XP2, 31) * _XP1
+            pos[act] += 32
+            remaining[act] -= 1
+            act = act[remaining[act] > 0]
+        hh = (_vrotl64(acc[0], 1) + _vrotl64(acc[1], 7)
+              + _vrotl64(acc[2], 12) + _vrotl64(acc[3], 18))
+        for a in acc:
+            hh = (hh ^ (_vrotl64(a * _XP2, 31) * _XP1)) * _XP1 + _XP4
+        h[big] = hh
+    small = nblocks == 0
+    h[small] = U64((seed + int(_XP5)) & _MASK64)
+    h += lengths.astype(np.uint64)
+    tail_start = starts + (nblocks << 5)
+    tail_len = lengths & 31
+    # up to three 8-byte tail steps
+    n8 = tail_len >> 3
+    for k in range(3):
+        i = np.flatnonzero(n8 > k)
+        if len(i) == 0:
+            break
+        lane = _gather_u64(data, tail_start[i] + 8 * k)
+        h[i] = _xxh_step8(h[i], lane)
+    # one optional 4-byte step
+    pos4 = tail_start + (n8 << 3)
+    has4 = (tail_len & 7) >= 4
+    i = np.flatnonzero(has4)
+    if len(i):
+        h[i] = _xxh_step4(h[i], _gather_u32(data, pos4[i]))
+    # up to three 1-byte steps
+    posb = pos4 + (has4.astype(np.int64) << 2)
+    rem = tail_len & 3
+    for t in range(3):
+        i = np.flatnonzero(rem > t)
+        if len(i) == 0:
+            break
+        h[i] = _xxh_step1(h[i], data[posb[i] + t].astype(np.uint64))
+    return _xxh_avalanche(h)
+
+
 def encode_element(x) -> bytes:
     """Normalize a scalar element to its identity bytes (reference rules)."""
     if isinstance(x, bytes):
@@ -467,6 +664,7 @@ HASH_FUNCTIONS = {
     "fnv1a_mix": fnv1a64_mix,
     "wordfnv_mix": wordfnv64_mix,
     "murmur3": murmur3_128_x64_low64,
+    "xxhash64": xxh64,
     "splitmix64": lambda data: splitmix64_scalar(int.from_bytes(data[:8].ljust(8, b"\0"), "little")),
 }
 
@@ -486,6 +684,8 @@ def hash_fixed_batch(values: np.ndarray, hash_name: str = DEFAULT_HASH) -> np.nd
         return fnv1a64_fixed(values)
     if hash_name == "fnv1a_mix":
         return splitmix64_inplace(fnv1a64_fixed(values))
+    if hash_name == "xxhash64":
+        return xxh64_fixed(values)
     if hash_name in ("splitmix64", "polars"):
         # "polars" numeric identity rule: the 64-bit integer value (fast mixer)
         return splitmix64(values.astype(np.uint64, copy=False))

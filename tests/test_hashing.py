@@ -177,3 +177,87 @@ class TestNullSemantics:
         h.add_arrow(vals)
         assert h.estimate() == 2
         assert h.count_additions == 3
+
+
+class TestXXH64:
+    """XXH64 fills the reference's default-hash role
+    (CardinalityEstimator.cs:212-213 defaults to the xxHash family; hash is
+    pluggable per GetHashCodeDelegate). Golden vectors are the published
+    XXH64 reference values."""
+
+    GOLDEN = [
+        (b"", 0, 0xEF46DB3751D8E999),
+        (b"a", 0, 0xD24EC4F1A98C6E5B),
+        (b"abc", 0, 0x44BC2CF5AD770999),
+        (b"xxhash", 20141025, 13067679811253438005),
+        (b"Nobody inspects the spammish repetition", 0, 0xFBCEA83C8A378BF1),
+    ]
+
+    def test_golden_vectors(self):
+        from cardinalityestimation_ray.sketches.hashing import xxh64
+
+        for data, seed, want in self.GOLDEN:
+            assert xxh64(data, seed) == want, data
+
+    def test_vectorized_bytes_equals_scalar_all_lengths(self):
+        import numpy as np
+
+        from cardinalityestimation_ray.sketches.hashing import (
+            xxh64, xxh64_bytes_array)
+
+        rng = np.random.default_rng(3)
+        blobs = [bytes(rng.integers(0, 256, size=ln, dtype=np.uint8))
+                 for ln in list(range(0, 40)) + [63, 64, 65, 100, 200, 1000]]
+        data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        lengths = np.array([len(b) for b in blobs], dtype=np.int64)
+        starts = np.r_[0, np.cumsum(lengths)[:-1]]
+        vec = xxh64_bytes_array(data, starts, lengths)
+        for i, b in enumerate(blobs):
+            assert int(vec[i]) == xxh64(b), (i, len(b))
+
+    def test_fixed_width_byte_identity(self):
+        """Add(123) == Add(LE bytes of 123) under xxhash64 — the reference's
+        element-identity invariant (CardinalityEstimatorTests.cs:750-770)."""
+        import struct
+
+        import numpy as np
+
+        from cardinalityestimation_ray.sketches.hashing import (
+            xxh64, xxh64_fixed)
+
+        vals32 = np.array([0, 1, 123, -1, 2**31 - 1], dtype=np.int32)
+        out32 = xxh64_fixed(vals32)
+        for i, v in enumerate(vals32):
+            assert int(out32[i]) == xxh64(struct.pack("<i", int(v)))
+
+        vals64 = np.array([0, 123, -5, 2**63 - 1], dtype=np.int64)
+        out64 = xxh64_fixed(vals64)
+        for i, v in enumerate(vals64):
+            assert int(out64[i]) == xxh64(struct.pack("<q", int(v)))
+
+        f64 = np.array([0.0, 1.5, -2.25], dtype=np.float64)
+        outf = xxh64_fixed(f64)
+        for i, v in enumerate(f64):
+            assert int(outf[i]) == xxh64(struct.pack("<d", float(v)))
+
+    def test_registered_in_dispatch(self):
+        import pyarrow as pa
+
+        import numpy as np
+
+        from cardinalityestimation_ray.sketches import hashing
+        from cardinalityestimation_ray.sketches.hll import HyperLogLog
+
+        assert hashing.hash_scalar(b"abc", "xxhash64") == 0x44BC2CF5AD770999
+        arr = pa.array(["abc", "", "a"])
+        out = hashing.hash_arrow_binary(arr, "xxhash64")
+        assert int(out[0]) == 0x44BC2CF5AD770999
+        assert int(out[1]) == 0xEF46DB3751D8E999
+
+        # end-to-end: HLL under xxhash64, exact regime + estimate regime
+        h = HyperLogLog(b=14, hash_name="xxhash64")
+        h.add_values(np.arange(50, dtype=np.int64))
+        assert h.estimate() == 50
+        h2 = HyperLogLog(b=14, hash_name="xxhash64")
+        h2.add_values(np.arange(200_000, dtype=np.int64))
+        assert abs(h2.estimate() / 200_000 - 1) < 3 * 1.04 / 2**7
