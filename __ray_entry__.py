@@ -404,6 +404,113 @@ def _q_customer_order_counts(sf_dir: str):
     return out.to_pandas().sort_values("c_name").reset_index(drop=True)
 
 
+def _q_sliding_event_windows(sf_dir: str):
+    """Sliding-window (60 min window / 30 min slide) exact per-key counts."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import sliding_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    df = sliding_window_agg(ev, window_minutes=60, slide_minutes=30)
+    out = df[["event_type", "window_start", "n_events"]].copy()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out
+
+
+def _q_salted_distinct_docs_by_source(sf_dir: str):
+    """Salted two-level skew-safe merge — exact at sf0.01 (<=100 distinct
+    doc_ids per source -> direct-counting regime), so the salted path is
+    oracle-checked against COUNT(DISTINCT) AND must equal the unsalted
+    pipeline bit-for-bit (register-max commutativity)."""
+    import ray.data
+
+    from cardinalityestimation_ray.stages.partitioning import (
+        salted_distinct_column_by_key,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    out = salted_distinct_column_by_key(
+        docs, "doc_id", "source", b=14, num_salts=8,
+        estimate_name="distinct_docs", count_name="n_docs")
+    return out.to_pandas().sort_values("source").reset_index(drop=True)
+
+
+def _q_bloom_semi_join_orders(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join: orders by BUILDING-segment
+    customers, grouped by order status."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        broadcast_semi_join,
+    )
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    build = cust.filter(
+        expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    keys = build.to_pandas()["c_custkey"].to_numpy()
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderstatus"])
+    joined = broadcast_semi_join(orders, keys, "o_custkey")
+    out = joined.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"))
+    return out.to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def _q_reservoir_sample_ntok(sf_dir: str):
+    """Mergeable bottom-k reservoir over doc n_chars (rows-only: the sample
+    is random; uniformity is pytest-asserted)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sampling import (
+        reservoir_sample_summary,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["n_chars"])
+    return reservoir_sample_summary(docs, "n_chars", k=256)
+
+
+def _q_incremental_distinct_docs(sf_dir: str):
+    """Incremental append-merge: sketch the corpus in two batches (doc_id
+    parity split), persist + merge, and the final table must equal the
+    full-scan COUNT(DISTINCT) (exact at sf0.01 via direct counting)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.incremental import (
+        incremental_distinct_update,
+    )
+
+    def docs():
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "source"])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "sketches.parquet")
+        half_a = docs().map_batches(
+            lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+            batch_format="pyarrow")
+        half_b = docs().map_batches(
+            lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+            batch_format="pyarrow")
+        incremental_distinct_update(path, half_a, key_column="source",
+                                    value_column="doc_id", explode_list=False)
+        out = incremental_distinct_update(path, half_b, key_column="source",
+                                          value_column="doc_id",
+                                          explode_list=False)
+    out = out.rename(columns={"distinct_tokens": "distinct_docs",
+                              "total_tokens": "n_docs"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_tokens_by_source": _q_hll_distinct_tokens_by_source,
@@ -436,6 +543,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "sliding_event_windows": _q_sliding_event_windows,
+        "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "reservoir_sample_ntok": _q_reservoir_sample_ntok,
+        "incremental_distinct_docs": _q_incremental_distinct_docs,
     }
 
 
@@ -600,6 +712,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.text = b.text AND a.doc_id < b.doc_id
         """,
+        "sliding_event_windows": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '30 minutes', ts)
+                     - CAST(i AS INTEGER) * INTERVAL '30 minutes'
+                     AS window_start,
+                   count(*) AS n_events
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+            GROUP BY event_type, window_start
+        """,
+        "salted_distinct_docs_by_source": """
+            SELECT source,
+                   count(DISTINCT doc_id) AS distinct_docs,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY source
+        """,
+        "bloom_semi_join_orders": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderstatus
+        """,
+        "incremental_distinct_docs": """
+            SELECT source,
+                   count(DISTINCT doc_id) AS distinct_docs,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY source
+        """,
+        # reservoir_sample_ntok: random sample -> rows-only check
+        # (uniformity pytest-asserted)
         # doc_quality_scores / minhash_dedup_pairs / simhash_dedup_pairs /
         # embedding_dup_pairs / ann_topk_ivf: approximate or probabilistic
         # recall -> rows-only checks (planted-duplicate recall and bounds are

@@ -69,3 +69,52 @@ def bloom_semi_join(ds, filter_blob_ref, column: str, *, negate: bool = False):
             return batch.filter(pa.array(mask))
 
     return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
+                        num_bits: int = 1 << 20, num_hashes: int = 7,
+                        negate: bool = False):
+    """EXACT semi-join (or anti-join) of ``ds`` against a small build-side
+    key set, with the Bloom filter as a shuffle-free prefilter.
+
+    The production pattern for "filter 100 TB of rows by a million-key
+    lookup": ship (ray.put, fetched once per actor) a Bloom filter + the
+    sorted exact key array; each batch tests the Bloom first (rejects the
+    vast majority with ~1 cache line per element) and verifies survivors
+    against the exact set with a binary search. Results are EXACT — the
+    Bloom can only over-admit and every admit is verified — so the operator
+    is oracle-checkable against ``WHERE col [NOT] IN build``. No shuffle of
+    ``ds`` anywhere.
+    """
+    import ray
+
+    keys = np.unique(np.asarray(build_keys))
+    bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+    bf.add_values(keys)
+    bundle = ray.put((bf.to_bytes(), keys))
+
+    class Probe:
+        def __init__(self):
+            blob, exact = ray.get(bundle)
+            self.bf = BloomFilter.from_bytes(blob)
+            self.exact = exact  # sorted by np.unique
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch[column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.to_numpy(zero_copy_only=False)
+            mask = self.bf.contains_values(vals)
+            if mask.any():
+                # exact verify only for bloom-admitted rows
+                hit = np.flatnonzero(mask)
+                pos = np.searchsorted(self.exact, vals[hit])
+                pos_ok = pos < len(self.exact)
+                confirmed = np.zeros(len(hit), dtype=bool)
+                confirmed[pos_ok] = self.exact[pos[pos_ok]] == vals[hit][pos_ok]
+                mask[hit] = confirmed
+            if negate:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))

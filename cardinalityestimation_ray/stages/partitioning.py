@@ -103,3 +103,44 @@ def salted_distinct_tokens_by_key(tokens_ds, key_column: str = "source", *,
         Sum("n_added", alias_name="total_tokens"),
     )
     return lvl2.rename_columns({"estimate": "distinct_tokens"})
+
+
+def salted_distinct_column_by_key(ds, value_column: str, key_column: str, *,
+                                  b: int = 14, num_salts: int = 16,
+                                  hash_name: str = hashing.DEFAULT_HASH,
+                                  estimate_name: str = "distinct_values",
+                                  count_name: str = "n_rows"):
+    """Scalar-column variant of :func:`salted_distinct_tokens_by_key`
+    (e.g. distinct doc_ids per source): identical two-level salted merge,
+    partials built by HllColumnPartials instead of the token-list explode.
+    Register-max commutativity makes the result identical to the unsalted
+    merge AND to the single-process estimator.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sketch_stages import HllColumnPartials
+
+    partials = ds.map_batches(
+        HllColumnPartials(value_column, b=b, key_column=key_column,
+                          hash_name=hash_name),
+        batch_format="pyarrow",
+    )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        col = batch["sketch"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hashing.hash_arrow_binary(col, hashing.DEFAULT_HASH)
+        salt = (h % np.uint64(num_salts)).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt))
+
+    salted = partials.map_batches(add_salt, batch_format="pyarrow")
+    lvl1 = salted.groupby([key_column, "salt"]).aggregate(
+        hll_merge_aggregate(b=b, hash_name=hash_name, finalize_to="sketch"),
+        Sum("n_added", alias_name="n_added"),
+    )
+    lvl2 = lvl1.groupby(key_column).aggregate(
+        hll_merge_aggregate(b=b, hash_name=hash_name, blob_column="hll"),
+        Sum("n_added", alias_name=count_name),
+    )
+    return lvl2.rename_columns({"estimate": estimate_name})

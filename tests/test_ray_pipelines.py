@@ -705,3 +705,82 @@ def test_embedding_dedup_degenerate_bucket_capped(_ray):
     # no false positives into the unrelated vectors
     assert not any(i >= 300 for i in pairs["id_a"]) and \
         not any(i >= 300 and j < 300 for i, j in zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_broadcast_semi_join_exact(_ray):
+    """Bloom prefilter + exact verify == plain membership filter; anti-join
+    is the complement."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        broadcast_semi_join,
+    )
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 10_000, size=20_000)
+    keys = rng.choice(10_000, size=500, replace=False)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": vals})).repartition(4)
+
+    semi = broadcast_semi_join(ds, keys, "k").to_pandas()
+    anti = broadcast_semi_join(ds, keys, "k", negate=True).to_pandas()
+    member = np.isin(vals, keys)
+    assert len(semi) == int(member.sum())
+    assert len(anti) == int((~member).sum())
+    assert set(semi["k"]) <= set(keys.tolist())
+    assert not (set(anti["k"]) & set(keys.tolist()))
+
+
+def test_salted_distinct_column_matches_unsalted(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_column_by_key,
+    )
+    from cardinalityestimation_ray.stages.partitioning import (
+        salted_distinct_column_by_key,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    df = pd.DataFrame({
+        "val": rng.integers(0, 800, size=n),
+        "grp": rng.choice(["a", "b", "c"], size=n, p=[0.8, 0.15, 0.05]),
+    })
+
+    def make():
+        return ray.data.from_pandas(df).repartition(6)
+
+    salted = salted_distinct_column_by_key(
+        make(), "val", "grp", b=12, num_salts=8,
+        estimate_name="distinct_values", count_name="n_rows"
+    ).to_pandas().sort_values("grp").reset_index(drop=True)
+    plain = distinct_column_by_key(
+        make(), "val", "grp", b=12,
+        estimate_name="distinct_values", count_name="n_rows",
+    )
+    if not isinstance(plain, pd.DataFrame):
+        plain = plain.to_pandas()
+    plain = plain.sort_values("grp").reset_index(drop=True)
+    # register-max commutativity: estimates identical, not just close
+    assert salted["distinct_values"].tolist() == plain["distinct_values"].tolist()
+    assert salted["n_rows"].tolist() == plain["n_rows"].tolist()
+
+
+def test_reservoir_sample_pipeline_uniform(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sampling import (
+        reservoir_sample_column,
+    )
+
+    n = 40_000
+    df = pd.DataFrame({"x": np.arange(n, dtype=np.float64)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    rs, total = reservoir_sample_column(ds, "x", k=2000)
+    assert total == n
+    samp = rs.sample()
+    assert len(samp) == 2000
+    # uniformity: decile occupancy within binomial 4-sigma
+    counts = np.bincount((samp // (n // 10)).astype(int), minlength=10)
+    sigma = np.sqrt(2000 * 0.1 * 0.9)
+    assert np.all(np.abs(counts - 200) < 4 * sigma), counts
