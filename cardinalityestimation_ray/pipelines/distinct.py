@@ -35,7 +35,8 @@ def _keyed_result_frame(merged: dict, key_column: str, estimate_name: str,
 def global_distinct_tokens(tokens_ds, b: int = 14,
                            hash_name: str = hashing.DEFAULT_HASH,
                            fanout: int = 64,
-                           concurrency=None) -> dict:
+                           concurrency=None,
+                           batch_size: int | None = 4096) -> dict:
     """Estimate distinct token ids across the corpus.
 
     Returns {"distinct_tokens": int, "total_tokens": int, "sketch": HyperLogLog}.
@@ -53,12 +54,13 @@ def global_distinct_tokens(tokens_ds, b: int = 14,
 
     if concurrency is None:
         partials = tokens_ds.map_batches(
-            HllTokenPartials(b=b, hash_name=hash_name), batch_format="pyarrow")
+            HllTokenPartials(b=b, hash_name=hash_name), batch_format="pyarrow",
+            batch_size=batch_size)
     else:
         partials = tokens_ds.map_batches(
             HllTokenPartials, batch_format="pyarrow",
             fn_constructor_kwargs={"b": b, "hash_name": hash_name},
-            concurrency=concurrency, num_cpus=1)
+            concurrency=concurrency, num_cpus=1, batch_size=batch_size)
     sketch, total = tree_merge_partials(partials, "hll", fanout=fanout)
     if sketch is None:
         sketch = HyperLogLog(b=b, hash_name=hash_name)
@@ -71,7 +73,8 @@ def global_distinct_tokens(tokens_ds, b: int = 14,
 
 def distinct_tokens_by_source(tokens_ds, b: int = 14,
                               hash_name: str = hashing.DEFAULT_HASH,
-                              strategy: str = "tree") -> pd.DataFrame:
+                              strategy: str = "tree",
+                              batch_size: int | None = 4096) -> pd.DataFrame:
     """Per-source distinct-token estimate + exact token count.
 
     The merge runs over partial-sketch rows (a few per source per batch), so
@@ -84,7 +87,7 @@ def distinct_tokens_by_source(tokens_ds, b: int = 14,
     """
     partials = tokens_ds.map_batches(
         HllTokenPartials(b=b, key_column="source", hash_name=hash_name),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=batch_size,
     )
     if strategy == "tree":
         merged = tree_merge_keyed_partials(partials, "source", hash_name=hash_name)
