@@ -39,7 +39,22 @@ def token_topk_exact(tokens_ds, k: int = 100, token_column: str = "tokens"):
     partial = tokens_ds.map_batches(
         lambda b: _batch_token_counts(b, token_column), batch_format="pyarrow")
     agg = partial.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
-    top = agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+    def block_topk(tbl: pa.Table) -> pa.Table:
+        # post-groupby every token lives in exactly one row, so a per-block
+        # top-k is a lossless prune: any global top-k row survives its own
+        # block's top-k. Shrinks the final sort from vocab-sized to
+        # k x blocks rows.
+        if len(tbl) <= k:
+            return tbl
+        cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+        tok = tbl["token"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tok, -cnt))[:k]
+        return tbl.take(pa.array(np.sort(idx)))
+
+    pruned = agg.map_batches(block_topk, batch_format="pyarrow",
+                             batch_size=None)
+    top = pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
     return top.to_pandas()
 
 
