@@ -2,12 +2,18 @@
 
 Binary media ride as opaque ``binary`` columns with typed metadata columns
 next to them. Decode / feature-extraction run as ACTOR-POOL map_batches
-stages (decoder state built once per actor in __init__). The image/audio
-codec libraries are not in this container, so the codec call itself is
-stubbed: ``decoder="fake"`` (default) runs a deterministic stand-in so the
-Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested; ``decoder="pil"``/``"soundfile"`` raise
-NotImplementedError until the libs exist.
+stages (decoder state built once per actor in __init__).
+
+Decoder backends:
+- ``"bmp"`` / ``"wav"`` — REAL pure-numpy codecs for the uncompressed
+  published formats (stages/codecs.py): actual pixel/sample decode with
+  bounds-validated headers.
+- ``"fake"`` (default) — deterministic stand-in keeping the Ray plumbing
+  (schema, batch sizing, actor signature, output layout) testable with
+  arbitrary payload bytes.
+- ``"pil"``/``"soundfile"``/``"pyav"`` — compressed formats need external
+  libs absent from this container; they raise NotImplementedError and are
+  the only line to swap on a real deployment.
 
 Memory rule for media: batches of large binary payloads must be SMALL —
 ``media_batch_size`` defaults to 32 rows so batch x concurrency stays within
@@ -69,14 +75,20 @@ class ImageDecodeStage:
         self.out_size = out_size
         if decoder == "pil":
             raise NotImplementedError(
-                "PIL is not available in this container; use decoder='fake' "
-                "(deterministic stand-in) — the Ray plumbing is identical")
-        if decoder not in ("fake",):
+                "PIL is not available in this container (needed for "
+                "JPEG/PNG); use decoder='bmp' (real pure-numpy decode of "
+                "24-bit BMP payloads) or 'fake'")
+        if decoder not in ("fake", "bmp"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _decode_one(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        # STUB: deterministic pixels from the payload hash; a real decoder
-        # returns the actual HxWx3 array and this is the only line to swap
+        if self.decoder == "bmp":
+            from .codecs import decode_bmp, resize_nearest
+
+            img = decode_bmp(payload)
+            return resize_nearest(img, self.out_size, self.out_size)
+        # "fake": deterministic pixels from the payload hash; keeps the
+        # plumbing testable with arbitrary payload bytes
         seed = hashing.fnv1a64_mix(payload[:64])
         g = np.random.Generator(np.random.PCG64(seed))
         return g.integers(0, 256, size=(self.out_size, self.out_size, 3),
@@ -136,19 +148,39 @@ class AudioFrameSampleStage:
     def __init__(self, decoder: str = "fake", n_frames: int = 16):
         if decoder == "soundfile":
             raise NotImplementedError(
-                "soundfile is not available in this container; use "
-                "decoder='fake'")
-        if decoder not in ("fake",):
+                "soundfile is not available in this container (needed for "
+                "FLAC/OGG); use decoder='wav' (real pure-numpy PCM-16 "
+                "decode) or 'fake'")
+        if decoder not in ("fake", "wav"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.n_frames = n_frames
 
+    def _frame_energies(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "wav":
+            from .codecs import decode_wav_pcm16
+
+            samples, _rate = decode_wav_pcm16(payload)
+            if samples.ndim == 2:
+                samples = samples.mean(axis=1)
+            x = samples.astype(np.float64) / 32768.0
+            n = len(x)
+            if n == 0:
+                return np.zeros(self.n_frames, dtype=np.float32)
+            # RMS energy over n_frames equal windows (trailing partial
+            # window folded into the last frame)
+            edges = np.linspace(0, n, self.n_frames + 1).astype(np.int64)
+            sq = np.r_[0.0, np.cumsum(x * x)]
+            counts = np.maximum(edges[1:] - edges[:-1], 1)
+            rms = np.sqrt((sq[edges[1:]] - sq[edges[:-1]]) / counts)
+            return rms.astype(np.float32)
+        seed = hashing.fnv1a64_mix(payload[:64])
+        g = np.random.Generator(np.random.PCG64(seed))
+        return g.random(self.n_frames, dtype=np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for payload in batch["payload"].to_pylist():
-            seed = hashing.fnv1a64_mix(payload[:64])
-            g = np.random.Generator(np.random.PCG64(seed))
-            out.append(g.random(self.n_frames, dtype=np.float32))
-        frames = np.stack(out)
+        frames = np.stack([self._frame_energies(p)
+                           for p in batch["payload"].to_pylist()])
         return pa.table({
             "media_id": batch["media_id"],
             "frame_energy": pa.FixedSizeListArray.from_arrays(

@@ -1,0 +1,165 @@
+"""Pure-numpy BMP/WAV codecs + real-decode multimodal stages.
+
+The codecs are the published uncompressed byte layouts (24-bit BI_RGB BMP;
+RIFF PCM-16 WAV) implemented with struct + numpy only — they upgrade the
+multimodal stages from deterministic stubs to REAL decode paths for these
+formats in this container.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cardinalityestimation_ray.stages.codecs import (
+    decode_bmp,
+    decode_wav_pcm16,
+    encode_bmp,
+    encode_wav_pcm16,
+    resize_nearest,
+)
+
+
+class TestBmp:
+    def test_round_trip_exact(self):
+        rng = np.random.default_rng(0)
+        for h, w in [(1, 1), (3, 5), (16, 16), (31, 33), (64, 7)]:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+
+    def test_known_pixel_layout(self):
+        # 1x2 image: header 54 bytes, row = B G R B G R + 2 pad bytes
+        img = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+        blob = encode_bmp(img)
+        assert blob[:2] == b"BM"
+        assert blob[54:60] == bytes([3, 2, 1, 6, 5, 4])  # BGR order
+        assert len(blob) == 54 + 8  # padded row
+
+    @pytest.mark.parametrize("mutate", [
+        lambda b: b[:40],                      # truncated header
+        lambda b: b"XX" + b[2:],               # bad magic
+        lambda b: b[:-10],                     # truncated pixels
+        lambda b: b[:28] + bytes([8, 0]) + b[30:],   # bpp=8
+    ])
+    def test_adversarial_rejected(self, mutate):
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        blob = mutate(encode_bmp(img))
+        with pytest.raises(ValueError):
+            decode_bmp(blob)
+
+    def test_resize_nearest(self):
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        out = resize_nearest(img, 2, 3)
+        assert out.shape == (2, 3, 3)
+        assert np.array_equal(out[0, 0], img[0, 0])
+
+
+class TestWav:
+    def test_round_trip_mono(self):
+        rng = np.random.default_rng(1)
+        samples = rng.integers(-32768, 32768, size=999, dtype=np.int16)
+        out, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 16000))
+        assert rate == 16000
+        assert np.array_equal(out, samples)
+
+    def test_round_trip_stereo(self):
+        rng = np.random.default_rng(2)
+        samples = rng.integers(-1000, 1000, size=(500, 2), dtype=np.int16)
+        out, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 44100))
+        assert rate == 44100
+        assert out.shape == (500, 2)
+        assert np.array_equal(out, samples)
+
+    @pytest.mark.parametrize("mutate", [
+        lambda b: b[:8],
+        lambda b: b"RIFX" + b[4:],
+        lambda b: b[:-20],                      # data chunk truncated
+        lambda b: b[:20] + bytes([3, 0]) + b[22:],  # non-PCM format tag
+    ])
+    def test_adversarial_rejected(self, mutate):
+        blob = mutate(encode_wav_pcm16(np.zeros(100, dtype=np.int16), 8000))
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(blob)
+
+
+class TestRealDecodeStages:
+    def test_image_stage_decodes_real_bmp(self):
+        from cardinalityestimation_ray.stages.multimodal import (
+            ImageDecodeStage,
+            ImageFeatureStage,
+        )
+
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 256, size=(48, 40, 3), dtype=np.uint8)
+                for _ in range(4)]
+        # one solid-red image to pin the channel order through the pipeline
+        solid = np.zeros((48, 40, 3), dtype=np.uint8)
+        solid[:, :, 0] = 200
+        imgs.append(solid)
+        batch = pa.table({
+            "media_id": pa.array([f"m{i}" for i in range(5)]),
+            "payload": pa.array([encode_bmp(im) for im in imgs],
+                                type=pa.binary()),
+            "width": pa.array([40] * 5, type=pa.int32()),
+            "height": pa.array([48] * 5, type=pa.int32()),
+        })
+        decoded = ImageDecodeStage(decoder="bmp", out_size=16)(batch)
+        col = decoded["image"].combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        out = flat.reshape(5, 16, 16, 3)
+        # nearest-neighbor of the original == stage output
+        want = resize_nearest(imgs[0], 16, 16)
+        assert np.array_equal(out[0], want)
+        # solid red stays solid red (channel order survived BGR round trip)
+        assert (out[4][:, :, 0] == 200).all() and (out[4][:, :, 1:] == 0).all()
+
+        feats = ImageFeatureStage(out_size=16)(decoded)
+        fcol = feats["features"].combine_chunks()
+        fmat = fcol.values.to_numpy(zero_copy_only=False).reshape(5, 6)
+        assert abs(fmat[4, 0] - 200.0) < 1e-3  # mean R of the solid image
+        assert abs(fmat[4, 1]) < 1e-3          # mean G
+
+    def test_audio_stage_real_wav_energies(self):
+        from cardinalityestimation_ray.stages.multimodal import (
+            AudioFrameSampleStage,
+        )
+
+        # first half silence, second half full-scale square wave
+        n = 16000
+        samples = np.zeros(n, dtype=np.int16)
+        samples[n // 2:] = 30000
+        batch = pa.table({
+            "media_id": pa.array(["a"]),
+            "payload": pa.array([encode_wav_pcm16(samples, 16000)],
+                                type=pa.binary()),
+        })
+        out = AudioFrameSampleStage(decoder="wav", n_frames=8)(batch)
+        energies = out["frame_energy"].combine_chunks().values.to_numpy(
+            zero_copy_only=False)
+        assert np.allclose(energies[:4], 0.0, atol=1e-6)
+        assert np.all(energies[4:] > 0.8)
+
+    def test_media_pipeline_end_to_end_bmp(self, ray_session):
+        import ray.data
+
+        from cardinalityestimation_ray.stages.multimodal import (
+            ImageDecodeStage,
+            ImageFeatureStage,
+        )
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(40):
+            img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+            rows.append({"media_id": f"m{i:03d}", "payload": encode_bmp(img),
+                         "width": 24, "height": 24})
+        ds = ray.data.from_items(rows)
+        decoded = ds.map_batches(
+            ImageDecodeStage, batch_format="pyarrow", batch_size=8,
+            fn_constructor_kwargs={"decoder": "bmp", "out_size": 16},
+            concurrency=2, num_cpus=1)
+        feats = decoded.map_batches(
+            ImageFeatureStage, batch_format="pyarrow", batch_size=8,
+            fn_constructor_kwargs={"out_size": 16},
+            concurrency=2, num_cpus=1).to_pandas()
+        assert len(feats) == 40
+        assert set(feats["media_id"]) == {f"m{i:03d}" for i in range(40)}
