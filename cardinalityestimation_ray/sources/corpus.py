@@ -56,7 +56,11 @@ def tokenize_documents_batch(batch: pa.Table) -> pa.Table:
     doc_id = pc.binary_join_element_wise(
         pa.scalar("doc-"), pc.cast(batch["doc_id"], pa.string()), pa.scalar("")
     )
-    toks = pc.split_pattern_regex(batch["text"], _WS)
+    # ascii_split_whitespace splits on [\t\n\v\f\r ]; RE2's \s (the DuckDB
+    # oracle's regexp_split_to_array '\s+') is the same MINUS vertical tab
+    # \x0b. Identical token streams on any text without \x0b (true of the
+    # corpus; parity pinned in tests) at ~6x the RE2 kernel's speed.
+    toks = pc.ascii_split_whitespace(batch["text"])
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)

@@ -134,3 +134,27 @@ def test_write_partitioned_by_key(tmp_path, _ray):
     assert len(subdirs) >= 5  # hive-style per-key directories
     back = read_table(out)
     assert back.count() == 2000
+
+
+def test_tokenizer_whitespace_parity_with_re2():
+    """ascii_split_whitespace must equal RE2 \\s+ splitting (the DuckDB
+    oracle's rule) on every ASCII whitespace class and mixed runs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # every RE2 \s class member (\x0b vertical tab is the one divergence:
+    # ascii_split treats it as whitespace, RE2 \s does not — absent from
+    # the corpus, documented in tokenize_documents_batch)
+    texts = pa.array([
+        "a b", "a\tb", "a\nb", "a\rb", "a\x0cb",
+        " lead", "trail ", "a  \t\n b", "", "   ", "one",
+        "multi word doc with\ttabs\nand newlines\r\n",
+    ])
+    re2 = pc.split_pattern_regex(texts, r"\s+")
+    fast = pc.ascii_split_whitespace(texts)
+
+    def stream(lists):
+        flat = pc.list_flatten(lists)
+        return flat.filter(pc.not_equal(flat, pa.scalar(""))).to_pylist()
+
+    assert stream(re2) == stream(fast)
