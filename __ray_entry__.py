@@ -511,6 +511,18 @@ def _q_incremental_distinct_docs(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_lang_set_ops(sf_dir: str):
+    """Sketch set ops (union lossless, intersection by inclusion-exclusion)
+    between two sources' lang sets — exact in the direct-count regime."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import set_ops_distinct
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "source"])
+    return set_ops_distinct(docs, "lang", "source", "src1", "src2", b=14)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_tokens_by_source": _q_hll_distinct_tokens_by_source,
@@ -548,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "reservoir_sample_ntok": _q_reservoir_sample_ntok,
         "incremental_distinct_docs": _q_incremental_distinct_docs,
+        "lang_set_ops": _q_lang_set_ops,
     }
 
 
@@ -741,6 +754,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "lang_set_ops": """
+            WITH a AS (SELECT DISTINCT lang FROM documents WHERE source = 'src1'),
+                 b AS (SELECT DISTINCT lang FROM documents WHERE source = 'src2')
+            SELECT (SELECT count(*) FROM a) AS n_distinct_a,
+                   (SELECT count(*) FROM b) AS n_distinct_b,
+                   (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                       AS n_union,
+                   (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                       AS n_intersection
         """,
         # reservoir_sample_ntok: random sample -> rows-only check
         # (uniformity pytest-asserted)

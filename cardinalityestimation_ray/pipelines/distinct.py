@@ -151,3 +151,38 @@ def flagship_summary(tokens_ds, b: int = 14) -> pd.DataFrame:
     )
     out = pd.concat([glob_row, per_source], ignore_index=True)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def set_ops_distinct(ds, value_column: str, key_column: str,
+                     key_a: str, key_b: str, *, b: int = 14,
+                     hash_name: str = hashing.DEFAULT_HASH) -> pd.DataFrame:
+    """Sketch set operations between two key slices in ONE scan.
+
+    Builds per-key sketches (keyed partials -> tree merge) for the two keys
+    and reports |A|, |B|, |A∪B| (lossless: register max IS the union
+    sketch) and |A∩B| by inclusion–exclusion (reference limitation: HLL
+    cannot sketch intersections, SURVEY.md §2.7 — exact whenever both
+    slices are in the ≤100 direct-count regime, which is what the driver
+    oracle checks).
+    """
+    import pyarrow.compute as pc
+
+    def only_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key_column],
+                                     value_set=pa.array([key_a, key_b])))
+
+    partials = ds.map_batches(only_keys, batch_format="pyarrow").map_batches(
+        HllColumnPartials(value_column, b=b, key_column=key_column,
+                          hash_name=hash_name),
+        batch_format="pyarrow")
+    merged = tree_merge_keyed_partials(partials, key_column,
+                                       hash_name=hash_name)
+    empty = HyperLogLog(b=b, hash_name=hash_name)
+    sk_a = merged.get(key_a, (empty, 0))[0]
+    sk_b = merged.get(key_b, (empty, 0))[0]
+    return pd.DataFrame({
+        "n_distinct_a": [sk_a.estimate()],
+        "n_distinct_b": [sk_b.estimate()],
+        "n_union": [HyperLogLog.union_estimate(sk_a, sk_b)],
+        "n_intersection": [HyperLogLog.intersection_estimate(sk_a, sk_b)],
+    })
