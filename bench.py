@@ -267,8 +267,8 @@ def bench_once() -> dict:
             sk.add_values(toks[:100_000])
             sk = HyperLogLog(b=bb, use_direct_counting=False)
             t0 = time.perf_counter()
-            for lo in range(0, len(toks), 65536):
-                sk.add_values(toks[lo:lo + 65536])
+            for lo in range(0, len(toks), 8192):
+                sk.add_values(toks[lo:lo + 8192])
             extras[f"kernel_adds_per_sec_b{bb}"] = round(
                 len(toks) / (time.perf_counter() - t0), 1)
 

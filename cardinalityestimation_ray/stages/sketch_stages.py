@@ -100,12 +100,13 @@ class HllTokenPartials:
         return HyperLogLog(b=self.b, use_direct_counting=self.use_direct,
                            hash_name=self.hash_name)
 
-    #: chunk size for the hash+add loop — keeps every temporary cache-
-    #: resident so the ~20 vectorized passes per token don't round-trip
-    #: DRAM under high concurrency, while large enough that Python per-call
-    #: overhead stays negligible (round-2 sweep: 8k = 23 M tok/s/core,
-    #: 64k = 41 M, whole-batch = 20 M)
-    CHUNK = 65536
+    #: chunk size for the hash+add loop — keeps every temporary in L1/L2 so
+    #: the bandwidth-bound vectorized passes don't hit DRAM under high
+    #: concurrency. Round-2 re-measurement (interleaved best-of-5 to beat
+    #: shared-VM noise): 8k wins at b=14 (53 vs 43 M tok/s/core) and b=16
+    #: (56 vs 25 — the 64 KB register bank competes with 64k-element
+    #: chunk temporaries for L2); whole-batch is ~2x slower than either
+    CHUNK = 8192
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         values, parents = _flatten_tokens(batch, self.token_column)
@@ -277,7 +278,7 @@ class GenericSketchPartials:
     pickles cheaply into Ray tasks/actors.
     """
 
-    CHUNK = 65536
+    CHUNK = 8192
     #: sketches whose per-add state exceeds L2 anyway — chunking the input
     #: only multiplies passes over that state, so feed them whole batches
     UNCHUNKED_KINDS = frozenset({"countmin", "bloom"})
