@@ -511,6 +511,16 @@ def _q_incremental_distinct_docs(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_token_bigram_counts(sf_dir: str):
+    """Exact top-20 consecutive-token-pair frequencies (counts only: Ray
+    keys bigrams by 31-bit hashed token ids, the oracle by strings — the
+    count multiset is the comparable invariant, tie-sets share counts)."""
+    from cardinalityestimation_ray.pipelines.frequency import token_bigram_topk
+
+    df = token_bigram_topk(_tokens(sf_dir), k=20)
+    return df[["cnt"]]
+
+
 def _q_lang_set_ops(sf_dir: str):
     """Sketch set ops (union lossless, intersection by inclusion-exclusion)
     between two sources' lang sets — exact in the direct-count regime."""
@@ -561,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample_ntok": _q_reservoir_sample_ntok,
         "incremental_distinct_docs": _q_incremental_distinct_docs,
         "lang_set_ops": _q_lang_set_ops,
+        "token_bigram_counts": _q_token_bigram_counts,
     }
 
 
@@ -754,6 +765,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "token_bigram_counts": f"""
+            SELECT cnt FROM (
+                SELECT a, b, count(*) AS cnt FROM (
+                    SELECT t[i] AS a, t[i + 1] AS b
+                    FROM (SELECT {_TOK} AS t FROM documents),
+                         UNNEST(range(1, len(t))) AS s(i)
+                )
+                GROUP BY a, b
+                ORDER BY cnt DESC, a ASC, b ASC
+                LIMIT 20
+            )
         """,
         "lang_set_ops": """
             WITH a AS (SELECT DISTINCT lang FROM documents WHERE source = 'src1'),

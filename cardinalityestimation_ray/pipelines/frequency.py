@@ -144,3 +144,52 @@ def token_frequencies_cms(tokens_ds, probe_tokens: np.ndarray, *,
         "est_count": est.astype(np.int64),
         "total_tokens": np.int64(total),
     })
+
+
+def token_bigram_topk(tokens_ds, k: int = 20,
+                      token_column: str = "tokens") -> pd.DataFrame:
+    """Exact top-k most frequent consecutive token PAIRS (bigrams).
+
+    The windowed-n-gram pattern over token streams: pairs are packed into
+    one int64 per bigram inside the batch (vectorized shift-or, document
+    boundaries masked), pre-aggregated per batch, then the same
+    combiner -> groupby -> lossless per-block prune -> sort/limit plan as
+    :func:`token_topk_exact`. Only (distinct-bigram-per-batch) rows shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def batch_bigram_counts(batch: pa.Table) -> pa.Table:
+        values, parents = _flatten_tokens(batch, token_column)
+        if len(values) < 2:
+            return pa.table({"token_a": pa.array([], type=pa.int32()),
+                             "token_b": pa.array([], type=pa.int32()),
+                             "cnt": pa.array([], type=pa.int64())})
+        same_doc = parents[:-1] == parents[1:]
+        pair = ((values[:-1].astype(np.int64) << 32)
+                | values[1:].astype(np.int64))[same_doc]
+        uniq, counts = np.unique(pair, return_counts=True)
+        return pa.table({
+            "token_a": pa.array((uniq >> 32).astype(np.int32)),
+            "token_b": pa.array((uniq & 0x7FFFFFFF).astype(np.int32)),
+            "cnt": pa.array(counts.astype(np.int64)),
+        })
+
+    partial = tokens_ds.map_batches(batch_bigram_counts,
+                                    batch_format="pyarrow")
+    agg = partial.groupby(["token_a", "token_b"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+    def block_topk(tbl: pa.Table) -> pa.Table:
+        if len(tbl) <= k:
+            return tbl
+        cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+        a = tbl["token_a"].to_numpy(zero_copy_only=False)
+        b = tbl["token_b"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((b, a, -cnt))[:k]
+        return tbl.take(pa.array(np.sort(idx)))
+
+    pruned = agg.map_batches(block_topk, batch_format="pyarrow",
+                             batch_size=None)
+    top = pruned.sort(["cnt", "token_a", "token_b"],
+                      descending=[True, False, False]).limit(k)
+    return top.to_pandas()

@@ -784,3 +784,32 @@ def test_reservoir_sample_pipeline_uniform(_ray):
     counts = np.bincount((samp // (n // 10)).astype(int), minlength=10)
     sigma = np.sqrt(2000 * 0.1 * 0.9)
     assert np.all(np.abs(counts - 200) < 4 * sigma), counts
+
+
+def test_token_bigram_topk_exact(_ray):
+    """Bigram counts match a per-document brute-force count."""
+    import collections
+
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.frequency import token_bigram_topk
+
+    rng = np.random.default_rng(7)
+    docs = [rng.integers(0, 30, size=rng.integers(0, 40)).astype(np.int32)
+            for _ in range(300)]
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(300)],
+        "tokens": [list(map(int, d)) for d in docs],
+    })
+    want = collections.Counter()
+    for d in docs:
+        for x, y in zip(d[:-1], d[1:]):
+            want[(int(x), int(y))] += 1
+    top = token_bigram_topk(
+        ray.data.from_pandas(df).repartition(4), k=15)
+    want_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = list(zip(zip(top["token_a"], top["token_b"]), top["cnt"]))
+    assert [c for _, c in got] == [c for _, c in want_sorted]
+    # exact pair identity also holds (no tie ambiguity with full ordering)
+    assert {(tuple(p), c) for p, c in got} <= set(
+        (k, v) for k, v in want.items())
