@@ -521,6 +521,20 @@ def _q_token_bigram_counts(sf_dir: str):
     return df[["cnt"]]
 
 
+def _q_clean_doc_texts(sf_dir: str):
+    """Text cleaning/redaction (URL/email -> placeholders, whitespace
+    normalization) — RE2 kernels on both sides make DuckDB an exact oracle."""
+    import ray.data
+
+    from cardinalityestimation_ray.functions.text import clean_text
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = docs.map_batches(lambda b: clean_text(b).drop_columns(["text"]),
+                           batch_format="pyarrow")
+    return out.to_pandas()
+
+
 def _q_lang_set_ops(sf_dir: str):
     """Sketch set ops (union lossless, intersection by inclusion-exclusion)
     between two sources' lang sets — exact in the direct-count regime."""
@@ -572,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_distinct_docs": _q_incremental_distinct_docs,
         "lang_set_ops": _q_lang_set_ops,
         "token_bigram_counts": _q_token_bigram_counts,
+        "clean_doc_texts": _q_clean_doc_texts,
     }
 
 
@@ -765,6 +780,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "clean_doc_texts": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(text,
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[ \\t]+', ' ', 'g'), ' ' || chr(9)) AS clean_text
+            FROM documents
         """,
         "token_bigram_counts": f"""
             SELECT cnt FROM (

@@ -250,3 +250,41 @@ def content_hash(batch: pa.Table, text_column: str = "text",
     """Append the exact 64-bit content hash (for exact dedup)."""
     h = hashing.hash_arrow_binary(_as_array(batch[text_column]), "fnv1a_mix")
     return batch.append_column(out_column, pa.array(h.astype(np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# text cleaning / redaction — the scrub step of a training-data pipeline.
+# RE2-compatible patterns so DuckDB's regexp_replace(..., 'g') is an exact
+# oracle for every transform.
+
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+MULTISPACE_PATTERN = r"[ \t]+"
+
+
+def clean_text(batch: pa.Table, text_column: str = "text", *,
+               out_column: str = "clean_text",
+               redact_urls: bool = True,
+               redact_emails: bool = True,
+               normalize_whitespace: bool = True) -> pa.Table:
+    """Append a cleaned/redacted copy of ``text_column``.
+
+    URL/email redaction to fixed placeholder tokens plus horizontal-
+    whitespace normalization and trim — all Arrow RE2 kernels, zero Python
+    per row. Order matters and is pinned: emails redact before URLs would
+    eat them? No — URLs first (an email never contains '://'; a URL may
+    contain '@', and redacting emails first would split such URLs), then
+    emails, then whitespace.
+    """
+    t = _as_array(batch[text_column])
+    if redact_urls:
+        t = pc.replace_substring_regex(t, pattern=URL_PATTERN,
+                                       replacement="<URL>")
+    if redact_emails:
+        t = pc.replace_substring_regex(t, pattern=EMAIL_PATTERN,
+                                       replacement="<EMAIL>")
+    if normalize_whitespace:
+        t = pc.replace_substring_regex(t, pattern=MULTISPACE_PATTERN,
+                                       replacement=" ")
+        t = pc.utf8_trim(t, characters=" \t")
+    return batch.append_column(out_column, t)

@@ -813,3 +813,19 @@ def test_token_bigram_topk_exact(_ray):
     # exact pair identity also holds (no tie ambiguity with full ordering)
     assert {(tuple(p), c) for p, c in got} <= set(
         (k, v) for k, v in want.items())
+
+
+def test_clean_text_redaction():
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.functions.text import clean_text
+
+    batch = pa.table({"text": pa.array([
+        "see https://site.example/p?a=1 and mail bob.smith+x@corp.io now",
+        "  messy\t\t spacing  here ",
+        "https://a.b@weird.example/path stays one URL",
+    ])})
+    out = clean_text(batch)["clean_text"].to_pylist()
+    assert out[0] == "see <URL> and mail <EMAIL> now"
+    assert out[1] == "messy spacing here"
+    assert out[2] == "<URL> stays one URL"
