@@ -521,6 +521,18 @@ def _q_token_bigram_counts(sf_dir: str):
     return df[["cnt"]]
 
 
+def _q_theta_token_set_ops(sf_dir: str):
+    """KMV/theta-sketch set expressions between src1 and src2 token sets —
+    DIRECT intersection/difference estimates (not inclusion-exclusion);
+    exact at sf0.01 (token sets under k) -> oracle-checkable."""
+    from cardinalityestimation_ray.pipelines.distinct import (
+        theta_set_ops_tokens,
+    )
+
+    return theta_set_ops_tokens(_tokens(sf_dir), "source", "src1", "src2",
+                                k=4096)
+
+
 def _q_clean_doc_texts(sf_dir: str):
     """Text cleaning/redaction (URL/email -> placeholders, whitespace
     normalization) — RE2 kernels on both sides make DuckDB an exact oracle."""
@@ -587,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_set_ops": _q_lang_set_ops,
         "token_bigram_counts": _q_token_bigram_counts,
         "clean_doc_texts": _q_clean_doc_texts,
+        "theta_token_set_ops": _q_theta_token_set_ops,
     }
 
 
@@ -780,6 +793,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "theta_token_set_ops": f"""
+            WITH a AS (SELECT DISTINCT t FROM
+                    (SELECT unnest({_TOK}) AS t FROM documents
+                     WHERE source = 'src1')),
+                 b AS (SELECT DISTINCT t FROM
+                    (SELECT unnest({_TOK}) AS t FROM documents
+                     WHERE source = 'src2'))
+            SELECT (SELECT count(*) FROM a) AS n_distinct_a,
+                   (SELECT count(*) FROM b) AS n_distinct_b,
+                   (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                       AS n_union,
+                   (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                       AS n_intersection,
+                   (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                       AS n_a_minus_b
         """,
         "clean_doc_texts": """
             SELECT doc_id,

@@ -186,3 +186,44 @@ def set_ops_distinct(ds, value_column: str, key_column: str,
         "n_union": [HyperLogLog.union_estimate(sk_a, sk_b)],
         "n_intersection": [HyperLogLog.intersection_estimate(sk_a, sk_b)],
     })
+
+
+def theta_set_ops_tokens(tokens_ds, key_column: str, key_a: str, key_b: str,
+                         *, k: int = 4096,
+                         token_column: str = "tokens") -> pd.DataFrame:
+    """Theta-sketch set expressions between two keys' TOKEN sets, one scan.
+
+    Unlike the HLL inclusion–exclusion path, the KMV/theta sketch estimates
+    |A ∩ B| and |A \\ B| DIRECTLY from its hash samples (bounded relative
+    error ~1/sqrt(k)); while both slices stay under k distinct values the
+    sketch is exact (sketches/theta.py). Partials per batch per key ->
+    combiner tree; only <=k-hash sample rows move.
+    """
+    import pyarrow.compute as pc
+
+    from ..sketches.theta import ThetaSketch
+    from ..stages.sketch_stages import (
+        GenericSketchPartials,
+        tree_merge_keyed_partials_generic,
+    )
+
+    def only_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key_column],
+                                     value_set=pa.array([key_a, key_b])))
+
+    partials = tokens_ds.map_batches(only_keys, batch_format="pyarrow") \
+        .map_batches(
+            GenericSketchPartials("theta", {"k": k}, token_column,
+                                  explode_list=True, key_column=key_column),
+            batch_format="pyarrow")
+    merged = tree_merge_keyed_partials_generic(partials, key_column, "theta")
+    empty = ThetaSketch(k=k)
+    sk_a = merged.get(key_a, (empty, 0))[0]
+    sk_b = merged.get(key_b, (empty, 0))[0]
+    return pd.DataFrame({
+        "n_distinct_a": [sk_a.estimate()],
+        "n_distinct_b": [sk_b.estimate()],
+        "n_union": [ThetaSketch.union_estimate(sk_a, sk_b)],
+        "n_intersection": [ThetaSketch.intersection_estimate(sk_a, sk_b)],
+        "n_a_minus_b": [ThetaSketch.difference_estimate(sk_a, sk_b)],
+    })

@@ -12,6 +12,7 @@ from .hll import HyperLogLog
 from .kll import KLLSketch
 from .reservoir import ReservoirSample
 from .tdigest import TDigest
+from .theta import ThetaSketch
 from . import constants, hashing, bias
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "TDigest",
     "KLLSketch",
     "ReservoirSample",
+    "ThetaSketch",
     "constants",
     "hashing",
     "bias",

@@ -1,0 +1,119 @@
+"""KMV/theta sketch: exact regime, estimate bounds, set expressions, merge
+laws, wire format."""
+
+import numpy as np
+import pytest
+
+from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+
+def _sk(values, k=4096):
+    s = ThetaSketch(k=k)
+    s.add_values(np.asarray(values, dtype=np.int64))
+    return s
+
+
+class TestExactRegime:
+    def test_exact_until_k(self):
+        s = _sk(range(1000), k=4096)
+        assert s.is_exact()
+        assert s.estimate() == 1000
+
+    def test_exact_set_ops(self):
+        a = _sk(range(0, 600), k=4096)
+        b = _sk(range(400, 1000), k=4096)
+        assert ThetaSketch.union_estimate(a, b) == 1000
+        assert ThetaSketch.intersection_estimate(a, b) == 200
+        assert ThetaSketch.difference_estimate(a, b) == 400
+        assert abs(ThetaSketch.jaccard_estimate(a, b) - 0.2) < 1e-12
+
+    def test_duplicates_collapse(self):
+        s = _sk([7] * 500 + [8] * 500)
+        assert s.estimate() == 2
+
+
+class TestEstimateRegime:
+    def test_estimate_within_rse(self):
+        for n in (50_000, 300_000):
+            s = _sk(np.arange(n), k=4096)
+            assert not s.is_exact()
+            rel = abs(s.estimate() / n - 1)
+            assert rel < 4 * s.rse(), (n, rel)
+
+    def test_intersection_direct_beats_iE_shape(self):
+        # overlapping large sets: direct estimate within 5 sigma of truth
+        rng = np.random.default_rng(0)
+        a_vals = np.arange(0, 200_000)
+        b_vals = np.arange(150_000, 350_000)  # true intersection 50k
+        a = _sk(a_vals, k=4096)
+        b = _sk(b_vals, k=4096)
+        est = ThetaSketch.intersection_estimate(a, b)
+        # sample-based error: ~ union * rse; 5 sigma margin
+        assert abs(est - 50_000) < 5 * 350_000 * a.rse(), est
+
+    def test_difference_estimate(self):
+        a = _sk(np.arange(0, 200_000), k=4096)
+        b = _sk(np.arange(150_000, 350_000), k=4096)
+        est = ThetaSketch.difference_estimate(a, b)
+        assert abs(est - 150_000) < 5 * 350_000 * a.rse(), est
+
+
+class TestMergeLaws:
+    def test_merge_equals_single_stream(self):
+        rng = np.random.default_rng(1)
+        vals = rng.integers(0, 1 << 40, size=100_000)
+        parts = np.array_split(vals, 7)
+        merged = ThetaSketch(k=1024)
+        for p in parts:
+            s = ThetaSketch(k=1024)
+            s.add_values(p)
+            merged.merge(s)
+        single = ThetaSketch(k=1024)
+        single.add_values(vals)
+        assert merged.estimate() == single.estimate()
+        assert np.array_equal(merged.retained, single.retained)
+        assert merged.theta64 == single.theta64
+
+    def test_merge_commutative(self):
+        a1 = _sk(range(0, 50_000), k=512)
+        b1 = _sk(range(25_000, 80_000), k=512)
+        a2 = _sk(range(0, 50_000), k=512)
+        b2 = _sk(range(25_000, 80_000), k=512)
+        x = a1.merge(b1)
+        y = b2.merge(a2)
+        assert x.estimate() == y.estimate()
+        assert np.array_equal(x.retained, y.retained)
+
+    def test_merge_guards(self):
+        with pytest.raises(ValueError):
+            ThetaSketch(k=64).merge(ThetaSketch(k=128))
+        a = ThetaSketch(k=64)
+        b = ThetaSketch(k=64, hash_name="murmur3")
+        with pytest.raises(ValueError):
+            a.merge(b)
+
+
+class TestWire:
+    def test_round_trip(self):
+        for n in (0, 10, 100_000):
+            s = _sk(range(n), k=256)
+            back = ThetaSketch.from_bytes(s.to_bytes())
+            assert back.estimate() == s.estimate()
+            assert back.theta64 == s.theta64
+            assert np.array_equal(back.retained, s.retained)
+
+    @pytest.mark.parametrize("mutate", [
+        lambda b: b[:3],
+        lambda b: b"XXXX" + b[4:],
+        lambda b: b[:-4],
+        lambda b: b[:4] + (5).to_bytes(4, "little") + b[8:],  # k < 16
+    ])
+    def test_adversarial(self, mutate):
+        blob = mutate(_sk(range(1000), k=64).to_bytes())
+        with pytest.raises(ValueError):
+            ThetaSketch.from_bytes(blob)
+
+    def test_registry(self):
+        from cardinalityestimation_ray.sketches.base import Sketch
+
+        assert Sketch.REGISTRY["theta"] is ThetaSketch
