@@ -521,6 +521,20 @@ def _q_token_bigram_counts(sf_dir: str):
     return df[["cnt"]]
 
 
+def _q_weighted_sample_nchars(sf_dir: str):
+    """Quality-weighted (n_chars-weighted) A-ES doc sample (rows-only:
+    random sample; weight-proportional inclusion pytest-asserted)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sampling import (
+        weighted_sample_summary,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return weighted_sample_summary(docs, "doc_id", "n_chars", k=128)
+
+
 def _q_theta_token_set_ops(sf_dir: str):
     """KMV/theta-sketch set expressions between src1 and src2 token sets —
     DIRECT intersection/difference estimates (not inclusion-exclusion);
@@ -600,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_counts": _q_token_bigram_counts,
         "clean_doc_texts": _q_clean_doc_texts,
         "theta_token_set_ops": _q_theta_token_set_ops,
+        "weighted_sample_nchars": _q_weighted_sample_nchars,
     }
 
 

@@ -46,3 +46,44 @@ def reservoir_sample_summary(ds, column: str, *, k: int = 1024,
         "sample_min": [float(samp.min()) if len(samp) else float("nan")],
         "sample_max": [float(samp.max()) if len(samp) else float("nan")],
     })
+
+
+def weighted_sample_column(ds, value_column: str, weight_column: str, *,
+                           k: int = 1024):
+    """Weight-proportional k-sample (without replacement, A-ES) of a numeric
+    column — e.g. quality-weighted document sampling for training-data
+    curation. Per-batch partial reservoirs -> combiner tree; only <= k rows
+    per block ever move. Returns (WeightedReservoirSample, n_rows)."""
+    import pyarrow as pa
+
+    from ..sketches.reservoir import WeightedReservoirSample
+    from ..stages.sketch_stages import tree_merge_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        r = WeightedReservoirSample(k=k)
+        vals = batch[value_column].to_numpy(zero_copy_only=False)
+        wts = batch[weight_column].to_numpy(zero_copy_only=False)
+        r.add_weighted(vals.astype("float64"), wts.astype("float64"))
+        return pa.table({
+            "sketch": pa.array([r.to_bytes()], type=pa.binary()),
+            "n_added": pa.array([len(batch)], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    rs, total = tree_merge_partials(partials, "weighted_reservoir")
+    if rs is None:
+        rs = WeightedReservoirSample(k=k)
+    return rs, total
+
+
+def weighted_sample_summary(ds, value_column: str, weight_column: str, *,
+                            k: int = 1024) -> pd.DataFrame:
+    rs, total = weighted_sample_column(ds, value_column, weight_column, k=k)
+    samp = rs.sample()
+    return pd.DataFrame({
+        "n_total": [int(total)],
+        "n_sample": [int(len(samp))],
+        "k": [int(k)],
+        "total_weight": [float(rs.total_weight)],
+        "sample_mean": [float(samp.mean()) if len(samp) else float("nan")],
+    })

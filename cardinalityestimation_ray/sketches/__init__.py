@@ -10,7 +10,7 @@ from .bloom import BloomFilter
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
-from .reservoir import ReservoirSample
+from .reservoir import ReservoirSample, WeightedReservoirSample
 from .tdigest import TDigest
 from .theta import ThetaSketch
 from . import constants, hashing, bias
@@ -25,6 +25,7 @@ __all__ = [
     "KLLSketch",
     "ReservoirSample",
     "ThetaSketch",
+    "WeightedReservoirSample",
     "constants",
     "hashing",
     "bias",

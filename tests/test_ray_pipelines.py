@@ -829,3 +829,26 @@ def test_clean_text_redaction():
     assert out[0] == "see <URL> and mail <EMAIL> now"
     assert out[1] == "messy spacing here"
     assert out[2] == "<URL> stays one URL"
+
+
+def test_weighted_sample_pipeline(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sampling import (
+        weighted_sample_column,
+    )
+
+    n = 30_000
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10, size=n).astype(np.float64)
+    df = pd.DataFrame({"x": vals, "w": vals + 1.0})
+    ds = ray.data.from_pandas(df).repartition(6)
+    rs, total = weighted_sample_column(ds, "x", "w", k=2000)
+    assert total == n
+    samp = rs.sample()
+    assert len(samp) == 2000
+    counts = np.bincount(samp.astype(int), minlength=10)
+    totals = np.bincount(vals.astype(int), weights=vals + 1.0, minlength=10)
+    expect = 2000 * totals / totals.sum()
+    sigma = np.sqrt(np.maximum(expect, 1))
+    assert np.all(np.abs(counts - expect) < 6 * sigma), (counts, expect)

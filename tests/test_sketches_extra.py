@@ -369,3 +369,84 @@ def test_minhash_short_docs_not_all_duplicates():
     # ...but different short docs do not
     assert estimate_jaccard(sig[0], sig[1]) < 0.5
     assert estimate_jaccard(sig[0], sig[3]) < 0.5
+
+
+class TestWeightedReservoir:
+    def test_inclusion_follows_weights(self):
+        from cardinalityestimation_ray.sketches.reservoir import (
+            WeightedReservoirSample,
+        )
+
+        # values 0..9, value v has weight v+1; sample k=2000 of 100k rows
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 10, size=100_000).astype(np.float64)
+        weights = vals + 1.0
+        parts = []
+        for chunk in np.array_split(np.arange(len(vals)), 8):
+            r = WeightedReservoirSample(k=2000)
+            r.add_weighted(vals[chunk], weights[chunk])
+            parts.append(r)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.merge(p)
+        samp = merged.sample()
+        assert len(samp) == 2000
+        counts = np.bincount(samp.astype(int), minlength=10)
+        # expected inclusion mass proportional to total weight per value
+        totals = np.bincount(vals.astype(int), weights=weights, minlength=10)
+        expect = 2000 * totals / totals.sum()
+        # loose 6-sigma binomial bounds
+        sigma = np.sqrt(np.maximum(expect, 1))
+        assert np.all(np.abs(counts - expect) < 6 * sigma), (counts, expect)
+
+    def test_zero_weight_never_sampled(self):
+        from cardinalityestimation_ray.sketches.reservoir import (
+            WeightedReservoirSample,
+        )
+
+        r = WeightedReservoirSample(k=50)
+        vals = np.r_[np.full(100, 7.0), np.full(100, 9.0)]
+        wts = np.r_[np.zeros(100), np.ones(100)]
+        r.add_weighted(vals, wts)
+        assert set(r.sample()) == {9.0}
+        assert r.n == 200 and r.total_weight == 100.0
+
+    def test_merge_equals_single_stream_distribution(self):
+        from cardinalityestimation_ray.sketches.reservoir import (
+            WeightedReservoirSample,
+        )
+
+        r = WeightedReservoirSample(k=10, seed=5)
+        r.add_weighted(np.arange(100, dtype=np.float64),
+                       np.ones(100))
+        back = WeightedReservoirSample.from_bytes(r.to_bytes())
+        assert np.array_equal(back.sample(), r.sample())
+        assert back.total_weight == r.total_weight
+
+    def test_adversarial_blob(self):
+        import pytest
+
+        from cardinalityestimation_ray.sketches.reservoir import (
+            WeightedReservoirSample,
+        )
+
+        r = WeightedReservoirSample(k=10)
+        r.add_values(np.arange(50, dtype=np.float64))
+        blob = r.to_bytes()
+        with pytest.raises(ValueError):
+            WeightedReservoirSample.from_bytes(blob[:8])
+        with pytest.raises(ValueError):
+            WeightedReservoirSample.from_bytes(b"XXXX" + blob[4:])
+        with pytest.raises(ValueError):
+            WeightedReservoirSample.from_bytes(blob[:-8])
+
+    def test_negative_weight_rejected(self):
+        import pytest
+
+        from cardinalityestimation_ray.sketches.reservoir import (
+            WeightedReservoirSample,
+        )
+
+        r = WeightedReservoirSample(k=10)
+        with pytest.raises(ValueError):
+            r.add_weighted(np.ones(3), np.array([1.0, -1.0, 2.0]))
