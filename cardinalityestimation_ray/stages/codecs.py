@@ -146,3 +146,60 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ri = (np.arange(out_h) * h // out_h)
     ci = (np.arange(out_w) * w // out_w)
     return img[ri][:, ci]
+
+
+# ---------------------------------------------------------------------------
+# BSEQ — a minimal MJPEG-style video container holding independent BMP
+# frames (length-prefixed, with a seekable offset index). Every byte of
+# pixel data decodes through the published BMP layout above, so frame
+# sampling is a REAL decode path; only inter-frame compression (H.264 etc.)
+# needs external libs.
+
+_BSEQ_MAGIC = b"BSQ1"
+
+
+def encode_bmpseq(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n, H, W, 3) uint8 frames as a BMP-sequence container:
+    [magic][u32 n_frames][u32 fps][u64 offset x n][BMP blob x n]."""
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError(
+            f"expected (n, H, W, 3) uint8, got {frames.shape} {frames.dtype}")
+    blobs = [encode_bmp(f) for f in frames]
+    n = len(blobs)
+    header_len = 4 + 4 + 4 + 8 * n
+    offsets = []
+    pos = header_len
+    for b in blobs:
+        offsets.append(pos)
+        pos += len(b)
+    head = _BSEQ_MAGIC + struct.pack("<II", n, fps)
+    head += struct.pack(f"<{n}Q", *offsets) if n else b""
+    return head + b"".join(blobs)
+
+
+def bmpseq_info(data: bytes) -> tuple[int, int, np.ndarray]:
+    """(n_frames, fps, offsets) with bounds validation."""
+    if len(data) < 12:
+        raise ValueError("truncated BSEQ: shorter than header")
+    if data[:4] != _BSEQ_MAGIC:
+        raise ValueError("invalid BSEQ: bad magic")
+    n, fps = struct.unpack_from("<II", data, 4)
+    if n > 1 << 24:
+        raise ValueError(f"invalid BSEQ: {n} frames")
+    need = 12 + 8 * n
+    if len(data) < need:
+        raise ValueError("truncated BSEQ: offset index past end")
+    offsets = np.frombuffer(data, dtype="<u8", count=n, offset=12)
+    if n and (offsets.min() < need or offsets.max() >= len(data)):
+        raise ValueError("invalid BSEQ: frame offset out of bounds")
+    return n, fps, offsets.astype(np.int64)
+
+
+def decode_bmpseq_frame(data: bytes, index: int) -> np.ndarray:
+    """Decode one frame (random access via the offset index)."""
+    n, _fps, offsets = bmpseq_info(data)
+    if not (0 <= index < n):
+        raise ValueError(f"frame index {index} out of range [0, {n})")
+    end = int(offsets[index + 1]) if index + 1 < n else len(data)
+    return decode_bmp(data[int(offsets[index]):end])

@@ -199,23 +199,48 @@ class VideoFrameSampleStage:
                  feature_dim: int = 16):
         if decoder == "pyav":
             raise NotImplementedError(
-                "PyAV is not available in this container; use decoder='fake'")
-        if decoder not in ("fake",):
+                "PyAV is not available in this container (needed for "
+                "H.264/MP4); use decoder='bmpseq' (real decode of the "
+                "BMP-sequence container, stages/codecs.py) or 'fake'")
+        if decoder not in ("fake", "bmpseq"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.n_frames = n_frames
         self.feature_dim = feature_dim
+
+    def _sample_one(self, payload: bytes, dur: int):
+        if self.decoder == "bmpseq":
+            from .codecs import bmpseq_info, decode_bmpseq_frame, resize_nearest
+
+            total, fps, _ = bmpseq_info(payload)
+            idx = (np.arange(self.n_frames) * total
+                   // max(self.n_frames, 1)).clip(0, max(total - 1, 0))
+            ts = (idx * 1000 // max(fps, 1)).astype(np.int32)
+            feats = np.zeros((self.n_frames, self.feature_dim),
+                             dtype=np.float32)
+            if total:
+                for j, fi in enumerate(idx):
+                    frame = decode_bmpseq_frame(payload, int(fi))
+                    # feature = channel means of a coarse grid (real pixels)
+                    side = max(int(np.sqrt(self.feature_dim // 3)), 1)
+                    small = resize_nearest(frame, side, side)
+                    v = small.astype(np.float32).reshape(-1) / 255.0
+                    feats[j, :min(len(v), self.feature_dim)] = \
+                        v[:self.feature_dim]
+            return ts, feats
+        dur = max(int(dur), 1)
+        ts = np.linspace(0, dur, self.n_frames, endpoint=False).astype(np.int32)
+        seed = hashing.fnv1a64_mix(payload[:64])
+        g = np.random.Generator(np.random.PCG64(seed))
+        return ts, g.random((self.n_frames, self.feature_dim), dtype=np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         durations = batch["duration_ms"].to_numpy(zero_copy_only=False)
         out_ts, out_feats = [], []
         for payload, dur in zip(batch["payload"].to_pylist(), durations):
-            dur = max(int(dur), 1)
-            ts = np.linspace(0, dur, self.n_frames, endpoint=False).astype(np.int32)
-            seed = hashing.fnv1a64_mix(payload[:64])
-            g = np.random.Generator(np.random.PCG64(seed))
+            ts, feats = self._sample_one(payload, dur)
             out_ts.append(ts)
-            out_feats.append(g.random((self.n_frames, self.feature_dim),
-                                      dtype=np.float32))
+            out_feats.append(feats)
         ts_arr = np.stack(out_ts)
         feats = np.stack(out_feats)
         return pa.table({

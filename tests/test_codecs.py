@@ -163,3 +163,67 @@ class TestRealDecodeStages:
             concurrency=2, num_cpus=1).to_pandas()
         assert len(feats) == 40
         assert set(feats["media_id"]) == {f"m{i:03d}" for i in range(40)}
+
+
+class TestBmpSeq:
+    def test_round_trip_random_access(self):
+        from cardinalityestimation_ray.stages.codecs import (
+            bmpseq_info,
+            decode_bmpseq_frame,
+            encode_bmpseq,
+        )
+
+        rng = np.random.default_rng(6)
+        frames = rng.integers(0, 256, size=(10, 12, 14, 3), dtype=np.uint8)
+        blob = encode_bmpseq(frames, fps=10)
+        n, fps, offsets = bmpseq_info(blob)
+        assert n == 10 and fps == 10
+        for i in (0, 3, 9):
+            assert np.array_equal(decode_bmpseq_frame(blob, i), frames[i])
+        with pytest.raises(ValueError):
+            decode_bmpseq_frame(blob, 10)
+
+    @pytest.mark.parametrize("mutate", [
+        lambda b: b[:8],
+        lambda b: b"NOPE" + b[4:],
+        lambda b: b[:200],  # truncated frames
+    ])
+    def test_adversarial(self, mutate):
+        from cardinalityestimation_ray.stages.codecs import (
+            bmpseq_info,
+            decode_bmpseq_frame,
+            encode_bmpseq,
+        )
+
+        frames = np.zeros((3, 8, 8, 3), dtype=np.uint8)
+        blob = mutate(encode_bmpseq(frames))
+        with pytest.raises(ValueError):
+            n, _, _ = bmpseq_info(blob)
+            for i in range(n):
+                decode_bmpseq_frame(blob, i)
+
+    def test_video_stage_real_decode(self):
+        from cardinalityestimation_ray.stages.codecs import encode_bmpseq
+        from cardinalityestimation_ray.stages.multimodal import (
+            VideoFrameSampleStage,
+        )
+
+        # 20-frame "video": first half black, second half solid red
+        frames = np.zeros((20, 16, 16, 3), dtype=np.uint8)
+        frames[10:, :, :, 0] = 255
+        blob = encode_bmpseq(frames, fps=5)
+        batch = pa.table({
+            "media_id": pa.array(["v0"]),
+            "payload": pa.array([blob], type=pa.binary()),
+            "duration_ms": pa.array([4000], type=pa.int32()),
+        })
+        out = VideoFrameSampleStage(decoder="bmpseq", n_frames=4,
+                                    feature_dim=12)(batch)
+        feats = out["frame_features"].combine_chunks().values.to_numpy(
+            zero_copy_only=False).reshape(4, 12)
+        ts = out["frame_ts_ms"].combine_chunks().values.to_numpy(
+            zero_copy_only=False)
+        # frames 0,5 black; 10,15 red — R channel (every 3rd feature) flips
+        assert np.allclose(feats[0], 0)
+        assert np.allclose(feats[3][0::3], 1.0) and np.allclose(feats[3][1::3], 0.0)
+        assert list(ts) == [0, 1000, 2000, 3000]
