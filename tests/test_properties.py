@@ -270,3 +270,62 @@ def test_from_bytes_fuzz_with_valid_magic(magic, tail):
             cls.from_bytes(blob)
         except ValueError:
             pass  # the only exception type allowed to escape
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=1 << 48),
+                     min_size=0, max_size=600),
+       n_parts=st.integers(min_value=1, max_value=6),
+       k=st.sampled_from([16, 64, 256]))
+def test_theta_merge_equals_single_stream(vals, n_parts, k):
+    """Theta sketch: any partition of the stream merges to the identical
+    retained set, theta and estimate (deterministic hash tags)."""
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+    arr = np.asarray(vals, dtype=np.int64)
+    single = ThetaSketch(k=k)
+    single.add_values(arr)
+    merged = ThetaSketch(k=k)
+    for part in np.array_split(arr, n_parts):
+        p = ThetaSketch(k=k)
+        p.add_values(part)
+        merged.merge(p)
+    assert merged.theta64 == single.theta64
+    assert np.array_equal(merged.retained, single.retained)
+    assert merged.estimate() == single.estimate()
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=1000),
+                     min_size=0, max_size=400),
+       k=st.sampled_from([16, 128]))
+def test_theta_exact_regime_matches_set(vals, k):
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+    s = ThetaSketch(k=k)
+    s.add_values(np.asarray(vals, dtype=np.int64))
+    if s.is_exact():
+        assert s.estimate() == len(set(vals))
+    back = ThetaSketch.from_bytes(s.to_bytes())
+    assert back.estimate() == s.estimate()
+    assert back.theta64 == s.theta64
+
+
+@settings(max_examples=40, deadline=None)
+@given(magic=st.sampled_from([b"THE1", b"WRS1"]),
+       tail=st.binary(min_size=0, max_size=120))
+def test_theta_wrs_fuzz(magic, tail):
+    from cardinalityestimation_ray.sketches.reservoir import (
+        WeightedReservoirSample,
+    )
+    from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+    for cls in (ThetaSketch, WeightedReservoirSample):
+        try:
+            cls.from_bytes(magic + tail)
+        except ValueError:
+            pass
