@@ -521,6 +521,17 @@ def _q_token_bigram_counts(sf_dir: str):
     return df[["cnt"]]
 
 
+def _q_bigram_heavy_hitters(sf_dir: str):
+    """Exact phi-heavy-hitter bigrams via CMS candidates + exact verify —
+    the scale path for n-gram stats (counts only, as with unigram top-k)."""
+    from cardinalityestimation_ray.pipelines.frequency import (
+        bigram_heavy_hitters,
+    )
+
+    df = bigram_heavy_hitters(lambda: _tokens(sf_dir), phi=0.0001)
+    return df[["cnt"]]
+
+
 def _q_weighted_sample_nchars(sf_dir: str):
     """Quality-weighted (n_chars-weighted) A-ES doc sample (rows-only:
     random sample; weight-proportional inclusion pytest-asserted)."""
@@ -615,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_doc_texts": _q_clean_doc_texts,
         "theta_token_set_ops": _q_theta_token_set_ops,
         "weighted_sample_nchars": _q_weighted_sample_nchars,
+        "bigram_heavy_hitters": _q_bigram_heavy_hitters,
     }
 
 
@@ -808,6 +820,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "bigram_heavy_hitters": f"""
+            WITH pairs AS (
+                SELECT t[i] AS a, t[i + 1] AS b
+                FROM (SELECT {_TOK} AS t FROM documents),
+                     UNNEST(range(1, len(t))) AS s(i)
+            ), counts AS (
+                SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b
+            ), total AS (SELECT sum(cnt) AS n FROM counts)
+            SELECT cnt FROM counts, total WHERE cnt >= 0.0001 * total.n
         """,
         "theta_token_set_ops": f"""
             WITH a AS (SELECT DISTINCT t FROM

@@ -115,6 +115,9 @@ def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
                                         batch_format="pyarrow")
     agg = cand.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
     df = agg.to_pandas()
+    if len(df) == 0:  # zero candidates -> empty frame with stable schema
+        return pd.DataFrame({"token": pd.Series([], dtype="int32"),
+                             "cnt": pd.Series([], dtype="int64")})
     df = df[df["cnt"] >= threshold]
     return df.sort_values(["cnt", "token"],
                           ascending=[False, True]).reset_index(drop=True)
@@ -154,7 +157,14 @@ def token_bigram_topk(tokens_ds, k: int = 20,
     one int64 per bigram inside the batch (vectorized shift-or, document
     boundaries masked), pre-aggregated per batch, then the same
     combiner -> groupby -> lossless per-block prune -> sort/limit plan as
-    :func:`token_topk_exact`. Only (distinct-bigram-per-batch) rows shuffle.
+    :func:`token_topk_exact`.
+
+    Scale caveat (unlike unigram top-k): the bigram vocabulary grows toward
+    V^2, so the per-batch combiner compresses far less — the groupby can
+    approach corpus-sized input on natural text. This exact operator is the
+    small/medium-corpus oracle; at 100 TB run the CMS candidates + exact
+    verify plan instead (:func:`heavy_hitters` with packed bigram ids),
+    which never shuffles more than the candidate set.
     """
     from ray.data.aggregate import Sum
 
@@ -193,3 +203,83 @@ def token_bigram_topk(tokens_ds, k: int = 20,
     top = pruned.sort(["cnt", "token_a", "token_b"],
                       descending=[True, False, False]).limit(k)
     return top.to_pandas()
+
+
+def _packed_bigrams(batch: pa.Table, token_column: str) -> np.ndarray:
+    """int64-packed consecutive token pairs of a batch (doc-boundary masked)."""
+    values, parents = _flatten_tokens(batch, token_column)
+    if len(values) < 2:
+        return np.empty(0, dtype=np.int64)
+    same_doc = parents[:-1] == parents[1:]
+    return ((values[:-1].astype(np.int64) << 32)
+            | values[1:].astype(np.int64))[same_doc]
+
+
+def bigram_heavy_hitters(make_tokens_ds, phi: float = 0.001, *,
+                         depth: int = 5, width: int | None = None,
+                         token_column: str = "tokens") -> pd.DataFrame:
+    """EXACT phi-heavy-hitter BIGRAMS — the 100 TB-scale answer to
+    :func:`token_bigram_topk`'s full-vocabulary shuffle.
+
+    Same provably-exact two-pass plan as :func:`heavy_hitters` (CMS build ->
+    broadcast -> candidate filter -> exact verify), run over int64-packed
+    consecutive token pairs: nothing bigger than the candidate set (bounded
+    by ~1/phi plus CMS collisions) ever reaches the groupby, no matter how
+    large the bigram vocabulary grows.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..sketches.countmin import CountMinSketch as _CMS
+
+    if width is None:
+        width = 1 << max(10, math.ceil(math.log2(4 * math.e / phi)))
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(depth=depth, width=width)
+        pairs = _packed_bigrams(batch, token_column)
+        cms.add_values(pairs)
+        return pa.table({
+            "sketch": pa.array([cms.to_bytes()], type=pa.binary()),
+            "n_added": pa.array([len(pairs)], type=pa.int64()),
+        })
+
+    partials = make_tokens_ds().map_batches(build_partial,
+                                            batch_format="pyarrow")
+    cms, total = tree_merge_partials(partials, "countmin")
+    if cms is None or total == 0:
+        return pd.DataFrame({"token_a": pd.Series([], dtype="int32"),
+                             "token_b": pd.Series([], dtype="int32"),
+                             "cnt": pd.Series([], dtype="int64")})
+    threshold = phi * total
+    cms_ref = ray.put(cms.to_bytes())
+
+    def candidate_counts(batch: pa.Table) -> pa.Table:
+        sketch = _CMS.from_bytes(ray.get(cms_ref))
+        pairs = _packed_bigrams(batch, token_column)
+        uniq, counts = np.unique(pairs, return_counts=True)
+        est = sketch.query_values(uniq)
+        keep = est >= threshold
+        return pa.table({
+            "pair": pa.array(uniq[keep]),
+            "cnt": pa.array(counts[keep].astype(np.int64)),
+        })
+
+    cand = make_tokens_ds().map_batches(candidate_counts,
+                                        batch_format="pyarrow")
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = cand.groupby("pair").aggregate(_Sum("cnt", alias_name="cnt"))
+    df = agg.to_pandas()
+    if len(df) == 0:  # zero candidates -> empty frame with stable schema
+        return pd.DataFrame({"token_a": pd.Series([], dtype="int32"),
+                             "token_b": pd.Series([], dtype="int32"),
+                             "cnt": pd.Series([], dtype="int64")})
+    df = df[df["cnt"] >= threshold].copy()
+    df["token_a"] = (df["pair"].to_numpy() >> 32).astype(np.int32)
+    df["token_b"] = (df["pair"].to_numpy() & 0x7FFFFFFF).astype(np.int32)
+    return df[["token_a", "token_b", "cnt"]].sort_values(
+        ["cnt", "token_a", "token_b"],
+        ascending=[False, True, True]).reset_index(drop=True)

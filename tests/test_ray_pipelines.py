@@ -852,3 +852,39 @@ def test_weighted_sample_pipeline(_ray):
     expect = 2000 * totals / totals.sum()
     sigma = np.sqrt(np.maximum(expect, 1))
     assert np.all(np.abs(counts - expect) < 6 * sigma), (counts, expect)
+
+
+def test_bigram_heavy_hitters_exact(_ray):
+    """CMS-candidates + exact-verify bigram plan == brute force at any phi."""
+    import collections
+
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.frequency import (
+        bigram_heavy_hitters,
+    )
+
+    rng = np.random.default_rng(13)
+    # skew: pair (1, 2) planted heavily
+    docs = []
+    for _ in range(400):
+        d = rng.integers(0, 50, size=20).astype(np.int32).tolist()
+        if rng.random() < 0.5:
+            d[3:5] = [1, 2]
+        docs.append(d)
+    df = pd.DataFrame({"doc_id": range(400), "tokens": docs})
+
+    want = collections.Counter()
+    total = 0
+    for d in docs:
+        for x, y in zip(d[:-1], d[1:]):
+            want[(x, y)] += 1
+            total += 1
+    phi = 0.01
+    expected = {(a, b): c for (a, b), c in want.items() if c >= phi * total}
+
+    out = bigram_heavy_hitters(
+        lambda: ray.data.from_pandas(df).repartition(4), phi=phi)
+    got = {(int(r.token_a), int(r.token_b)): int(r.cnt)
+           for r in out.itertuples()}
+    assert got == expected
