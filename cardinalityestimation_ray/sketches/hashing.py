@@ -408,6 +408,49 @@ def murmur3_128_x64_low64(data: bytes, seed: int = 0) -> int:
     return h1
 
 
+def murmur3_128_x64_low64_fixed(values: np.ndarray) -> np.ndarray:
+    """Vectorized Murmur3 x64-128 low64 for 4/8-byte LE elements.
+
+    For inputs <= 8 bytes the algorithm reduces to the k1 tail path +
+    finalization (no 16-byte blocks, k2 == 0) — bit-identical to
+    :func:`murmur3_128_x64_low64` on the element's byte image (tested),
+    expressed as ~12 numpy passes per batch.
+    """
+    values = np.ascontiguousarray(values)
+    if values.dtype == np.float32:
+        values = values.view(np.uint32)
+    elif values.dtype == np.float64:
+        values = values.view(np.uint64)
+    width = values.dtype.itemsize
+    if width == 4:
+        k1 = values.astype(np.uint32, copy=False).astype(np.uint64)
+    elif width == 8:
+        k1 = values.view(np.uint64).astype(np.uint64, copy=False).copy()
+    else:
+        raise TypeError(f"unsupported dtype for murmur3 fixed: {values.dtype}")
+    c1 = U64(0x87C37B91114253D5)
+    c2 = U64(0x4CF5AD432745937F)
+    k1 = k1 * c1
+    k1 = (k1 << U64(31)) | (k1 >> U64(33))
+    k1 *= c2
+    h1 = k1 ^ U64(width)     # h1 = (0 ^ k1) ^ length
+    h2 = np.full(len(k1), U64(width))  # h2 = 0 ^ length
+    h1 = h1 + h2
+    h2 = h2 + h1
+
+    def fmix(h):
+        h ^= h >> U64(33)
+        h *= U64(0xFF51AFD7ED558CCD)
+        h ^= h >> U64(33)
+        h *= U64(0xC4CEB9FE1A85EC53)
+        h ^= h >> U64(33)
+        return h
+
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    return h1 + h2
+
+
 # ---------------------------------------------------------------------------
 # scalar element encoding (reference byte-identity rules)
 
@@ -690,13 +733,5 @@ def hash_fixed_batch(values: np.ndarray, hash_name: str = DEFAULT_HASH) -> np.nd
         # "polars" numeric identity rule: the 64-bit integer value (fast mixer)
         return splitmix64(values.astype(np.uint64, copy=False))
     if hash_name == "murmur3":
-        # scalar fallback: murmur3 has no vectorized path (not the default)
-        width = values.dtype.itemsize
-        fmt = {4: "<I", 8: "<Q"}[width]
-        conv = values.astype({4: np.uint32, 8: np.uint64}[width], copy=False)
-        return np.fromiter(
-            (murmur3_128_x64_low64(struct.pack(fmt, int(v))) for v in conv),
-            dtype=np.uint64,
-            count=len(conv),
-        )
+        return murmur3_128_x64_low64_fixed(values)
     raise ValueError(f"unknown hash function: {hash_name}")

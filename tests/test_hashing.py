@@ -261,3 +261,27 @@ class TestXXH64:
         h2 = HyperLogLog(b=14, hash_name="xxhash64")
         h2.add_values(np.arange(200_000, dtype=np.int64))
         assert abs(h2.estimate() / 200_000 - 1) < 3 * 1.04 / 2**7
+
+
+def test_murmur3_fixed_vectorized_bit_exact():
+    """Vectorized murmur3 fixed-width path == scalar reference-parity
+    implementation on every supported dtype's byte image."""
+    import struct
+
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches.hashing import (
+        hash_fixed_batch,
+        murmur3_128_x64_low64,
+        murmur3_128_x64_low64_fixed,
+    )
+
+    rng = np.random.default_rng(9)
+    vals32 = rng.integers(-2**31, 2**31, size=100).astype(np.int32)
+    out = murmur3_128_x64_low64_fixed(vals32)
+    for i, v in enumerate(vals32):
+        assert int(out[i]) == murmur3_128_x64_low64(struct.pack("<i", int(v)))
+    vals64 = rng.integers(-2**62, 2**62, size=100).astype(np.int64)
+    out = hash_fixed_batch(vals64, "murmur3")
+    for i, v in enumerate(vals64):
+        assert int(out[i]) == murmur3_128_x64_low64(struct.pack("<q", int(v)))
