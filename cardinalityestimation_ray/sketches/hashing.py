@@ -189,6 +189,15 @@ def hash_arrow_binary(arr: pa.Array, hash_name: str = "fnv1a") -> np.ndarray:
         return splitmix64_inplace(wordfnv64_bytes_array(data, starts, lengths))
     if hash_name == "xxhash64":
         return xxh64_bytes_array(data, starts, lengths)
+    if hash_name == "murmur3":
+        # scalar per-string loop — murmur3's 16-byte block structure does
+        # not vectorize cleanly over variable lengths; provided for parity
+        # (reference default usage), not throughput
+        return np.fromiter(
+            (murmur3_128_x64_low64(
+                data[starts[i]:starts[i] + lengths[i]].tobytes())
+             for i in range(len(starts))),
+            dtype=np.uint64, count=len(starts))
     h = fnv1a64_bytes_array(data, starts, lengths)
     if hash_name == "fnv1a":
         return h
