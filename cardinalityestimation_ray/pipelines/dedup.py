@@ -76,8 +76,9 @@ def exact_dedup_stats(docs_ds, *, text_column: str = "text") -> pd.DataFrame:
     totals = per_hash.aggregate(Sum("n", alias_name="n_docs"),
                                 Count(alias_name="n_distinct"))
     return pd.DataFrame({
-        "n_docs": [int(totals["n_docs"])],
-        "n_distinct": [int(totals["n_distinct"])],
+        # Ray's whole-dataset Sum over zero rows returns None
+        "n_docs": [int(totals["n_docs"] or 0)],
+        "n_distinct": [int(totals["n_distinct"] or 0)],
     })
 
 

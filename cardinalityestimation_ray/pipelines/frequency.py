@@ -175,12 +175,15 @@ def token_bigram_topk(tokens_ds, k: int = 20,
                              "token_b": pa.array([], type=pa.int32()),
                              "cnt": pa.array([], type=pa.int64())})
         same_doc = parents[:-1] == parents[1:]
+        # mask the low word so negative int32 ids (e.g. -1 padding) don't
+        # sign-extend over the high word and collapse distinct pairs
         pair = ((values[:-1].astype(np.int64) << 32)
-                | values[1:].astype(np.int64))[same_doc]
+                | (values[1:].astype(np.int64) & 0xFFFFFFFF))[same_doc]
         uniq, counts = np.unique(pair, return_counts=True)
         return pa.table({
             "token_a": pa.array((uniq >> 32).astype(np.int32)),
-            "token_b": pa.array((uniq & 0x7FFFFFFF).astype(np.int32)),
+            "token_b": pa.array((uniq & 0xFFFFFFFF).astype(np.uint32)
+                                .view(np.int32)),
             "cnt": pa.array(counts.astype(np.int64)),
         })
 
@@ -211,8 +214,9 @@ def _packed_bigrams(batch: pa.Table, token_column: str) -> np.ndarray:
     if len(values) < 2:
         return np.empty(0, dtype=np.int64)
     same_doc = parents[:-1] == parents[1:]
+    # low word masked: negative ids must not sign-extend over the high word
     return ((values[:-1].astype(np.int64) << 32)
-            | values[1:].astype(np.int64))[same_doc]
+            | (values[1:].astype(np.int64) & 0xFFFFFFFF))[same_doc]
 
 
 def bigram_heavy_hitters(make_tokens_ds, phi: float = 0.001, *,
@@ -279,7 +283,8 @@ def bigram_heavy_hitters(make_tokens_ds, phi: float = 0.001, *,
                              "cnt": pd.Series([], dtype="int64")})
     df = df[df["cnt"] >= threshold].copy()
     df["token_a"] = (df["pair"].to_numpy() >> 32).astype(np.int32)
-    df["token_b"] = (df["pair"].to_numpy() & 0x7FFFFFFF).astype(np.int32)
+    df["token_b"] = (df["pair"].to_numpy() & 0xFFFFFFFF).astype(np.uint32) \
+        .view(np.int32)
     return df[["token_a", "token_b", "cnt"]].sort_values(
         ["cnt", "token_a", "token_b"],
         ascending=[False, True, True]).reset_index(drop=True)

@@ -60,6 +60,14 @@ def weighted_sample_column(ds, value_column: str, weight_column: str, *,
     from ..stages.sketch_stages import tree_merge_partials
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL null semantics: a null value or null weight excludes the row
+        # (a single NaN weight would otherwise poison total_weight forever)
+        valid = pc.and_(pc.is_valid(batch[value_column]),
+                        pc.is_valid(batch[weight_column]))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
         r = WeightedReservoirSample(k=k)
         vals = batch[value_column].to_numpy(zero_copy_only=False)
         wts = batch[weight_column].to_numpy(zero_copy_only=False)

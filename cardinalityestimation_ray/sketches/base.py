@@ -35,13 +35,20 @@ class Sketch(ABC):
     def add_values(self, values: np.ndarray) -> None:
         """Vectorized add of a numpy array of elements."""
 
+    @staticmethod
+    def _drop_nulls(arr: pa.Array) -> pa.Array:
+        """SQL semantics: nulls are not elements (shared by every kind —
+        without this, numpy conversion silently turns nulls into counted
+        NaNs)."""
+        return arr.drop_null() if arr.null_count else arr
+
     def add_arrow(self, arr: pa.Array | pa.ChunkedArray) -> None:
-        """Add an Arrow array (default: via numpy conversion)."""
+        """Add an Arrow array (default: via numpy conversion; nulls skipped)."""
         if isinstance(arr, pa.ChunkedArray):
             for chunk in arr.chunks:
                 self.add_arrow(chunk)
             return
-        self.add_values(arr.to_numpy(zero_copy_only=False))
+        self.add_values(self._drop_nulls(arr).to_numpy(zero_copy_only=False))
 
     # --- merge / query ------------------------------------------------
     @abstractmethod

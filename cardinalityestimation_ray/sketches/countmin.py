@@ -94,8 +94,7 @@ class CountMinSketch(Sketch):
             for chunk in arr.chunks:
                 self.add_arrow(chunk)
             return
-        if arr.null_count:  # SQL semantics: nulls are not elements
-            arr = arr.drop_null()
+        arr = self._drop_nulls(arr)
         t = arr.type
         if pa.types.is_string(t) or pa.types.is_binary(t) or \
                 pa.types.is_large_string(t) or pa.types.is_large_binary(t):

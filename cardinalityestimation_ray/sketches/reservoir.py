@@ -162,8 +162,8 @@ class WeightedReservoirSample(Sketch):
         weights = np.asarray(weights, dtype=np.float64)
         if len(values) != len(weights):
             raise ValueError("values and weights must align")
-        if np.any(weights < 0):
-            raise ValueError("weights must be >= 0")
+        if not np.all(weights >= 0):  # catches negatives AND NaN
+            raise ValueError("weights must be >= 0 and non-NaN")
         pos = weights > 0
         self.n += len(values)
         self.total_weight += float(weights.sum())

@@ -85,8 +85,7 @@ class ThetaSketch(Sketch):
             for chunk in arr.chunks:
                 self.add_arrow(chunk)
             return
-        if arr.null_count:  # SQL semantics: nulls are not elements
-            arr = arr.drop_null()
+        arr = self._drop_nulls(arr)
         t = arr.type
         if pa.types.is_string(t) or pa.types.is_binary(t) or \
                 pa.types.is_large_string(t) or pa.types.is_large_binary(t):
@@ -199,4 +198,10 @@ class ThetaSketch(Sketch):
         if out.theta64 < (1 << 64) and len(out.retained) and \
                 int(out.retained.max()) >= out.theta64:
             raise ValueError("invalid theta blob: retained value >= theta")
+        if len(out.retained) > 1 and \
+                not bool(np.all(out.retained[1:] > out.retained[:-1])):
+            # set-expression kernels rely on assume_unique sorted samples
+            raise ValueError(
+                "invalid theta blob: retained hashes must be strictly "
+                "increasing")
         return out

@@ -210,17 +210,21 @@ class VideoFrameSampleStage:
 
     def _sample_one(self, payload: bytes, dur: int):
         if self.decoder == "bmpseq":
-            from .codecs import bmpseq_info, decode_bmpseq_frame, resize_nearest
+            from .codecs import bmpseq_info, decode_bmp, resize_nearest
 
-            total, fps, _ = bmpseq_info(payload)
+            # parse the container header ONCE; sampled frames decode from
+            # offset slices directly
+            total, fps, offsets = bmpseq_info(payload)
             idx = (np.arange(self.n_frames) * total
                    // max(self.n_frames, 1)).clip(0, max(total - 1, 0))
             ts = (idx * 1000 // max(fps, 1)).astype(np.int32)
             feats = np.zeros((self.n_frames, self.feature_dim),
                              dtype=np.float32)
             if total:
+                ends = np.r_[offsets[1:], len(payload)]
                 for j, fi in enumerate(idx):
-                    frame = decode_bmpseq_frame(payload, int(fi))
+                    frame = decode_bmp(
+                        payload[int(offsets[fi]):int(ends[fi])])
                     # feature = channel means of a coarse grid (real pixels)
                     side = max(int(np.sqrt(self.feature_dim // 3)), 1)
                     small = resize_nearest(frame, side, side)

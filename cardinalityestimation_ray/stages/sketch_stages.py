@@ -318,6 +318,13 @@ class GenericSketchPartials:
             sk.add_values(values[lo:lo + self.CHUNK])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.explode_list:
+            col = batch[self.value_column]
+            if col.null_count:
+                # SQL semantics: null values are not elements (the numpy
+                # conversion would otherwise turn them into counted NaNs).
+                # Filter whole rows so key alignment is preserved.
+                batch = batch.filter(pc.is_valid(col))
         values, parents = self._values(batch)
         if self.key_column is None:
             sk = self._new()

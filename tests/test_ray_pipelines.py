@@ -888,3 +888,59 @@ def test_bigram_heavy_hitters_exact(_ray):
     got = {(int(r.token_a), int(r.token_b)): int(r.cnt)
            for r in out.itertuples()}
     assert got == expected
+
+
+def test_bigram_negative_ids_distinct(_ray):
+    """Negative int32 token ids (padding sentinels) must not collapse
+    distinct bigrams via sign extension (self-review fix)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.frequency import token_bigram_topk
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "tokens": [[5, -1, 5, -1], [7, -1, 7, -1]],
+    })
+    top = token_bigram_topk(ray.data.from_pandas(df), k=10)
+    got = {(int(a), int(b)): int(c)
+           for a, b, c in zip(top["token_a"], top["token_b"], top["cnt"])}
+    assert got == {(5, -1): 2, (7, -1): 2, (-1, 5): 1, (-1, 7): 1}
+
+
+def test_review_fixes_null_and_empty_paths(_ray):
+    """Round-2 self-review regressions: null weights don't poison sampling,
+    empty corpus doesn't crash exact_dedup_stats, nullable numeric columns
+    don't leak NaN into generic sketch partials."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import exact_dedup_stats
+    from cardinalityestimation_ray.pipelines.sampling import (
+        reservoir_sample_summary,
+        weighted_sample_summary,
+    )
+
+    # null weight / null value rows are excluded, not NaN-poisoned
+    tbl = pa.table({
+        "x": pa.array([1.0, 2.0, None, 4.0]),
+        "w": pa.array([1.0, None, 3.0, 4.0]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = weighted_sample_summary(ds, "x", "w", k=10)
+    assert out["total_weight"][0] == 5.0  # rows (1,1) and (4,4) only
+    assert out["n_sample"][0] == 2
+    assert np.isfinite(out["sample_mean"][0])
+
+    # empty corpus -> zeros, not TypeError
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+    }))
+    stats = exact_dedup_stats(empty)
+    assert stats["n_docs"][0] == 0 and stats["n_distinct"][0] == 0
+
+    # nullable numeric column: nulls skipped by the reservoir pipeline
+    tbl2 = pa.table({"v": pa.array([1.0, None, 3.0, None, 5.0])})
+    summ = reservoir_sample_summary(ray.data.from_arrow(tbl2), "v", k=10)
+    assert summ["n_total"][0] == 3
+    assert summ["sample_min"][0] == 1.0 and summ["sample_max"][0] == 5.0

@@ -117,3 +117,17 @@ class TestWire:
         from cardinalityestimation_ray.sketches.base import Sketch
 
         assert Sketch.REGISTRY["theta"] is ThetaSketch
+
+
+def test_corrupt_unsorted_blob_rejected():
+    """Retained hashes must be strictly increasing — a blob with duplicates
+    would silently break the assume_unique set-expression kernels."""
+    import struct
+
+    s = _sk(range(100), k=64)
+    blob = bytearray(s.to_bytes())
+    off = 4 + struct.calcsize("<IQQ")
+    # overwrite the second retained hash with a copy of the first
+    blob[off + 8:off + 16] = blob[off:off + 8]
+    with pytest.raises(ValueError):
+        ThetaSketch.from_bytes(bytes(blob))
