@@ -137,14 +137,23 @@ def _spread(ds):
     """Repartition a small input (e.g. one Parquet file) across the cluster's
     CPU slots before a CPU-heavy stage; pass through inputs that already have
     enough blocks. Replaces round 1's hardcoded ``repartition(32)`` — the
-    target derives from the live cluster size."""
+    target derives from the live cluster size.
+
+    Lazy datasets don't expose ``num_blocks()`` (NotImplementedError in this
+    Ray version), so fall back to the input-file count — the quantity that
+    actually bounds read parallelism for file-backed inputs.
+    """
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_blocks = None
     try:
         n_blocks = ds.num_blocks()
     except Exception:
-        n_blocks = None
+        try:
+            n_blocks = len(ds.input_files())
+        except Exception:
+            pass
     if n_blocks is not None and 0 < n_blocks < cpus:
         return ds.repartition(cpus)
     return ds
