@@ -54,7 +54,18 @@ def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
         Sum("n_events", alias_name="n_events"),
     )
     df = out.to_pandas()
+    if len(df) == 0:  # empty input: Ray returns a column-less frame
+        return _empty_window_frame(key_column)
     return df.sort_values([key_column, "window_start"]).reset_index(drop=True)
+
+
+def _empty_window_frame(key_column: str) -> pd.DataFrame:
+    return pd.DataFrame({
+        key_column: pd.Series([], dtype="object"),
+        "window_start": pd.Series([], dtype="datetime64[us]"),
+        "value_sum": pd.Series([], dtype="float64"),
+        "n_events": pd.Series([], dtype="int64"),
+    })
 
 
 def sliding_window_agg(events_ds, *, window_minutes: int = 60,
@@ -104,6 +115,8 @@ def sliding_window_agg(events_ds, *, window_minutes: int = 60,
         Sum("n_events", alias_name="n_events"),
     )
     df = out.to_pandas()
+    if len(df) == 0:
+        return _empty_window_frame(key_column)
     return df.sort_values([key_column, "window_start"]).reset_index(drop=True)
 
 
@@ -135,4 +148,10 @@ def session_window_stats(events_ds, *, gap_minutes: int = 30,
     out = events_ds.groupby(key_column).map_groups(
         per_key, batch_format="pandas")
     df = out.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({
+            key_column: pd.Series([], dtype="object"),
+            "n_sessions": pd.Series([], dtype="int64"),
+            "max_session_events": pd.Series([], dtype="int64"),
+        })
     return df.sort_values(key_column).reset_index(drop=True)

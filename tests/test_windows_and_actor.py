@@ -175,3 +175,31 @@ def test_live_progress_actor_during_scan(_ray, sf_dir):
     assert ray.get(actor.count_additions.remote()) == total
     assert ray.get(actor.estimate.remote()) == sketch.estimate()
     ray.kill(actor)
+
+
+def test_windows_empty_input(_ray):
+    """Empty event streams produce typed empty frames, not KeyError
+    (round-2 empty-input sweep)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import (
+        session_window_stats,
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
+
+    def empty():
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "value": pa.array([], type=pa.float64()),
+        }))
+
+    t = tumbling_window_agg(empty())
+    assert len(t) == 0 and "n_events" in t.columns
+    sl = sliding_window_agg(empty(), window_minutes=60, slide_minutes=30)
+    assert len(sl) == 0 and "window_start" in sl.columns
+    se = session_window_stats(empty())
+    assert len(se) == 0 and "n_sessions" in se.columns
