@@ -61,6 +61,11 @@ def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
 
     partials = emb_ds.map_batches(Score, batch_format="pyarrow",
                                   concurrency=(1, 8)).to_pandas()
+    if len(partials) == 0:  # empty corpus: no candidate rows
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             id_column: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     out = []
     for qid, grp in partials.groupby("query_id"):
         top = grp.sort_values(["cosine", id_column],
@@ -192,6 +197,11 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
 
     partials = emb_ds.map_batches(Score, batch_format="pyarrow",
                                   concurrency=(1, 8)).to_pandas()
+    if len(partials) == 0:  # empty corpus: no candidate rows
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             id_column: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     out = []
     for qid, grp in partials.groupby("query_id"):
         top = grp.sort_values(["cosine", id_column],

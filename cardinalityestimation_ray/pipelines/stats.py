@@ -18,4 +18,12 @@ def ntok_stats_by_source(tokens_ds) -> pd.DataFrame:
         Max("n_tok", alias_name="max_tokens"),
     )
     df = out.to_pandas()
+    if len(df) == 0:  # empty input: Ray returns a column-less frame
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "total_tokens": pd.Series([], dtype="int64"),
+            "min_tokens": pd.Series([], dtype="int64"),
+            "max_tokens": pd.Series([], dtype="int64"),
+        })
     return df.sort_values("source").reset_index(drop=True)

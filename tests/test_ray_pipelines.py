@@ -944,3 +944,41 @@ def test_review_fixes_null_and_empty_paths(_ray):
     summ = reservoir_sample_summary(ray.data.from_arrow(tbl2), "v", k=10)
     assert summ["n_total"][0] == 3
     assert summ["sample_min"][0] == 1.0 and summ["sample_max"][0] == 5.0
+
+
+def test_empty_inputs_typed_frames(_ray):
+    """Every pipeline must return a typed empty frame on empty input
+    (round-2 empty-input sweep: Ray's empty grouped aggregates come back
+    column-less, which used to KeyError in several sort/select tails)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ann import ann_topk_brute
+    from cardinalityestimation_ray.pipelines.exact import (
+        exact_count_by_key,
+        exact_distinct_by_key,
+    )
+    from cardinalityestimation_ray.pipelines.stats import ntok_stats_by_source
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "tokens": pa.array([], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([], type=pa.int32()),
+        "source": pa.array([], type=pa.string())}))
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32()))}))
+    ev = ray.data.from_arrow(pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "user_id": pa.array([], type=pa.int64())}))
+
+    s = ntok_stats_by_source(docs)
+    assert len(s) == 0 and "total_tokens" in s.columns
+    q = np.zeros((2, 4), dtype=np.float32)
+    a = ann_topk_brute(emb, q, k=3)
+    assert len(a) == 0 and list(a.columns) == ["query_id", "rank", "vec_id",
+                                               "cosine"]
+    d = exact_distinct_by_key(ev, "user_id", "event_type")
+    assert len(d) == 0 and "distinct_values" in d.columns
+    c = exact_count_by_key(ev.select_columns(["event_type"]), "event_type")
+    assert len(c) == 0 and "n_rows" in c.columns
