@@ -185,6 +185,12 @@ class HllColumnPartials:
             # SQL COUNT(DISTINCT) semantics: null values are not elements.
             # Filter whole rows so key alignment is preserved.
             batch = batch.filter(pc.is_valid(col))
+        if len(batch) == 0:
+            cols = {"sketch": pa.array([], type=pa.binary()),
+                    "n_added": pa.array([], type=pa.int64())}
+            if self.key_column is not None:
+                cols = {self.key_column: batch[self.key_column], **cols}
+            return pa.table(cols)
         h = _hash_column(batch, self.value_column, self.hash_name)
         if self.key_column is None:
             sk = HyperLogLog(b=self.b, use_direct_counting=self.use_direct,

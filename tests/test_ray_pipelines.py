@@ -982,3 +982,30 @@ def test_empty_inputs_typed_frames(_ray):
     assert len(d) == 0 and "distinct_values" in d.columns
     c = exact_count_by_key(ev.select_columns(["event_type"]), "event_type")
     assert len(c) == 0 and "n_rows" in c.columns
+
+
+def test_all_null_value_column(_ray):
+    """A value column that is entirely null yields an empty result (SQL
+    COUNT(DISTINCT) over all-null = no groups contribute elements), not a
+    crash in the keyed partial stage."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_column_by_key,
+    )
+
+    tbl = pa.table({
+        "v": pa.array([None, None, None], type=pa.int64()),
+        "g": pa.array(["a", "a", "b"]),
+    })
+    out = distinct_column_by_key(ray.data.from_arrow(tbl), "v", "g")
+    assert len(out) == 0
+
+    mixed = pa.table({
+        "v": pa.array([1, None, 1, 2], type=pa.int64()),
+        "g": pa.array(["a", "a", "b", "b"]),
+    })
+    out2 = distinct_column_by_key(ray.data.from_arrow(mixed), "v", "g")
+    got = {r["g"]: r["distinct_values"] for r in out2.to_dict("records")}
+    assert got == {"a": 1, "b": 2}
