@@ -198,11 +198,14 @@ def char_ngram_hashes(text: pa.Array, n: int = 8) -> tuple[np.ndarray, np.ndarra
     """
     arr = _as_array(text)
     if pa.types.is_string(arr.type):
-        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
-                                count=len(arr) + arr.offset + 1)[arr.offset:]
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        off_dtype = np.int32
+    elif pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
     else:
         raise TypeError(f"expected string array, got {arr.type}")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                            count=len(arr) + arr.offset + 1)[arr.offset:]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     starts = offsets[:-1].astype(np.int64)
     lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
     n_grams = np.maximum(lengths - n + 1, 0)

@@ -138,15 +138,29 @@ def distinct_docs_by_source(tokens_ds, b: int = 14,
     )
 
 
-def flagship_summary(tokens_ds, b: int = 14) -> pd.DataFrame:
-    """The entry() pipeline: global + per-source distinct counts, one frame."""
-    per_source = distinct_tokens_by_source(tokens_ds, b=b)
-    glob = global_distinct_tokens(tokens_ds, b=b)
+def flagship_summary(tokens_ds, b: int = 14,
+                     hash_name: str = hashing.DEFAULT_HASH) -> pd.DataFrame:
+    """The entry() pipeline: global + per-source distinct counts, one frame.
+
+    ONE corpus scan: the per-source keyed partials tree-merge to one sketch
+    per source, and the register-max union of those sketches IS the global
+    sketch (lossless union) — so the global row costs a driver-side merge of
+    a few KB sketches, not a second scan (round-2 review fix)."""
+    partials = tokens_ds.map_batches(
+        HllTokenPartials(b=b, key_column="source", hash_name=hash_name),
+        batch_format="pyarrow", batch_size=4096)
+    merged = tree_merge_keyed_partials(partials, "source",
+                                       hash_name=hash_name)
+    per_source = _keyed_result_frame(merged, "source", "distinct_tokens",
+                                     "total_tokens")
+    glob = HyperLogLog.merge_many(sk.copy() for sk, _ in merged.values())
+    if glob is None:
+        glob = HyperLogLog(b=b, hash_name=hash_name)
     glob_row = pd.DataFrame(
         {
             "source": ["__all__"],
-            "distinct_tokens": [glob["distinct_tokens"]],
-            "total_tokens": [glob["total_tokens"]],
+            "distinct_tokens": [glob.estimate()],
+            "total_tokens": [sum(n for _, n in merged.values())],
         }
     )
     out = pd.concat([glob_row, per_source], ignore_index=True)

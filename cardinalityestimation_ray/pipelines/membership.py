@@ -89,6 +89,13 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
     import ray
 
     keys = np.unique(np.asarray(build_keys))
+    # canonicalize width: the hash identity is the byte image, so an int32
+    # build side probed against an int64 column would never match. Both
+    # sides normalize to 8-byte images (int64/float64) before hashing.
+    if np.issubdtype(keys.dtype, np.integer):
+        keys = keys.astype(np.int64)
+    elif np.issubdtype(keys.dtype, np.floating):
+        keys = keys.astype(np.float64)
     bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
     bf.add_values(keys)
     bundle = ray.put((bf.to_bytes(), keys))
@@ -104,6 +111,10 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             vals = col.to_numpy(zero_copy_only=False)
+            if np.issubdtype(vals.dtype, np.integer):
+                vals = vals.astype(np.int64)
+            elif np.issubdtype(vals.dtype, np.floating):
+                vals = vals.astype(np.float64)
             mask = self.bf.contains_values(vals)
             if mask.any():
                 # exact verify only for bloom-admitted rows

@@ -52,12 +52,6 @@ class BloomFilter(Sketch):
 
     # ------------------------------------------------------------------
 
-    def _positions(self, h: np.ndarray) -> list[np.ndarray]:
-        h2 = hashing.splitmix64(h) | _U64(1)
-        mask = _U64(self.num_bits - 1)
-        return [((h + _U64(i) * h2) & mask).astype(np.int64)
-                for i in range(self.num_hashes)]
-
     def add_hashes(self, h: np.ndarray) -> None:
         h = np.ascontiguousarray(h, dtype=np.uint64)
         self.count_additions += len(h)

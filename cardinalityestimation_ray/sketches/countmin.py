@@ -68,6 +68,13 @@ class CountMinSketch(Sketch):
     def add_hashes(self, h: np.ndarray,
                    weights: np.ndarray | None = None) -> None:
         h = np.ascontiguousarray(h, dtype=np.uint64)
+        if weights is not None:
+            weights = np.asarray(weights)
+            if not np.all(np.equal(np.mod(weights, 1), 0)) or                     np.any(weights < 0):
+                # fractional weights would truncate in the uint64 counters
+                # and break the est >= true guarantee
+                raise ValueError(
+                    "count-min weights must be non-negative integers")
         self.total += int(len(h) if weights is None else weights.sum())
         h2 = hashing.splitmix64(h) | _U64(1)
         mask = _U64(self.width - 1)

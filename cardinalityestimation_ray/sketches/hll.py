@@ -484,8 +484,17 @@ class HyperLogLog(Sketch):
                 raise ValueError(
                     f"invalid serialized data: sparse lookup length must be in "
                     f"[0, {m}], got {count}")
+            max_rank = 64 - b + 1
             for _ in range(count):
                 k, v = take("<HB")
+                if k >= m:
+                    raise ValueError(
+                        f"invalid serialized data: sparse register index {k} "
+                        f">= m={m}")
+                if v > max_rank:
+                    raise ValueError(
+                        f"invalid serialized data: sparse rank {v} > "
+                        f"{max_rank} for bitsPerIndex={b}")
                 sparse[k] = v
         else:
             (count,) = take("<i")
@@ -499,6 +508,11 @@ class HyperLogLog(Sketch):
                     f"dense lookup")
             dense = np.frombuffer(view, dtype=np.uint8, count=count, offset=pos).copy()
             pos += count
+            max_rank = 64 - b + 1
+            if len(dense) and int(dense.max()) > max_rank:
+                raise ValueError(
+                    f"invalid serialized data: dense register value "
+                    f"{int(dense.max())} > {max_rank} for bitsPerIndex={b}")
         count_additions = 0
         # reference rule: CountAdditions present for format >= 2.1
         # (CardinalityEstimatorSerializer.cs:328-333) — tuple compare so a

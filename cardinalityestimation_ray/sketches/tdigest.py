@@ -49,11 +49,15 @@ class TDigest(Sketch):
     def add_values(self, values: np.ndarray,
                    weights: np.ndarray | None = None) -> None:
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        keep = ~np.isnan(values)
+        values = values[keep]
+        if weights is None:
+            w = np.ones(len(values))
+        else:
+            # apply the same NaN mask so means stay aligned with weights
+            w = np.asarray(weights, dtype=np.float64)[keep]
         if len(values) == 0:
             return
-        w = (np.ones(len(values)) if weights is None
-             else np.asarray(weights, dtype=np.float64))
         self._min = min(self._min, float(values.min()))
         self._max = max(self._max, float(values.max()))
         self.total_weight += float(w.sum())

@@ -36,7 +36,14 @@ def sketch_from_blob(kind: str, blob: bytes) -> Sketch:
 
 
 def _flatten_tokens(batch: pa.Table, token_column: str):
-    """(flat int32 values, parent row indices) of a list<int32> column."""
+    """(flat int32 values, parent row indices) of a list<int32> column.
+
+    Null ELEMENTS inside lists are dropped with parents kept aligned (SQL
+    semantics — and critically, a single null would otherwise flip the whole
+    flat array to float64, making every token in the batch hash via the
+    8-byte image instead of the 4-byte one and silently inflating distinct
+    counts). Null LISTS contribute no tokens (Arrow flatten skips them).
+    """
     col = batch[token_column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -46,8 +53,23 @@ def _flatten_tokens(batch: pa.Table, token_column: str):
         flat = flat.combine_chunks()
     if isinstance(parents, pa.ChunkedArray):
         parents = parents.combine_chunks()
+    if flat.null_count:
+        valid = pc.is_valid(flat)
+        flat = flat.filter(valid)
+        parents = parents.filter(valid)
     return (flat.to_numpy(zero_copy_only=False),
             parents.to_numpy(zero_copy_only=False))
+
+
+def _drop_null_keys(batch: pa.Table, key_column: str) -> pa.Table:
+    """Rows with a null key are excluded from keyed sketch partials
+    (documented divergence from SQL GROUP BY's null group — a null key
+    would otherwise NaN-poison the dictionary-code sort in every keyed
+    stage)."""
+    col = batch[key_column]
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
 
 
 def _hash_column(batch: pa.Table, column: str, hash_name: str) -> np.ndarray:
@@ -109,6 +131,8 @@ class HllTokenPartials:
     CHUNK = 8192
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.key_column is not None:
+            batch = _drop_null_keys(batch, self.key_column)
         values, parents = _flatten_tokens(batch, self.token_column)
         if self.key_column is None:
             sk = self._new_sketch()
@@ -136,9 +160,13 @@ class HllTokenPartials:
         order = np.argsort(token_keys, kind="stable")
         tk_sorted = token_keys[order]
         h_sorted = h[order]
-        bounds = np.r_[0, np.flatnonzero(np.diff(tk_sorted)) + 1, len(tk_sorted)]
         out_keys, out_blobs, out_counts = [], [], []
         present = set()
+        if len(tk_sorted) == 0:
+            bounds = np.array([0])  # no tokens: only the zero-token fill below
+        else:
+            bounds = np.r_[0, np.flatnonzero(np.diff(tk_sorted)) + 1,
+                           len(tk_sorted)]
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
             code = int(tk_sorted[lo])
@@ -180,6 +208,8 @@ class HllColumnPartials:
         self.hash_name = hash_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.key_column is not None:
+            batch = _drop_null_keys(batch, self.key_column)
         col = batch[self.value_column]
         if col.null_count:
             # SQL COUNT(DISTINCT) semantics: null values are not elements.
@@ -324,6 +354,8 @@ class GenericSketchPartials:
             sk.add_values(values[lo:lo + self.CHUNK])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.key_column is not None:
+            batch = _drop_null_keys(batch, self.key_column)
         if not self.explode_list:
             col = batch[self.value_column]
             if col.null_count:
@@ -352,8 +384,12 @@ class GenericSketchPartials:
             v_sorted = values.take(pa.array(order))
         else:
             v_sorted = values[order]
-        bounds = np.r_[0, np.flatnonzero(np.diff(vc_sorted)) + 1, len(vc_sorted)]
         out_keys, out_blobs, out_counts = [], [], []
+        if len(vc_sorted) == 0:
+            bounds = np.array([0])
+        else:
+            bounds = np.r_[0, np.flatnonzero(np.diff(vc_sorted)) + 1,
+                           len(vc_sorted)]
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
             sk = self._new()

@@ -140,7 +140,7 @@ def _process_partition(input_file: str, checkpoint_root: str, b: int,
         sketch_kind="hll",
         sketch_b64=base64.b64encode(blob).decode(),
         wall_time_s=round(time.perf_counter() - t0, 4),
-        metrics={"b": b, "hash": hash_name},
+        metrics={"b": b, "hash": hash_name, "token_column": token_column},
     )
     CheckpointStore(checkpoint_root).write(record)
     return record.partition_id
@@ -176,7 +176,8 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
         rec = done.get(pid)
         if rec is not None and rec.input_bytes == os.path.getsize(path) \
                 and rec.metrics.get("b") == b \
-                and rec.metrics.get("hash") == hash_name:
+                and rec.metrics.get("hash") == hash_name \
+                and rec.metrics.get("token_column") == token_column:
             continue
         pending.append(path)
 
@@ -205,7 +206,13 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
                 break
 
     wanted = {_partition_id_for(p) for p in input_files}
-    recs = {pid: r for pid, r in store.completed().items() if pid in wanted}
+    recs = {
+        pid: r for pid, r in store.completed().items()
+        if pid in wanted
+        and r.metrics.get("b") == b
+        and r.metrics.get("hash") == hash_name
+        and r.metrics.get("token_column") == token_column
+    }
     merged = HyperLogLog.merge_many(
         HyperLogLog.from_bytes(r.sketch_blob(), hash_name)
         for r in recs.values())

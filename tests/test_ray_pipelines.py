@@ -1009,3 +1009,50 @@ def test_all_null_value_column(_ray):
     out2 = distinct_column_by_key(ray.data.from_arrow(mixed), "v", "g")
     got = {r["g"]: r["distinct_values"] for r in out2.to_dict("records")}
     assert got == {"a": 1, "b": 2}
+
+
+def test_null_keys_and_null_token_elements(_ray):
+    """High-effort review regressions: null key rows are excluded (not
+    NaN-crash), null token elements don't flip the batch to float64 hashing,
+    and cross-batch token identity holds."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_tokens_by_source,
+        global_distinct_tokens,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"]),
+        "tokens": pa.array([[1, None, 2], [1, 2], None, [3]],
+                           type=pa.list_(pa.int32())),
+        "source": pa.array(["s1", None, "s1", "s2"]),
+    })
+
+    def make():
+        return ray.data.from_arrow(tbl)
+
+    g = global_distinct_tokens(make())
+    assert g["distinct_tokens"] == 3      # {1, 2, 3}; nulls not elements
+    assert g["total_tokens"] == 5
+    df = distinct_tokens_by_source(make())
+    got = {r["source"]: r["distinct_tokens"] for r in df.to_dict("records")}
+    assert got == {"s1": 2, "s2": 1}      # null-source row excluded
+
+
+def test_semi_join_mixed_integer_widths(_ray):
+    """int32 build keys against an int64 column must still join exactly
+    (byte-image widths canonicalized on both sides)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        broadcast_semi_join,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([10, 20, 30, 40], type=pa.int64())}))
+    keys32 = np.array([10, 30], dtype=np.int32)
+    out = broadcast_semi_join(ds, keys32, "k").to_pandas()
+    assert sorted(out["k"]) == [10, 30]
