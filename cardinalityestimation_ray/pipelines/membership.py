@@ -107,9 +107,19 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
             self.exact = exact  # sorted by np.unique
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             col = batch[column]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            # SQL [NOT] IN semantics: NULL probe keys match nothing and are
+            # excluded from the anti-join too (round-2 ADVICE fix: a null in
+            # an integer column surfaced as NaN, missed the join, and with
+            # negate=True was wrongly KEPT)
+            if col.null_count:
+                valid = pc.is_valid(col)
+                batch = batch.filter(valid)
+                col = col.filter(valid)
             vals = col.to_numpy(zero_copy_only=False)
             if np.issubdtype(vals.dtype, np.integer):
                 vals = vals.astype(np.int64)

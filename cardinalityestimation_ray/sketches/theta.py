@@ -34,7 +34,8 @@ import numpy as np
 from . import hashing
 from .base import Sketch
 
-_MAGIC = b"THE1"
+_MAGIC = b"THE1"  # legacy: no embedded hash name
+_MAGIC_V2 = b"THE2"  # adds a length-prefixed hash-name field
 _U64_SPAN = float(1 << 64)
 
 
@@ -123,6 +124,14 @@ class ThetaSketch(Sketch):
 
     @staticmethod
     def _common_theta(a: "ThetaSketch", b: "ThetaSketch") -> int:
+        # same compatibility contract as merge() (round-2 ADVICE fix: the
+        # set-expression helpers silently returned near-zero intersections
+        # for sketches built under different hashes instead of raising)
+        if a.k != b.k:
+            raise ValueError("cannot combine theta sketches with different k")
+        if a.hash_name != b.hash_name:
+            raise ValueError(
+                "cannot combine theta sketches with different hash")
         return min(a.theta64, b.theta64)
 
     @staticmethod
@@ -170,23 +179,50 @@ class ThetaSketch(Sketch):
     # ------------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        # theta64 == 2^64 encoded as 0 (no value can reach it as a bound)
+        # theta64 == 2^64 encoded as 0 (no value can reach it as a bound).
+        # THE2 embeds the hash name (round-2 ADVICE fix: generic tree merges
+        # rebuilt custom-hash theta sketches as DEFAULT_HASH, mistagging
+        # them); THE1 blobs (no hash field) remain readable.
         t = 0 if self.theta64 >= (1 << 64) else self.theta64
-        header = _MAGIC + struct.pack("<IQQ", self.k, t, len(self.retained))
+        hname = self.hash_name.encode()
+        if len(hname) > 255:
+            raise ValueError("hash_name too long to serialize")
+        header = (_MAGIC_V2
+                  + struct.pack("<IQQB", self.k, t, len(self.retained),
+                                len(hname))
+                  + hname)
         return header + self.retained.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes,
-                   hash_name: str = hashing.DEFAULT_HASH) -> "ThetaSketch":
-        if blob[:4] != _MAGIC:
+                   hash_name: str | None = None) -> "ThetaSketch":
+        magic = blob[:4]
+        if magic == _MAGIC_V2:
+            try:
+                k, t, cnt, hlen = struct.unpack_from("<IQQB", blob, 4)
+            except struct.error as e:
+                raise ValueError(f"truncated theta blob: {e}") from None
+            off = 4 + struct.calcsize("<IQQB")
+            embedded = blob[off:off + hlen].decode()
+            if len(blob) < off + hlen:
+                raise ValueError("truncated theta blob: hash name")
+            if hash_name is not None and hash_name != embedded:
+                raise ValueError(
+                    f"theta blob was built under hash {embedded!r}, "
+                    f"cannot rebuild as {hash_name!r}")
+            hash_name = embedded
+            off += hlen
+        elif magic == _MAGIC:
+            try:
+                k, t, cnt = struct.unpack_from("<IQQ", blob, 4)
+            except struct.error as e:
+                raise ValueError(f"truncated theta blob: {e}") from None
+            off = 4 + struct.calcsize("<IQQ")
+            hash_name = hash_name or hashing.DEFAULT_HASH
+        else:
             raise ValueError("invalid theta blob: bad magic")
-        try:
-            k, t, cnt = struct.unpack_from("<IQQ", blob, 4)
-        except struct.error as e:
-            raise ValueError(f"truncated theta blob: {e}") from None
         if k < 16 or cnt > k:
             raise ValueError(f"invalid theta blob: k={k} cnt={cnt}")
-        off = 4 + struct.calcsize("<IQQ")
         if len(blob) - off != cnt * 8:
             raise ValueError(
                 f"invalid theta blob: expected {cnt * 8} payload bytes, "

@@ -141,6 +141,119 @@ def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * h01) >> _U64(56)).astype(np.int64)
 
 
+def collapse_identical_rows(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group identical rows of a (k, p) matrix.
+
+    Returns ``(order, starts, counts)``: ``order`` is a stable lexicographic
+    permutation of row indices, ``starts[i]:starts[i]+counts[i]`` slices
+    ``order`` into the i-th identical-row group. Stability means the FIRST
+    element of each group slice is the earliest original row (= the min-id
+    member when rows arrive id-sorted), which callers use as the group
+    representative.
+    """
+    if mat.ndim == 1:
+        mat = mat[:, None]
+    order = np.lexsort(mat.T[::-1]).astype(np.int64)
+    ss = mat[order]
+    if len(ss) == 0:
+        return order, np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.any(ss[1:] != ss[:-1], axis=1)
+    starts = np.r_[0, np.flatnonzero(change) + 1].astype(np.int64)
+    counts = np.diff(np.r_[starts, len(ss)]).astype(np.int64)
+    return order, starts, counts
+
+
+def pairwise_candidates_est(U: np.ndarray, min_est: float,
+                            row_chunk: int = 128
+                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All upper-triangle pairs (i, j, est) of a unique-signature matrix
+    ``U`` (m, p) with MinHash Jaccard estimate >= min_est. Chunked over rows
+    so peak memory is row_chunk × m × p bool."""
+    m = U.shape[0]
+    ii_out: list[np.ndarray] = []
+    jj_out: list[np.ndarray] = []
+    est_out: list[np.ndarray] = []
+    col = np.arange(m)
+    for lo in range(0, m, row_chunk):
+        hi = min(lo + row_chunk, m)
+        est = (U[lo:hi, None, :] == U[None, :, :]).mean(axis=2)
+        keep = (est >= min_est) & (col[None, :] > np.arange(lo, hi)[:, None])
+        ci, cj = np.nonzero(keep)
+        ii_out.append(ci + lo)
+        jj_out.append(cj)
+        est_out.append(est[ci, cj])
+    return (np.concatenate(ii_out) if ii_out else np.empty(0, np.int64),
+            np.concatenate(jj_out) if jj_out else np.empty(0, np.int64),
+            np.concatenate(est_out) if est_out else np.empty(0))
+
+
+def windowed_candidates_est(U: np.ndarray, min_est: float, window: int
+                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Degenerate-bucket cap: sort unique signatures by their first
+    component and compare each row only against its next ``window``
+    neighbors — O(m·window) instead of O(m²). Near-identical signatures sort
+    adjacently, so recall for true near-dups survives; union-find downstream
+    restores full clusters through chain connectivity."""
+    m = U.shape[0]
+    order = np.argsort(U[:, 0], kind="stable")
+    Us = U[order]
+    ii_out, jj_out, est_out = [], [], []
+    for off in range(1, min(window, m - 1) + 1):
+        est = (Us[:-off] == Us[off:]).mean(axis=1)
+        keep = np.flatnonzero(est >= min_est)
+        ii_out.append(order[keep])
+        jj_out.append(order[keep + off])
+        est_out.append(est[keep])
+    if not ii_out:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
+    return (np.concatenate(ii_out), np.concatenate(jj_out),
+            np.concatenate(est_out))
+
+
+def pairwise_candidates_hamming(h: np.ndarray, max_d: int,
+                                row_chunk: int = 512
+                                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Upper-triangle pairs (i, j, dist) of a uint64 SimHash array with
+    Hamming distance <= max_d, chunked broadcast + SWAR popcount."""
+    m = len(h)
+    ii_out, jj_out, d_out = [], [], []
+    col = np.arange(m)
+    for lo in range(0, m, row_chunk):
+        hi = min(lo + row_chunk, m)
+        d = hamming_distance_u64(
+            np.repeat(h[lo:hi], m).reshape(-1),
+            np.tile(h, hi - lo)).reshape(hi - lo, m)
+        keep = (d <= max_d) & (col[None, :] > np.arange(lo, hi)[:, None])
+        ci, cj = np.nonzero(keep)
+        ii_out.append(ci + lo)
+        jj_out.append(cj)
+        d_out.append(d[ci, cj])
+    return (np.concatenate(ii_out) if ii_out else np.empty(0, np.int64),
+            np.concatenate(jj_out) if jj_out else np.empty(0, np.int64),
+            np.concatenate(d_out) if d_out else np.empty(0, np.int64))
+
+
+def windowed_candidates_hamming(h: np.ndarray, max_d: int, window: int
+                                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Degenerate-bucket cap for SimHash: sort by the full 64-bit hash and
+    compare each entry against its next ``window`` neighbors (numerically
+    close hashes share high bits, so low-Hamming pairs sort nearby)."""
+    m = len(h)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    ii_out, jj_out, d_out = [], [], []
+    for off in range(1, min(window, m - 1) + 1):
+        d = hamming_distance_u64(hs[:-off], hs[off:])
+        keep = np.flatnonzero(d <= max_d)
+        ii_out.append(order[keep])
+        jj_out.append(order[keep + off])
+        d_out.append(d[keep])
+    if not ii_out:
+        return (np.empty(0, np.int64),) * 3
+    return (np.concatenate(ii_out), np.concatenate(jj_out),
+            np.concatenate(d_out))
+
+
 def simhash_bands(sim: np.ndarray, num_bands: int = 4) -> np.ndarray:
     """(n, num_bands) band keys: 64/num_bands-bit slices. Two hashes within
     Hamming distance < num_bands share at least one identical band

@@ -113,12 +113,17 @@ def _partition_id_for(path: str) -> str:
     return f"{base}_{digest}"
 
 
-def _process_partition(input_file: str, checkpoint_root: str, b: int,
+def _process_partition(input_file: str, partition_id: str,
+                       checkpoint_root: str, b: int,
                        token_column: str, hash_name: str) -> str:
     """Task body: sketch one input file, write its lineage record atomically.
 
     Idempotent: re-running overwrites with identical content (deterministic
     kernel), and a crash mid-write leaves only a tmp file that is ignored.
+    ``partition_id`` is computed ON THE DRIVER (round-2 ADVICE fix: deriving
+    it in the worker via os.path.abspath resolves relative paths against the
+    worker's cwd, which differs across nodes — fresh records then fell
+    outside the driver's 'wanted' set and were silently dropped).
     """
     t0 = time.perf_counter()
     # use_threads=False: the TASK is the parallelism unit here — letting
@@ -132,7 +137,7 @@ def _process_partition(input_file: str, checkpoint_root: str, b: int,
     blob = out["sketch"][0].as_py()
     n_added = int(out["n_added"][0].as_py())
     record = LineageRecord(
-        partition_id=_partition_id_for(input_file),
+        partition_id=partition_id,
         input_file=input_file,
         input_bytes=os.path.getsize(input_file),
         row_count=table.num_rows,
@@ -168,6 +173,9 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
     from ..sketches import hashing as _hashing
 
     hash_name = hash_name or _hashing.DEFAULT_HASH
+    # normalize on the DRIVER so partition ids are cwd-independent
+    # (workers on other nodes must not re-resolve relative paths)
+    input_files = [os.path.abspath(p) for p in input_files]
     store = CheckpointStore(checkpoint_root)
     done = store.completed()
     pending = []
@@ -189,7 +197,8 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
     while queue or in_flight:
         while queue and len(in_flight) < max_in_flight:
             path = queue.pop()
-            ref = task.remote(path, checkpoint_root, b, token_column, hash_name)
+            ref = task.remote(path, _partition_id_for(path), checkpoint_root,
+                              b, token_column, hash_name)
             in_flight[ref] = path
         ready, _ = ray.wait(list(in_flight), num_returns=1)
         for ref in ready:

@@ -213,3 +213,26 @@ def test_same_basename_different_dirs_distinct_partitions(tmp_path, ray_session)
     res = resumable_distinct_tokens([f1, f2], ckpt, b=14)
     assert res["n_partitions"] == 2
     assert res["rows"] == 600
+
+
+def test_relative_paths_resolve_on_driver(corpus_files, tmp_path, monkeypatch):
+    """Round-2 ADVICE fix: partition ids are computed on the DRIVER from
+    driver-resolved absolute paths, so a relative input path produces the
+    same lineage record as its absolute form (workers must not re-resolve
+    against their own cwd)."""
+    from cardinalityestimation_ray.state.checkpoint import (
+        resumable_distinct_tokens,
+    )
+
+    ckpt = str(tmp_path / "relpath")
+    target = corpus_files[0]
+    monkeypatch.chdir(os.path.dirname(target))
+    rel = os.path.basename(target)
+    first = resumable_distinct_tokens([rel], ckpt, b=14)
+    assert first["n_partitions"] == 1
+    assert first["n_fresh"] == 1
+    # absolute-path rerun reuses the SAME record (no reprocess, no drop)
+    second = resumable_distinct_tokens([target], ckpt, b=14)
+    assert second["n_fresh"] == 0
+    assert second["n_skipped"] == 1
+    assert second["distinct_tokens"] == first["distinct_tokens"]

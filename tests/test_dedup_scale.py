@@ -1,0 +1,232 @@
+"""Degenerate-LSH-bucket bounds (round-2 VERDICT item #1).
+
+Mass duplication is the norm in web crawl — boilerplate pages and mirrors
+pile into one LSH bucket. These tests assert the verify stage stays bounded
+(identical-signature collapse + star pairs + sorted-window cap) while
+union-find chaining preserves full cluster recall.
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cardinalityestimation_ray.pipelines.dedup import (
+    _union_find_clusters,
+    _verify_minhash_bucket,
+    _verify_simhash_bucket,
+)
+from cardinalityestimation_ray.stages.dedup import (
+    collapse_identical_rows,
+    hamming_distance_u64,
+    pairwise_candidates_est,
+    pairwise_candidates_hamming,
+    windowed_candidates_est,
+    windowed_candidates_hamming,
+)
+
+
+def _brute_pairs_est(sigs, min_est):
+    out = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            if np.mean(sigs[i] == sigs[j]) >= min_est:
+                out.add((i, j))
+    return out
+
+
+def test_collapse_identical_rows_groups_and_reps():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 2**63, size=(3, 4), dtype=np.uint64)
+    mat = np.vstack([base[0], base[1], base[0], base[2], base[0]])
+    order, starts, counts = collapse_identical_rows(mat)
+    groups = {tuple(sorted(order[s:s + c])) for s, c in zip(starts, counts)}
+    assert groups == {(0, 2, 4), (1,), (3,)}
+    # representative = first (lowest original index) member of each group
+    reps = {int(order[s]) for s in starts}
+    assert reps == {0, 1, 3}
+
+
+def test_pairwise_candidates_est_matches_brute():
+    rng = np.random.default_rng(1)
+    # 40 sigs in 8 near-dup clusters of 5 (each cluster shares 75% of slots)
+    p = 16
+    sigs = []
+    for c in range(8):
+        proto = rng.integers(0, 2**63, size=p, dtype=np.uint64)
+        for _ in range(5):
+            s = proto.copy()
+            flip = rng.choice(p, size=4, replace=False)
+            s[flip] = rng.integers(0, 2**63, size=4, dtype=np.uint64)
+            sigs.append(s)
+    U = np.stack(sigs)
+    ii, jj, est = pairwise_candidates_est(U, 0.5, row_chunk=7)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    assert got == _brute_pairs_est(U, 0.5)
+    assert np.all(est >= 0.5)
+    assert np.all(ii < jj)
+
+
+def test_windowed_candidates_est_bounded_and_recalls_identical_prefix():
+    rng = np.random.default_rng(2)
+    p = 8
+    m = 500
+    # pairs of near-identical sigs share slot 0 -> sort-adjacent
+    U = rng.integers(0, 2**63, size=(m, p), dtype=np.uint64)
+    U[1::2] = U[0::2]
+    U[1::2, -1] += 1  # near-identical: 7/8 slots agree
+    ii, jj, est = windowed_candidates_est(U, 0.8, window=4)
+    got = {(min(a, b), max(a, b)) for a, b in zip(ii.tolist(), jj.tolist())}
+    expect = {(2 * k, 2 * k + 1) for k in range(m // 2)}
+    assert expect <= got
+    # output bounded by m * window, not m^2
+    assert len(ii) <= m * 4
+
+
+def test_pairwise_candidates_hamming_matches_brute():
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**63, size=60, dtype=np.uint64)
+    h[1::3] = h[0::3][: len(h[1::3])] ^ np.uint64(0b101)  # distance 2
+    ii, jj, d = pairwise_candidates_hamming(h, 3, row_chunk=17)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    brute = set()
+    for i in range(len(h)):
+        dd = hamming_distance_u64(np.full(len(h) - i - 1, h[i]), h[i + 1:])
+        for off, dist in enumerate(dd):
+            if dist <= 3:
+                brute.add((i, i + 1 + off))
+    assert got == brute
+    assert np.all(d <= 3)
+
+
+def test_windowed_candidates_hamming_finds_close_sorted_neighbors():
+    rng = np.random.default_rng(4)
+    h = rng.integers(0, 2**62, size=300, dtype=np.uint64)
+    h[1::2] = h[0::2] ^ np.uint64(1)  # distance 1, numerically adjacent
+    ii, jj, d = windowed_candidates_hamming(h, 2, window=3)
+    got = {(min(a, b), max(a, b)) for a, b in zip(ii.tolist(), jj.tolist())}
+    assert {(2 * k, 2 * k + 1) for k in range(150)} <= got
+
+
+def test_minhash_bucket_identical_pile_is_star_and_bounded():
+    """10^5 identical signatures: verify must emit O(n) star pairs (not
+    O(n^2)) in bounded time, and union-find must recover ONE cluster."""
+    n = 100_000
+    p = 16
+    rng = np.random.default_rng(5)
+    sig = rng.integers(0, 2**63, size=p, dtype=np.uint64)
+    sigs = np.broadcast_to(sig, (n, p)).copy()
+    ids = np.arange(10, 10 + n, dtype=np.int64)
+    t0 = time.monotonic()
+    out = _verify_minhash_bucket(
+        ids, sigs, None, threshold=0.7, verify="signature",
+        max_bucket=512, window=64, identical_cap=64)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 10.0  # was O(n^2) = 5e9 pair iterations before the cap
+    assert len(out) == n - 1  # star: min-id rep vs every other member
+    labels = _union_find_clusters(out)
+    roots = {labels[i] for i in ids.tolist()}
+    assert roots == {10}
+
+
+def test_minhash_bucket_small_identical_group_keeps_all_pairs():
+    """Groups <= identical_cap keep exact all-pairs semantics (the
+    exact_dup_pairs oracle relies on the full self-join pair set)."""
+    p = 8
+    rng = np.random.default_rng(6)
+    sig = rng.integers(0, 2**63, size=p, dtype=np.uint64)
+    sigs = np.broadcast_to(sig, (4, p)).copy()
+    ids = np.array([3, 7, 11, 20], dtype=np.int64)
+    out = _verify_minhash_bucket(
+        ids, sigs, None, threshold=0.9, verify="signature",
+        max_bucket=512, window=64, identical_cap=64)
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {(3, 7), (3, 11), (3, 20), (7, 11), (7, 20), (11, 20)}
+    assert (out["similarity"] == 1.0).all()
+
+
+def test_minhash_bucket_matches_brute_on_mixed_bucket():
+    """New vectorized verify == old O(k^2) semantics on a mixed bucket
+    (unique signatures, below every cap)."""
+    rng = np.random.default_rng(7)
+    p = 16
+    k = 30
+    sigs = rng.integers(0, 2**63, size=(k, p), dtype=np.uint64)
+    for j in range(0, k, 3):  # make near-dups
+        if j + 1 < k:
+            sigs[j + 1] = sigs[j]
+            sigs[j + 1, :3] = rng.integers(0, 2**63, size=3, dtype=np.uint64)
+    ids = np.arange(k, dtype=np.int64) * 7
+    out = _verify_minhash_bucket(
+        ids, sigs, None, threshold=0.7, verify="signature",
+        max_bucket=512, window=64, identical_cap=64)
+    got = set(zip(out["id_a"], out["id_b"]))
+    brute = set()
+    for i in range(k):
+        for j in range(i + 1, k):
+            if np.mean(sigs[i] == sigs[j]) >= 0.7:
+                brute.add((int(ids[i]), int(ids[j])))
+    assert got == brute
+
+
+def test_minhash_bucket_windowed_cap_preserves_near_dup_recall():
+    """Above max_bucket unique signatures the windowed path still finds
+    sort-adjacent near-dups."""
+    rng = np.random.default_rng(8)
+    p = 8
+    m = 2000  # > max_bucket=512
+    sigs = rng.integers(0, 2**63, size=(m, p), dtype=np.uint64)
+    sigs[1::2] = sigs[0::2]
+    sigs[1::2, -1] = rng.integers(0, 2**63, size=m // 2, dtype=np.uint64)
+    ids = np.arange(m, dtype=np.int64)
+    t0 = time.monotonic()
+    out = _verify_minhash_bucket(
+        ids, sigs, None, threshold=0.8, verify="signature",
+        max_bucket=512, window=8, identical_cap=64)
+    assert time.monotonic() - t0 < 5.0
+    got = set(zip(out["id_a"], out["id_b"]))
+    expect = {(2 * k, 2 * k + 1) for k in range(m // 2)}
+    assert expect <= got
+
+
+def test_simhash_bucket_identical_pile_star_and_cross():
+    n = 50_000
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 2**62, size=1, dtype=np.uint64)[0]
+    hashes = np.full(n, base, dtype=np.uint64)
+    hashes[-1] = base ^ np.uint64(0b11)  # one distance-2 outlier
+    ids = np.arange(n, dtype=np.int64)
+    t0 = time.monotonic()
+    out = _verify_simhash_bucket(
+        ids, hashes, max_hamming=3, max_bucket=2048, window=64,
+        identical_cap=64)
+    assert time.monotonic() - t0 < 10.0
+    assert len(out) == (n - 2) + 1  # star over the pile + rep-vs-outlier
+    labels = _union_find_clusters(out)
+    assert {labels[i] for i in range(n)} == {0}
+
+
+def test_minhash_dedup_end_to_end_identical_pile(ray_session):
+    """End-to-end Ray run: 10^5 identical docs complete the pair stage in
+    bounded time and all cluster to the min doc_id (VERDICT done-criterion)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        minhash_dedup_keep,
+    )
+
+    n = 100_000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["the same boilerplate page body repeated everywhere " * 3] * n,
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    t0 = time.monotonic()
+    keep = minhash_dedup_keep(ds, num_perm=16, num_bands=4, threshold=0.7)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120.0
+    assert len(keep) == n
+    assert (keep["cluster_id"] == 0).all()
+    assert keep["keep"].sum() == 1
+    assert bool(keep.loc[keep["doc_id"] == 0, "keep"].iloc[0])

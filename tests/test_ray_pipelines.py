@@ -199,6 +199,27 @@ def test_exact_dedup(planted_docs):
     kept = exact_dedup(make()).to_pandas()
     assert len(kept) == len(df) - 4
     assert not (kept["doc_id"] >= 2000).any()
+    # kept-row IDENTITY: exactly the min-id row per distinct text
+    expect = (df.sort_values("doc_id").drop_duplicates("text")
+              .sort_values("doc_id").reset_index(drop=True))
+    got = kept.sort_values("doc_id").reset_index(drop=True)[expect.columns]
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_exact_dedup_within_batch_duplicates(planted_docs):
+    """Duplicates packed into the SAME block must also collapse (exercises
+    the per-batch combiner path, not just the bucket groupby)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import exact_dedup
+
+    _, df = planted_docs
+    single = ray.data.from_pandas(df).repartition(1)
+    kept = exact_dedup(single).to_pandas()
+    expect = (df.sort_values("doc_id").drop_duplicates("text")
+              .sort_values("doc_id").reset_index(drop=True))
+    got = kept.sort_values("doc_id").reset_index(drop=True)[expect.columns]
+    pd.testing.assert_frame_equal(got, expect)
 
 
 def test_minhash_dedup(planted_docs):
@@ -728,6 +749,27 @@ def test_broadcast_semi_join_exact(_ray):
     assert len(anti) == int((~member).sum())
     assert set(semi["k"]) <= set(keys.tolist())
     assert not (set(anti["k"]) & set(keys.tolist()))
+
+
+def test_broadcast_semi_join_null_probe_keys_excluded(_ray):
+    """SQL [NOT] IN semantics: NULL probe keys match nothing AND are
+    excluded from the anti-join (round-2 ADVICE fix: they surfaced as NaN,
+    missed the join, and with negate=True were wrongly kept)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        broadcast_semi_join,
+    )
+
+    tbl = pa.table({"k": pa.array([1, None, 2, None, 3, 7, 8],
+                                  type=pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    keys = np.array([2, 3, 4], dtype=np.int64)
+    semi = broadcast_semi_join(ds, keys, "k").to_pandas()
+    anti = broadcast_semi_join(ds, keys, "k", negate=True).to_pandas()
+    assert sorted(semi["k"]) == [2, 3]
+    assert sorted(anti["k"]) == [1, 7, 8]  # nulls in NEITHER result
 
 
 def test_salted_distinct_column_matches_unsalted(_ray):

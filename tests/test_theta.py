@@ -122,12 +122,68 @@ class TestWire:
 def test_corrupt_unsorted_blob_rejected():
     """Retained hashes must be strictly increasing — a blob with duplicates
     would silently break the assume_unique set-expression kernels."""
-    import struct
 
     s = _sk(range(100), k=64)
     blob = bytearray(s.to_bytes())
-    off = 4 + struct.calcsize("<IQQ")
+    off = len(blob) - len(s.retained) * 8  # payload start, any header version
     # overwrite the second retained hash with a copy of the first
     blob[off + 8:off + 16] = blob[off:off + 8]
     with pytest.raises(ValueError):
         ThetaSketch.from_bytes(bytes(blob))
+
+
+class TestHashTagging:
+    """Round-2 ADVICE fixes: hash identity travels with the blob and the
+    set-expression helpers enforce compatibility like merge() does."""
+
+    def test_wire_roundtrip_preserves_custom_hash(self):
+        s = ThetaSketch(k=64, hash_name="xxhash64")
+        s.add_values(np.arange(500, dtype=np.int64))
+        back = ThetaSketch.from_bytes(s.to_bytes())
+        assert back.hash_name == "xxhash64"
+        assert np.array_equal(back.retained, s.retained)
+
+    def test_wire_rejects_conflicting_hash_request(self):
+        s = ThetaSketch(k=64, hash_name="xxhash64")
+        s.add_values(np.arange(50, dtype=np.int64))
+        with pytest.raises(ValueError, match="built under hash"):
+            ThetaSketch.from_bytes(s.to_bytes(), hash_name="fnv1a_mix")
+
+    def test_legacy_the1_blob_still_readable(self):
+        import struct
+
+        s = _sk(range(200), k=64)
+        legacy = (b"THE1"
+                  + struct.pack("<IQQ", s.k,
+                                0 if s.theta64 >= (1 << 64) else s.theta64,
+                                len(s.retained))
+                  + s.retained.tobytes())
+        back = ThetaSketch.from_bytes(legacy, hash_name="xxhash64")
+        assert back.hash_name == "xxhash64"
+        assert np.array_equal(back.retained, s.retained)
+        # default: library default hash
+        assert ThetaSketch.from_bytes(legacy).hash_name == "fnv1a_mix"
+
+    def test_generic_blob_rebuild_keeps_hash(self):
+        from cardinalityestimation_ray.stages.sketch_stages import (
+            sketch_from_blob,
+        )
+
+        s = ThetaSketch(k=64, hash_name="murmur3")
+        s.add_values(np.arange(300, dtype=np.int64))
+        back = sketch_from_blob("theta", s.to_bytes())
+        assert back.hash_name == "murmur3"
+
+    @pytest.mark.parametrize("op", ["intersection_estimate",
+                                    "difference_estimate",
+                                    "jaccard_estimate"])
+    def test_set_ops_reject_mismatched_sketches(self, op):
+        a = ThetaSketch(k=64, hash_name="fnv1a_mix")
+        b_hash = ThetaSketch(k=64, hash_name="xxhash64")
+        b_k = ThetaSketch(k=128, hash_name="fnv1a_mix")
+        for s in (a, b_hash, b_k):
+            s.add_values(np.arange(100, dtype=np.int64))
+        with pytest.raises(ValueError, match="different hash"):
+            getattr(ThetaSketch, op)(a, b_hash)
+        with pytest.raises(ValueError, match="different k"):
+            getattr(ThetaSketch, op)(a, b_k)
