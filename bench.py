@@ -276,6 +276,7 @@ def bench_once() -> dict:
 
     for name, key in (() if fast_mode else
                       (("fnv1a_mix", "string_adds_per_sec_fnv1a_mix"),
+                       ("xxhash128", "string_adds_per_sec_xxhash128"),
                        ("polars", "string_adds_per_sec_polars"))):
         HyperLogLog(b=14, hash_name=name).add_arrow(arr.slice(0, 50_000))
         sk = HyperLogLog(b=14, hash_name=name)

@@ -189,6 +189,10 @@ def hash_arrow_binary(arr: pa.Array, hash_name: str = "fnv1a") -> np.ndarray:
         return splitmix64_inplace(wordfnv64_bytes_array(data, starts, lengths))
     if hash_name == "xxhash64":
         return xxh64_bytes_array(data, starts, lengths)
+    if hash_name == "xxhash128":
+        from .xxh3 import xxh128_dotnet_bytes_array
+
+        return xxh128_dotnet_bytes_array(data, starts, lengths)
     if hash_name == "murmur3":
         # scalar per-string loop — murmur3's 16-byte block structure does
         # not vectorize cleanly over variable lengths; provided for parity
@@ -711,12 +715,21 @@ def encode_element(x) -> bytes:
 
 DEFAULT_HASH = "fnv1a_mix"
 
+def _xxh128_dotnet_scalar(data: bytes) -> int:
+    from .xxh3 import xxh128_dotnet
+
+    return xxh128_dotnet(data)
+
+
 HASH_FUNCTIONS = {
     "fnv1a": fnv1a64,
     "fnv1a_mix": fnv1a64_mix,
     "wordfnv_mix": wordfnv64_mix,
     "murmur3": murmur3_128_x64_low64,
     "xxhash64": xxh64,
+    # the reference DEFAULT: BitConverter.ToUInt64(XxHash128.Hash(x))
+    # (CardinalityEstimator.cs:212-213) — bit-exact numpy port in xxh3.py
+    "xxhash128": _xxh128_dotnet_scalar,
     "splitmix64": lambda data: splitmix64_scalar(int.from_bytes(data[:8].ljust(8, b"\0"), "little")),
 }
 
@@ -738,6 +751,10 @@ def hash_fixed_batch(values: np.ndarray, hash_name: str = DEFAULT_HASH) -> np.nd
         return splitmix64_inplace(fnv1a64_fixed(values))
     if hash_name == "xxhash64":
         return xxh64_fixed(values)
+    if hash_name == "xxhash128":
+        from .xxh3 import xxh128_dotnet_fixed
+
+        return xxh128_dotnet_fixed(values)
     if hash_name in ("splitmix64", "polars"):
         # "polars" numeric identity rule: the 64-bit integer value (fast mixer)
         return splitmix64(values.astype(np.uint64, copy=False))

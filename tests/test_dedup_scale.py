@@ -230,3 +230,83 @@ def test_minhash_dedup_end_to_end_identical_pile(ray_session):
     assert (keep["cluster_id"] == 0).all()
     assert keep["keep"].sum() == 1
     assert bool(keep.loc[keep["doc_id"] == 0, "keep"].iloc[0])
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find on a random
+    pair graph with chains, stars, and singleton pairs."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(11)
+    pairs = []
+    # chains (worst case for propagation, exercises pointer jumping)
+    base = 0
+    for chain_len in (2, 5, 37, 101):
+        for i in range(chain_len - 1):
+            pairs.append((base + i, base + i + 1))
+        base += chain_len + 3
+    # stars
+    for center in (1000, 2000):
+        for i in range(1, 40):
+            pairs.append((center, center + i))
+    # random extra edges within a block (merges some clusters)
+    nodes = rng.integers(3000, 3200, size=150)
+    for a, b in zip(nodes[::2], nodes[1::2]):
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype("int64")
+
+    labels = connected_components(
+        ray.data.from_pandas(df).repartition(4)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+
+    uf = _union_find_clusters(df)
+    all_nodes = set(df["id_a"]) | set(df["id_b"])
+    expect = {n: uf.get(n, n) for n in all_nodes}
+    assert got == expect
+
+
+def test_minhash_keep_distributed_equals_union_find(ray_session):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        minhash_dedup_keep,
+        minhash_dedup_keep_distributed,
+    )
+
+    rng = np.random.default_rng(0)
+    vocab = [f"word{i}" for i in range(500)]
+    docs, ids = [], []
+    for i in range(120):
+        docs.append(" ".join(rng.choice(vocab, size=60)))
+        ids.append(i)
+    for j in range(10):  # exact dup clusters of 3
+        docs.append(docs[j]); ids.append(1000 + j)
+        docs.append(docs[j]); ids.append(2000 + j)
+    df = pd.DataFrame({"doc_id": ids, "text": docs})
+
+    def make():
+        return ray.data.from_pandas(df).repartition(4)
+
+    uf = minhash_dedup_keep(make(), threshold=0.6)
+    dist = minhash_dedup_keep_distributed(make(), threshold=0.6)
+    uf_s = uf.sort_values("doc_id").reset_index(drop=True)
+    di_s = dist.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(uf_s, di_s, check_dtype=False)
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        connected_components,
+    )
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    labels = connected_components(ray.data.from_pandas(empty)).to_pandas()
+    assert len(labels) == 0
