@@ -118,6 +118,39 @@ def _q_ntok_quantiles_kll(sf_dir: str):
     return column_quantiles(_tokens(sf_dir), "n_tok", kind="kll")
 
 
+def _q_cms_error_bounds(sf_dir: str):
+    """Oracle-checkable count-min GUARANTEE (deterministic, not
+    probabilistic, once the sketch/hash/data are fixed): for probe tokens
+    with exactly-known counts, est >= true always, and est <= true +
+    ceil(e/width * N) — the published bound with the probabilistic part
+    evaluated on this concrete sketch. Oracle asserts the all-TRUE row."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from cardinalityestimation_ray.pipelines.frequency import (
+        token_frequencies_cms,
+        token_topk_exact,
+    )
+
+    width = 1 << 16
+    top = token_topk_exact(_tokens(sf_dir), k=8)  # exact counts, exact ids
+    est = token_frequencies_cms(_tokens(sf_dir), top["token"].values,
+                                width=width)
+    merged = top.merge(est, on="token")  # top has (token, cnt)
+    n_total = int(merged["total_tokens"].iloc[0])
+    eps_bound = math.ceil(math.e / width * n_total)
+    lower_ok = bool((merged["est_count"] >= merged["cnt"]).all())
+    upper_ok = bool(
+        (merged["est_count"] <= merged["cnt"] + eps_bound).all())
+    return pd.DataFrame({
+        "n_probes": np.int64([len(merged)]),
+        "all_lower_ok": [lower_ok],
+        "all_upper_ok": [upper_ok],
+    })
+
+
 def _q_ntok_quantile_rank_errors(sf_dir: str):
     """Oracle-checkable BOUND on the quantile sketches (round-2 VERDICT
     item #7): for each q, the exact CDF rank of the sketch's estimate must
@@ -719,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles_kll": _q_ntok_quantiles_kll,
         "bloom_token_membership": _q_bloom_token_membership,
         "ntok_quantile_rank_errors": _q_ntok_quantile_rank_errors,
+        "cms_error_bounds": _q_cms_error_bounds,
         "bloom_absent_probe_tokens": _q_bloom_absent_probe_tokens,
         "minhash_dedup_keep_distributed": _q_minhash_dedup_keep_distributed,
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
@@ -864,6 +898,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.sketch, q.q, TRUE AS within_bound
             FROM (SELECT unnest(['kll', 'tdigest']) AS sketch) s
             CROSS JOIN (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q) q
+        """,
+        # count-min guarantee evaluated on the concrete sketch: never
+        # underestimates; overestimate bounded by ceil(e/width * N)
+        "cms_error_bounds": """
+            SELECT CAST(8 AS BIGINT) AS n_probes,
+                   TRUE AS all_lower_ok, TRUE AS all_upper_ok
         """,
         # Bloom negatives are certain absence; positives are exact-verified,
         # so the result equals probes EXCEPT corpus tokens

@@ -12,8 +12,13 @@ Five dedup modes, each Ray-Data-first:
 Partitioning assumption (documented per north_rule): candidate generation
 shuffles only (bucket_key, doc_id, signature) rows — signatures are O(100B);
 raw text moves only for the exact-jaccard verify mode, and only inside
-buckets. Union-find runs on the driver over the candidate-PAIR set, which
-LSH keeps tiny relative to the corpus (pairs, not rows).
+buckets. Degenerate buckets (mass duplication — the norm in web crawl) are
+bounded: identical signatures collapse to a representative with star pairs,
+and oversized unique-signature sets switch to a sorted sliding-window
+verify. Clustering is either driver union-find over the candidate-PAIR set
+(pairs << rows under LSH precision + star collapse) or, for pair sets
+beyond driver memory, distributed min-label propagation
+(:func:`connected_components`).
 """
 
 from __future__ import annotations
@@ -136,8 +141,14 @@ class MinHashBandRows:
         bands = band_hashes(sig, self.num_bands)
         n = len(batch)
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
-        sig_bytes = [sig[i].tobytes() for i in range(n)]
         band_hash = bands.reshape(-1).astype(np.int64)
+        # signatures as fixed-size binary straight off the numpy buffer
+        # (no per-row tobytes loop), replicated per band with one take()
+        sig_fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.num_perm * 8), n,
+            [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())])
+        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                     self.num_bands))
         tbl = pa.table({
             "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
             "band_hash": pa.array(band_hash),
@@ -145,15 +156,10 @@ class MinHashBandRows:
             # (256 groups) co-locates every bucket without per-bucket groups
             "part": pa.array((band_hash % NUM_BUCKET_PARTS).astype(np.int32)),
             self.id_column: pa.array(np.repeat(ids, self.num_bands)),
-            "sig": pa.array([b for b in sig_bytes for _ in range(self.num_bands)],
-                            type=pa.binary()),
+            "sig": sig_fsb.take(rep_idx).cast(pa.binary()),
         })
         if self.keep_text:
-            txt = text.to_pylist()
-            tbl = tbl.append_column(
-                "text",
-                pa.array([t for t in txt for _ in range(self.num_bands)],
-                         type=pa.string()))
+            tbl = tbl.append_column("text", text.take(rep_idx))
         return tbl
 
 
@@ -755,7 +761,11 @@ def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
                 "part": pa.array(np.concatenate(parts_out)),
                 "proj0": pa.array(np.concatenate(proj_out)),
                 id_column: pa.array(np.tile(ids, num_bands)),
-                "unit": pa.array(list(unit) * num_bands),
+                # fixed-size-list straight off the numpy buffer (band-major
+                # replicate), no per-row Python list materialization
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(unit.ravel(), num_bands)),
+                    unit.shape[1]),
             })
 
     rows = _spread(emb_ds).map_batches(BucketRows, batch_format="pyarrow",
