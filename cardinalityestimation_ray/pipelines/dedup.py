@@ -540,6 +540,35 @@ def minhash_dedup_pairs(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def pairs_to_clusters(pairs: pd.DataFrame, *, id_a: str = "id_a",
+                      id_b: str = "id_b") -> pd.DataFrame:
+    """Cluster ANY verified near-dup pair frame (minhash / simhash /
+    embedding / custom) into (doc_id, cluster_id, keep) — keep = min id per
+    cluster. Driver union-find; see :func:`connected_components` for the
+    distributed variant when the pair set exceeds driver memory."""
+    labels = _union_find_clusters(pairs.rename(
+        columns={id_a: "id_a", id_b: "id_b"}))
+    ids = sorted(set(pairs[id_a]) | set(pairs[id_b]))
+    out = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "cluster_id": pd.Series([labels.get(i, i) for i in ids],
+                                dtype="int64"),
+    })
+    out["keep"] = out["doc_id"] == out["cluster_id"]
+    return out
+
+
+def simhash_dedup_keep(docs_ds, **kwargs) -> pd.DataFrame:
+    """SimHash near-dup clustering: pairs -> union-find -> keep frame."""
+    return pairs_to_clusters(simhash_dedup_pairs(docs_ds, **kwargs))
+
+
+def embedding_dedup_keep(emb_ds, **kwargs) -> pd.DataFrame:
+    """Embedding-cosine near-dup clustering: pairs -> union-find -> keep
+    frame (doc_id column carries the vector id)."""
+    return pairs_to_clusters(embedding_dedup_pairs(emb_ds, **kwargs))
+
+
 def minhash_dedup_keep(docs_ds, **kwargs) -> pd.DataFrame:
     """Cluster near-duplicates (union-find over verified pairs) and report
     (doc_id, cluster_id, keep) — keep = min doc_id per cluster.
@@ -553,15 +582,7 @@ def minhash_dedup_keep(docs_ds, **kwargs) -> pd.DataFrame:
     propagation over the pair Dataset and keeps only the label frontier
     per partition.
     """
-    pairs = minhash_dedup_pairs(docs_ds, **kwargs)
-    labels = _union_find_clusters(pairs)
-    ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
-    out = pd.DataFrame({
-        "doc_id": ids,
-        "cluster_id": [labels.get(i, i) for i in ids],
-    })
-    out["keep"] = out["doc_id"] == out["cluster_id"]
-    return out
+    return pairs_to_clusters(minhash_dedup_pairs(docs_ds, **kwargs))
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,6 @@ import time
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from cardinalityestimation_ray.pipelines.dedup import (
     _union_find_clusters,
@@ -310,3 +309,36 @@ def test_connected_components_empty(ray_session):
                           "id_b": pd.Series([], dtype="int64")})
     labels = connected_components(ray.data.from_pandas(empty)).to_pandas()
     assert len(labels) == 0
+
+
+def test_pairs_to_clusters_generic_and_mode_wrappers(ray_session):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        pairs_to_clusters,
+        simhash_dedup_keep,
+    )
+
+    # generic: custom pair frame with two clusters
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    out = pairs_to_clusters(pairs)
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert out[out["keep"]]["doc_id"].tolist() == [1, 10]
+    # empty
+    empty = pairs_to_clusters(pd.DataFrame({"id_a": [], "id_b": []}))
+    assert len(empty) == 0
+
+    # simhash wrapper end-to-end on planted exact dups
+    rng = np.random.default_rng(3)
+    vocab = [f"word{i}" for i in range(300)]
+    docs = [" ".join(rng.choice(vocab, size=50)) for _ in range(60)]
+    ids = list(range(60))
+    for j in range(4):
+        docs.append(docs[j]); ids.append(100 + j)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": docs})).repartition(4)
+    keep = simhash_dedup_keep(ds, max_hamming=3)
+    dup = keep[keep["doc_id"] >= 100]
+    assert len(dup) == 4
+    assert (~dup["keep"]).all()
