@@ -36,13 +36,19 @@ def global_distinct_tokens(tokens_ds, b: int = 14,
                            hash_name: str = hashing.DEFAULT_HASH,
                            fanout: int = 64,
                            concurrency=None,
-                           batch_size: int | None = 4096) -> dict:
+                           batch_size: int | None = None) -> dict:
     """Estimate distinct token ids across the corpus.
 
     Returns {"distinct_tokens": int, "total_tokens": int, "sketch": HyperLogLog}.
     Partial rows (one <=2^b-byte sketch per input batch) reduce through the
     combiner tree, so the driver folds a bounded number of rows no matter how
     many blocks the corpus has.
+
+    ``batch_size=None`` (default, round-3 measurement) feeds whole blocks to
+    the partial stage — with reads already sized to CPU slots, re-slicing to
+    a fixed row count only adds coalesce/copy overhead (by-source: 1.10 s ->
+    0.79 s); cache residency inside a large batch is handled by the stage's
+    own 8k-element CHUNK loop, not by the batch size.
 
     ``concurrency``: None runs the scan as stateless tasks (cheap, elastic —
     right for this stage's trivial per-actor state); an int or (min, max)
@@ -74,7 +80,7 @@ def global_distinct_tokens(tokens_ds, b: int = 14,
 def distinct_tokens_by_source(tokens_ds, b: int = 14,
                               hash_name: str = hashing.DEFAULT_HASH,
                               strategy: str = "tree",
-                              batch_size: int | None = 4096) -> pd.DataFrame:
+                              batch_size: int | None = None) -> pd.DataFrame:
     """Per-source distinct-token estimate + exact token count.
 
     The merge runs over partial-sketch rows (a few per source per batch), so
@@ -148,7 +154,7 @@ def flagship_summary(tokens_ds, b: int = 14,
     a few KB sketches, not a second scan (round-2 review fix)."""
     partials = tokens_ds.map_batches(
         HllTokenPartials(b=b, key_column="source", hash_name=hash_name),
-        batch_format="pyarrow", batch_size=4096)
+        batch_format="pyarrow", batch_size=None)
     merged = tree_merge_keyed_partials(partials, "source",
                                        hash_name=hash_name)
     per_source = _keyed_result_frame(merged, "source", "distinct_tokens",

@@ -65,9 +65,16 @@ class CountMinSketch(Sketch):
         h2 = hashing.splitmix64(h) | _U64(1)
         return ((h + _U64(row) * h2) & _U64(self.width - 1)).astype(np.int64)
 
+    #: above this many raw elements, collapse to (unique hash, count) before
+    #: the per-row bincounts — on Zipf-shaped batches (vocab << batch) this
+    #: cuts the add cost ~5x (one sort replaces depth x full-size bincounts)
+    UNIQUE_COLLAPSE_THRESHOLD = 1 << 16
+
     def add_hashes(self, h: np.ndarray,
                    weights: np.ndarray | None = None) -> None:
         h = np.ascontiguousarray(h, dtype=np.uint64)
+        if weights is None and len(h) > self.UNIQUE_COLLAPSE_THRESHOLD:
+            h, weights = np.unique(h, return_counts=True)
         if weights is not None:
             weights = np.asarray(weights)
             if not np.all(np.equal(np.mod(weights, 1), 0)) or                     np.any(weights < 0):

@@ -450,3 +450,25 @@ class TestWeightedReservoir:
         r = WeightedReservoirSample(k=10)
         with pytest.raises(ValueError):
             r.add_weighted(np.ones(3), np.array([1.0, -1.0, 2.0]))
+
+
+def test_cms_unique_collapse_identical_to_raw():
+    """The large-batch (unique hash, count) collapse must produce EXACTLY
+    the same counters and total as the raw element-at-a-time path."""
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+
+    rng = np.random.default_rng(0)
+    vals = (rng.zipf(1.2, 200_000) % 5_000).astype(np.int32)
+    collapsed = CountMinSketch(depth=4, width=1 << 12)
+    collapsed.add_values(vals)  # > threshold -> collapse path
+    raw = CountMinSketch(depth=4, width=1 << 12)
+    old = CountMinSketch.UNIQUE_COLLAPSE_THRESHOLD
+    try:
+        CountMinSketch.UNIQUE_COLLAPSE_THRESHOLD = 1 << 62  # force raw
+        raw.add_values(vals)
+    finally:
+        CountMinSketch.UNIQUE_COLLAPSE_THRESHOLD = old
+    assert collapsed.total == raw.total == len(vals)
+    assert np.array_equal(collapsed.counts, raw.counts)
