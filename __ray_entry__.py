@@ -260,6 +260,80 @@ def _q_bloom_absent_probe_tokens(sf_dir: str):
     return pd.DataFrame({"token": pd.Series(absent, dtype="object")})
 
 
+def _q_asof_last_click(sf_dir: str):
+    """As-of join: for every event, the most recent STRICTLY-earlier click
+    by the same user (DuckDB ASOF JOIN is the exact oracle)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+
+    def only_clicks(batch):
+        import pyarrow as pa
+
+        mask = pc.equal(batch["event_type"], pa.scalar("click"))
+        return batch.filter(mask).select(["user_id", "ts"])
+
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"]).map_batches(
+            only_clicks, batch_format="pyarrow")
+    out = asof_join(ev, clicks, by="user_id", on="ts",
+                    right_columns=["ts"], strict=True).to_pandas()
+    out = out[["event_id", "ts_r"]].rename(columns={"ts_r": "click_ts"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_interval_join_click_days(sf_dir: str):
+    """Point-in-interval join: events that fall inside a calendar day on
+    which the SAME user clicked (non-overlapping validity windows built
+    from distinct (user, click-day) pairs). SQL BETWEEN join is the exact
+    oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import interval_join
+
+    DAY_US = np.int64(24 * 3600 * 1_000_000)
+
+    def click_days(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["event_type"], pa.scalar("click"))
+        tbl = batch.filter(mask)
+        ts = tbl["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = (micros // DAY_US) * DAY_US
+        return pa.table({
+            "user_id": tbl["user_id"],
+            "lo": pa.array(lo).cast(pa.timestamp("us")),
+            "hi": pa.array(lo + DAY_US - 1).cast(pa.timestamp("us")),
+        })
+
+    from ray.data.aggregate import Count
+
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"]).map_batches(
+            click_days, batch_format="pyarrow")
+    # distinct (user, day) windows via grouped count, then drop the count
+    windows = (raw.groupby(["user_id", "lo", "hi"])
+               .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    out = interval_join(ev, windows, by="user_id", on="ts",
+                        lo="lo", hi="hi",
+                        right_columns=["lo", "hi"]).to_pandas()
+    out = out[["event_id", "lo"]].rename(columns={"lo": "click_day"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_minhash_dedup_keep_distributed(sf_dir: str):
     """Near-dup clustering with the DISTRIBUTED connected-components path
     (min-label propagation over the pair Dataset, no driver union-find)."""
@@ -755,6 +829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_error_bounds": _q_cms_error_bounds,
         "bloom_absent_probe_tokens": _q_bloom_absent_probe_tokens,
         "minhash_dedup_keep_distributed": _q_minhash_dedup_keep_distributed,
+        "asof_last_click": _q_asof_last_click,
+        "interval_join_click_days": _q_interval_join_click_days,
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
@@ -898,6 +974,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.sketch, q.q, TRUE AS within_bound
             FROM (SELECT unnest(['kll', 'tdigest']) AS sketch) s
             CROSS JOIN (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q) q
+        """,
+        "asof_last_click": """
+            SELECT e.event_id, c.ts AS click_ts
+            FROM events e
+            ASOF JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts > c.ts
+        """,
+        "interval_join_click_days": """
+            SELECT e.event_id, w.lo AS click_day
+            FROM events e
+            JOIN (SELECT DISTINCT user_id,
+                         date_trunc('day', ts) AS lo,
+                         date_trunc('day', ts) + INTERVAL '1 day'
+                           - INTERVAL '1 microsecond' AS hi
+                  FROM events WHERE event_type = 'click') w
+              ON e.user_id = w.user_id AND e.ts BETWEEN w.lo AND w.hi
         """,
         # count-min guarantee evaluated on the concrete sketch: never
         # underestimates; overestimate bounded by ceil(e/width * N)

@@ -51,3 +51,153 @@ def bucketed_inner_join(ds_left, ds_right, key: str, *,
 
     return both.groupby("bucket").map_groups(join_bucket,
                                              batch_format="pandas")
+
+
+def asof_join(ds_left, ds_right, *, by: str, on: str,
+              right_columns: list[str], num_buckets: int = 32,
+              strict: bool = True, how: str = "inner",
+              right_on: str | None = None,
+              suffix: str = "_r"):
+    """As-of join: for every left row, the LAST right row with the same
+    ``by`` key whose ``right_on`` (default: ``on``) value is earlier
+    (``strict=True`` -> ``<``, else ``<=``) — the streaming/event-time
+    operator Ray Data lacks natively (DuckDB's ``ASOF JOIN`` is the exact
+    oracle).
+
+    Implementation: both sides hash-bucket by ``by`` (so a key's rows
+    co-locate), ONE vectorized pass per bucket — right rows sort once by
+    (key, on); left rows binary-search a composite (key, on) rank, so the
+    per-bucket cost is O((L+R) log R) with zero per-key Python dispatch.
+    Memory per task is corpus/num_buckets. ``how="left"`` keeps unmatched
+    left rows with nulls.
+    """
+    import numpy as np
+
+    from ..stages.partitioning import add_hash_bucket
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    left_cols = list(ds_left.schema().names)
+    out_right = [c for c in right_columns if c != by]
+    r_on_col = right_on or on
+
+    left = add_hash_bucket(ds_left, by, num_buckets)
+    right = add_hash_bucket(
+        ds_right.select_columns(sorted({by, r_on_col, *right_columns})),
+        by, num_buckets)
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array([side] * len(batch), type=pa.int8()))
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lo = group[group["__side"] == 0]
+        hi = group[group["__side"] == 1]
+        out_cols = {c: f"{c}{suffix}" if c in left_cols else c
+                    for c in out_right}
+        if len(lo) == 0:
+            empty = lo[left_cols].head(0).copy()
+            for c in out_right:
+                empty[out_cols[c]] = hi[c].head(0)
+            return empty
+        l_on = lo[on].to_numpy()
+        matched = np.full(len(lo), -1, dtype=np.int64)
+        if len(hi) > 0:
+            # joint key codes across both sides
+            codes, _uniq = pd.factorize(
+                pd.concat([lo[by], hi[by]], ignore_index=True))
+            lc = codes[:len(lo)].astype(np.int64)
+            rc = codes[len(lo):].astype(np.int64)
+            r_on = hi[r_on_col].to_numpy()
+            # composite rank: key-major, then on-value (merge both sides'
+            # on-values into one sorted domain so ranks are comparable)
+            all_on = np.concatenate([l_on, r_on])
+            on_sorted = np.unique(all_on)
+            l_rank = np.searchsorted(on_sorted, l_on).astype(np.int64)
+            r_rank = np.searchsorted(on_sorted, r_on).astype(np.int64)
+            span = np.int64(len(on_sorted) + 1)
+            r_comp = rc * span + r_rank
+            order = np.argsort(r_comp, kind="stable")
+            r_comp_s = r_comp[order]
+            side = "left" if strict else "right"
+            pos = np.searchsorted(r_comp_s, lc * span + l_rank,
+                                  side=side) - 1
+            ok = pos >= 0
+            cand = np.where(ok, order[np.clip(pos, 0, None)], 0)
+            ok &= rc[cand] == lc  # predecessor must share the key
+            matched = np.where(ok, cand, -1)
+        keep = matched >= 0
+        if how == "inner":
+            out = lo[left_cols][keep].reset_index(drop=True)
+            idx = matched[keep]
+            for c in out_right:
+                out[out_cols[c]] = hi[c].to_numpy()[idx]
+            return out
+        out = lo[left_cols].reset_index(drop=True)
+        for c in out_right:
+            if len(hi):
+                src = pd.Series(hi[c].to_numpy()[np.clip(matched, 0, None)])
+                out[out_cols[c]] = src.mask(~pd.Series(keep)).to_numpy()
+            else:
+                out[out_cols[c]] = np.full(len(out), np.nan)
+        return out
+
+    return both.groupby("bucket").map_groups(join_bucket,
+                                             batch_format="pandas")
+
+
+def interval_join(ds_left, ds_right, *, by: str, on: str, lo: str, hi: str,
+                  right_columns: list[str] | None = None,
+                  num_buckets: int = 32, how: str = "inner",
+                  suffix: str = "_r"):
+    """Point-in-interval join for per-key NON-OVERLAPPING intervals: each
+    left row matches the right interval of the same ``by`` key with
+    ``lo <= on <= hi`` (validity windows / SCD2 dimension rows; the classic
+    range-join special case).
+
+    Composition: as-of on the interval START (non-strict — the candidate is
+    the latest interval whose ``lo`` is at or before the point; under the
+    non-overlap assumption it is the ONLY candidate), then a vectorized
+    post-filter on ``hi``. Oracle: plain SQL ``JOIN ... ON key match AND on
+    BETWEEN lo AND hi``. Overlapping intervals are NOT supported (only the
+    latest-starting match would be returned) — that variant needs an
+    interval-tree stage; document before reaching for this one.
+    """
+    import pyarrow.compute as pc
+
+    right_columns = right_columns or [lo, hi]
+    for needed in (lo, hi):
+        if needed not in right_columns:
+            right_columns = [*right_columns, needed]
+    joined = asof_join(ds_left, ds_right, by=by, on=on,
+                       right_columns=right_columns, num_buckets=num_buckets,
+                       strict=False, how=how, right_on=lo, suffix=suffix)
+    left_cols = set(ds_left.schema().names)
+    hi_col = f"{hi}{suffix}" if hi in left_cols else hi
+    on_col = on
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        inside = pc.less_equal(batch[on_col], batch[hi_col])
+        if how == "inner":
+            return batch.filter(pc.fill_null(inside, False))
+        # left join: null out right columns where the interval missed
+        keep = pc.fill_null(inside, True)
+        if bool(pc.all(keep).as_py() if len(batch) else True):
+            return batch
+        cols = {}
+        out_names = [c if c not in left_cols else f"{c}{suffix}"
+                     for c in right_columns]
+        for name in batch.column_names:
+            col = batch[name]
+            if name in out_names:
+                col = pc.if_else(keep, col, pa.nulls(len(batch),
+                                                     type=col.type))
+            cols[name] = col
+        return pa.table(cols)
+
+    return joined.map_batches(in_window, batch_format="pyarrow")

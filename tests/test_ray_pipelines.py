@@ -1098,3 +1098,118 @@ def test_semi_join_mixed_integer_widths(_ray):
     keys32 = np.array([10, 30], dtype=np.int32)
     out = broadcast_semi_join(ds, keys32, "k").to_pandas()
     assert sorted(out["k"]) == [10, 30]
+
+
+def test_asof_join_matches_pandas_merge_asof(_ray):
+    """Vectorized bucketed as-of join == pandas merge_asof per key, both
+    strict and non-strict, inner and left."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 2000, 800
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, n_l),
+        "t": rng.integers(0, 10_000, n_l),
+        "payload": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 50, n_r),  # some keys absent on the left
+        "t": rng.integers(0, 10_000, n_r),
+        "val": rng.normal(size=n_r),
+    })
+    # dedupe right on (k, t): ties are implementation-arbitrary in any
+    # as-of engine, so make the ground truth unique
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+
+    for strict in (True, False):
+        got = asof_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            by="k", on="t", right_columns=["t", "val"], num_buckets=8,
+            strict=strict).to_pandas()
+        exp_rows = []
+        for k, lg in left.groupby("k"):
+            rg = right[right["k"] == k].sort_values("t")
+            for _, row in lg.iterrows():
+                cand = rg[rg["t"] < row["t"]] if strict else \
+                    rg[rg["t"] <= row["t"]]
+                if len(cand):
+                    last = cand.iloc[-1]
+                    exp_rows.append((row["k"], row["t"], row["payload"],
+                                     last["t"], last["val"]))
+        exp = pd.DataFrame(exp_rows,
+                           columns=["k", "t", "payload", "t_r", "val"])
+        got_s = got.sort_values(["k", "t", "payload"]).reset_index(drop=True)
+        exp_s = exp.sort_values(["k", "t", "payload"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got_s[exp_s.columns.tolist()], exp_s, check_dtype=False)
+
+    # left join keeps unmatched rows with nulls
+    got_left = asof_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        by="k", on="t", right_columns=["t", "val"], num_buckets=8,
+        how="left").to_pandas()
+    assert len(got_left) == len(left)
+    inner_n = len(asof_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        by="k", on="t", right_columns=["t", "val"],
+        num_buckets=8).to_pandas())
+    assert got_left["val"].notna().sum() == inner_n
+
+
+def test_interval_join_matches_sql_between(_ray):
+    """Point-in-interval join == SQL `JOIN ON key AND t BETWEEN lo AND hi`
+    for per-key non-overlapping validity windows."""
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import interval_join
+
+    rng = np.random.default_rng(9)
+    # non-overlapping windows per key: consecutive [start, start+width-1]
+    intervals = []
+    for k in range(20):
+        start = 0
+        for _ in range(rng.integers(1, 6)):
+            width = int(rng.integers(5, 50))
+            gap = int(rng.integers(0, 20))
+            intervals.append((k, start, start + width - 1, len(intervals)))
+            start += width + gap
+    right = pd.DataFrame(intervals, columns=["k", "lo", "hi", "iv_id"])
+    left = pd.DataFrame({
+        "k": rng.integers(0, 25, 3000),
+        "t": rng.integers(0, 300, 3000),
+        "row_id": np.arange(3000),
+    })
+
+    got = interval_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(2),
+        by="k", on="t", lo="lo", hi="hi",
+        right_columns=["lo", "hi", "iv_id"], num_buckets=8).to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql("""
+        SELECT l.k, l.t, l.row_id, r.lo, r.hi, r.iv_id
+        FROM l JOIN r ON l.k = r.k AND l.t BETWEEN r.lo AND r.hi
+    """).df()
+    cols = ["k", "t", "row_id", "lo", "hi", "iv_id"]
+    got_s = got[cols].sort_values(["row_id"]).reset_index(drop=True)
+    exp_s = exp[cols].sort_values(["row_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+    # left join: every left row present, misses have null iv_id
+    got_left = interval_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(2),
+        by="k", on="t", lo="lo", hi="hi",
+        right_columns=["lo", "hi", "iv_id"], num_buckets=8,
+        how="left").to_pandas()
+    assert len(got_left) == len(left)
+    assert got_left["iv_id"].notna().sum() == len(exp)
