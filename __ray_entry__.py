@@ -334,6 +334,40 @@ def _q_interval_join_click_days(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_customer_nation_names(sf_dir: str):
+    """Broadcast (map-side) dimension join: customers gain their nation
+    name without the big side ever shuffling."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import broadcast_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    out = broadcast_join(cust, nation, "c_nationkey",
+                         right_key="n_nationkey").to_pandas()
+    return (out[["c_custkey", "n_name"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+def _q_top_orders_per_customer(sf_dir: str):
+    """Exact grouped top-k (SQL row_number window): each customer's 3
+    highest-value orders, deterministic tie-break by orderkey."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ranking import topk_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = topk_per_group(orders, "o_custkey", "o_totalprice", 3,
+                         tie_col="o_orderkey").to_pandas()
+    return (out.sort_values(["o_custkey", "o_orderkey"])
+            .reset_index(drop=True))
+
+
 def _q_minhash_dedup_keep_distributed(sf_dir: str):
     """Near-dup clustering with the DISTRIBUTED connected-components path
     (min-label propagation over the pair Dataset, no driver union-find)."""
@@ -831,6 +865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep_distributed": _q_minhash_dedup_keep_distributed,
         "asof_last_click": _q_asof_last_click,
         "interval_join_click_days": _q_interval_join_click_days,
+        "customer_nation_names": _q_customer_nation_names,
+        "top_orders_per_customer": _q_top_orders_per_customer,
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
@@ -991,6 +1027,17 @@ def oracle_sql() -> dict[str, str]:
                            - INTERVAL '1 microsecond' AS hi
                   FROM events WHERE event_type = 'click') w
               ON e.user_id = w.user_id AND e.ts BETWEEN w.lo AND w.hi
+        """,
+        "customer_nation_names": """
+            SELECT c.c_custkey, n.n_name
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3
         """,
         # count-min guarantee evaluated on the concrete sketch: never
         # underestimates; overestimate bounded by ceil(e/width * N)

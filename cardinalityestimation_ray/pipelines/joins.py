@@ -201,3 +201,54 @@ def interval_join(ds_left, ds_right, *, by: str, on: str, lo: str, hi: str,
         return pa.table(cols)
 
     return joined.map_batches(in_window, batch_format="pyarrow")
+
+
+def broadcast_join(ds_big, small_table, key: str, *,
+                   right_key: str | None = None, how: str = "inner",
+                   suffix: str = "_r"):
+    """Map-side hash join of a big Dataset against a SMALL dimension table
+    (pyarrow Table / pandas DataFrame) — the 100 TB pattern for dimension
+    lookups: the small side ships once via ``ray.put`` (plasma-cached per
+    node), each batch joins locally with pyarrow's C++ hash join, and the
+    big side NEVER shuffles.
+
+    ``how``: "inner" or "left" (left = keep unmatched big-side rows with
+    nulls). Collision-named small-side columns get ``suffix``.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    if isinstance(small_table, pd.DataFrame):
+        small_table = pa.Table.from_pandas(small_table,
+                                           preserve_index=False)
+    rkey = right_key or key
+    schema = ds_big.schema()
+    big_cols = set(schema.names)
+    rename = {c: (f"{c}{suffix}" if c in big_cols and c != rkey else c)
+              for c in small_table.column_names}
+    small_table = small_table.rename_columns(
+        [rename[c] for c in small_table.column_names])
+    rkey_renamed = rename.get(rkey, rkey)
+    # canonicalize key width: pyarrow's hash join rejects int32-vs-int64
+    # key pairs, and dimension tables routinely use narrower ids
+    big_key_type = dict(zip(schema.names, schema.types))[key]
+    if small_table.schema.field(rkey_renamed).type != big_key_type:
+        idx = small_table.column_names.index(rkey_renamed)
+        small_table = small_table.set_column(
+            idx, rkey_renamed,
+            small_table[rkey_renamed].cast(big_key_type))
+    small_ref = ray.put(small_table)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    class Probe:
+        def __init__(self):
+            self.small = ray.get(small_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=[key],
+                              right_keys=[rkey_renamed],
+                              join_type=join_type)
+
+    return ds_big.map_batches(Probe, batch_format="pyarrow",
+                              concurrency=(1, 8))

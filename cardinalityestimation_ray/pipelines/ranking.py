@@ -1,0 +1,66 @@
+"""Grouped ranking: exact top-k rows per group.
+
+The windowed `row_number() OVER (PARTITION BY g ORDER BY v DESC)` pattern,
+Ray-Data-first: a per-batch COMBINER keeps each group's local top-k with one
+segmented lexsort (any global top-k row survives its own batch's top-k, so
+the prune is lossless), then groups hash-bucket and each bucket runs the
+SAME vectorized pass once — the shuffle carries at most k rows per group
+per batch, never the full table, and no per-group Python dispatch ever
+happens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _segmented_topk_indices(group_codes: np.ndarray, values: np.ndarray,
+                            ties: np.ndarray, k: int) -> np.ndarray:
+    """Row indices of the per-group top-k (value desc, tie asc), vectorized:
+    one lexsort + a rank-within-segment subtraction."""
+    order = np.lexsort((ties, -values, group_codes))
+    g = group_codes[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(g)) + 1]
+    seg_id = np.cumsum(np.r_[False, np.diff(g) != 0])
+    rank = np.arange(len(g)) - starts[seg_id]
+    return order[rank < k]
+
+
+def topk_per_group(ds, group_col: str, value_col: str, k: int, *,
+                   tie_col: str, num_buckets: int = 64):
+    """Exact top-k rows per group, deterministic under ties (value
+    descending, then ``tie_col`` ascending — pass a unique id).
+
+    Returns a Dataset of the kept rows (original columns).
+    """
+    from ..stages.partitioning import add_hash_bucket
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys = batch[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = keys.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        values = batch[value_col].to_numpy(zero_copy_only=False)
+        ties = batch[tie_col].to_numpy(zero_copy_only=False)
+        keep = _segmented_topk_indices(codes, values, ties, k)
+        return batch.take(pa.array(np.sort(keep)))
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return group.drop(columns=["bucket"])
+        codes, _ = pd.factorize(group[group_col])
+        keep = _segmented_topk_indices(
+            codes.astype(np.int64),
+            group[value_col].to_numpy(),
+            group[tie_col].to_numpy(), k)
+        return group.iloc[np.sort(keep)].drop(columns=["bucket"])
+
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow")
+    bucketed = add_hash_bucket(pruned, group_col, num_buckets)
+    return bucketed.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas")

@@ -1213,3 +1213,62 @@ def test_interval_join_matches_sql_between(_ray):
         how="left").to_pandas()
     assert len(got_left) == len(left)
     assert got_left["iv_id"].notna().sum() == len(exp)
+
+
+def test_broadcast_join_matches_sql(_ray, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import broadcast_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    got = broadcast_join(cust, nation, "c_nationkey",
+                         right_key="n_nationkey").to_pandas()
+    exp = duckdb.sql(f"""
+        SELECT c.c_custkey, c.c_nationkey, n.n_name
+        FROM '{sf_dir}/customer.parquet' c
+        JOIN '{sf_dir}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+    """).df()
+    cols = ["c_custkey", "c_nationkey", "n_name"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("c_custkey").reset_index(drop=True),
+        exp[cols].sort_values("c_custkey").reset_index(drop=True),
+        check_dtype=False)
+
+    # left join: unmatched keys survive with null names
+    bogus = pd.DataFrame({"c_custkey": [999999], "c_nationkey": [-1]})
+    big = ray.data.from_pandas(pd.concat(
+        [cust.to_pandas(), bogus], ignore_index=True))
+    left = broadcast_join(big, nation, "c_nationkey",
+                          right_key="n_nationkey", how="left").to_pandas()
+    assert len(left) == cust.count() + 1
+    assert left.loc[left["c_custkey"] == 999999, "n_name"].isna().all()
+
+
+def test_topk_per_group_matches_sql_row_number(_ray, sf_dir):
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ranking import topk_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    got = topk_per_group(orders, "o_custkey", "o_totalprice", 3,
+                         tie_col="o_orderkey", num_buckets=8).to_pandas()
+    exp = duckdb.sql(f"""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM '{sf_dir}/orders.parquet') WHERE rn <= 3
+    """).df()
+    cols = ["o_custkey", "o_orderkey", "o_totalprice"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
