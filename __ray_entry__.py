@@ -307,7 +307,7 @@ def _q_interval_join_click_days(sf_dir: str):
         ts = tbl["ts"]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        micros = ts.cast(pa.timestamp('us')).cast(pa.int64()).to_numpy(zero_copy_only=False)
         lo = (micros // DAY_US) * DAY_US
         return pa.table({
             "user_id": tbl["user_id"],

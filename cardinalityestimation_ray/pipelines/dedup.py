@@ -439,11 +439,17 @@ def connected_components(pairs_ds, *, id_a: str = "id_a",
                                        batch_format="pyarrow")))
         # pin the block count: groupby output partitioning compounds across
         # iterations otherwise (blocks double each round -> scheduling
-        # overhead grows exponentially)
+        # overhead grows exponentially). Sized to the cluster, not a
+        # constant (round-3 review fix) — the per-round Min aggregate must
+        # not serialize into 8 tasks on a big cluster.
+        import ray as _ray
+
+        nparts = int(min(num_buckets,
+                         max(8, _ray.cluster_resources().get("CPU", 8))))
         lab = (rows.groupby("_bucket")
                .map_groups(offer, batch_format="pandas")
                .groupby("node").aggregate(Min("label", alias_name="label"))
-               .repartition(8)
+               .repartition(nparts)
                .materialize())
         total = lab.aggregate(Sum("label", alias_name="s"))["s"]
         if total == prev_sum:
@@ -457,22 +463,10 @@ def minhash_dedup_keep_distributed(docs_ds, *, num_buckets: int = 64,
     """Cluster near-duplicates like :func:`minhash_dedup_keep` but with the
     clustering itself distributed (:func:`connected_components`) — the
     driver never holds the pair set, only the final (doc_id, cluster_id)
-    table (near-dup-doc-scale, not pair-scale)."""
-    stage = MinHashBandRows(
-        num_perm=kwargs.get("num_perm", 64),
-        num_bands=kwargs.get("num_bands", 16),
-        ngram=kwargs.get("ngram", 8),
-        text_column=kwargs.get("text_column", "text"),
-        id_column=kwargs.get("id_column", "doc_id"),
-        keep_text=kwargs.get("verify", "signature") != "signature")
-    rows = _spread(docs_ds).map_batches(stage, batch_format="pyarrow")
-    pairs_ds = _candidate_pairs_from_buckets(
-        rows, kwargs.get("id_column", "doc_id"),
-        kwargs.get("num_perm", 64), kwargs.get("threshold", 0.7),
-        kwargs.get("verify", "signature"), kwargs.get("ngram", 8),
-        max_bucket=kwargs.get("max_bucket", 512),
-        window=kwargs.get("window", 64),
-        identical_cap=kwargs.get("identical_cap", 64))
+    table (near-dup-doc-scale, not pair-scale). Parameters are those of
+    :func:`_minhash_pairs_ds` — defaults live there only, and unknown
+    keywords raise instead of being silently ignored."""
+    pairs_ds = _minhash_pairs_ds(docs_ds, **kwargs)
     labels = connected_components(pairs_ds, num_buckets=num_buckets)
     out = labels.to_pandas()
     if len(out) == 0:
@@ -501,18 +495,37 @@ def _union_find_clusters(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
-def minhash_dedup_pairs(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
-                        ngram: int = 8, threshold: float = 0.7,
-                        verify: str = "signature",
-                        max_bucket: int = 512, window: int = 64,
-                        identical_cap: int = 64,
-                        text_column: str = "text",
-                        id_column: str = "doc_id") -> pd.DataFrame:
+def _minhash_pairs_ds(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
+                      ngram: int = 8, threshold: float = 0.7,
+                      verify: str = "signature",
+                      max_bucket: int = 512, window: int = 64,
+                      identical_cap: int = 64,
+                      text_column: str = "text",
+                      id_column: str = "doc_id"):
+    """Shared candidate-pair pipeline (the single owner of every default —
+    round-3 review fix: the distributed-keep variant used to restate them
+    via kwargs.get, silently accepting typos). Returns the verified-pair
+    Dataset, NOT deduplicated across bands."""
+    stage = MinHashBandRows(num_perm=num_perm, num_bands=num_bands,
+                            ngram=ngram, text_column=text_column,
+                            id_column=id_column,
+                            keep_text=verify != "signature")
+    # signature computation is the CPU hog; spread small inputs (e.g. one
+    # parquet file) across the pool before it
+    rows = _spread(docs_ds).map_batches(stage, batch_format="pyarrow")
+    return _candidate_pairs_from_buckets(
+        rows, id_column, num_perm, threshold, verify, ngram,
+        max_bucket=max_bucket, window=window, identical_cap=identical_cap)
+
+
+def minhash_dedup_pairs(docs_ds, **kwargs) -> pd.DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     verify: "signature" (MinHash Jaccard estimate), "char_ngram" or
     "word_ngram" (exact Jaccard on text — ships text into buckets).
     Returns a DataFrame (id_a, id_b, similarity), id_a < id_b, deduplicated.
+    Parameters are those of :func:`_minhash_pairs_ds` (unknown keywords
+    raise).
 
     Degenerate-bucket bounds (see :func:`_verify_minhash_bucket`): identical
     signatures collapse to a representative (all-pairs within groups up to
@@ -521,17 +534,7 @@ def minhash_dedup_pairs(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
     switch from the vectorized quadratic compare to a sorted sliding window
     of width ``window``.
     """
-    stage = MinHashBandRows(num_perm=num_perm, num_bands=num_bands,
-                            ngram=ngram, text_column=text_column,
-                            id_column=id_column,
-                            keep_text=verify != "signature")
-    # signature computation is the CPU hog; spread small inputs (e.g. one
-    # parquet file) across the pool before it
-    rows = _spread(docs_ds).map_batches(stage, batch_format="pyarrow")
-    pairs = _candidate_pairs_from_buckets(
-        rows, id_column, num_perm, threshold, verify, ngram,
-        max_bucket=max_bucket, window=window,
-        identical_cap=identical_cap).to_pandas()
+    pairs = _minhash_pairs_ds(docs_ds, **kwargs).to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),

@@ -72,83 +72,114 @@ def asof_join(ds_left, ds_right, *, by: str, on: str,
     left rows with nulls.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
     from ..stages.partitioning import add_hash_bucket
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
-    left_cols = list(ds_left.schema().names)
-    out_right = [c for c in right_columns if c != by]
     r_on_col = right_on or on
+    right_sel = sorted({by, r_on_col, *right_columns})
+    out_right = [c for c in right_columns if c != by]
+
+    # The whole per-bucket path is ARROW-native: a pandas union of the two
+    # sides would null-fill across schemas and silently promote int64 left
+    # columns to float64 (corrupting ids >= 2^53) — so both sides are
+    # schema-ALIGNED up front (typed null columns for the other side's
+    # fields, right columns carried under a "__r_" prefix) and the join
+    # emits typed Arrow takes (null take-index -> typed null).
+    left_schema = ds_left.schema()
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    left_cols = list(left_schema.names)
+    rschema = ds_right.schema()
+    right_types = {n: t for n, t in zip(rschema.names, rschema.types)
+                   if n in right_sel}
+    out_cols = {c: f"{c}{suffix}" if c in left_cols else c
+                for c in out_right}
 
     left = add_hash_bucket(ds_left, by, num_buckets)
-    right = add_hash_bucket(
-        ds_right.select_columns(sorted({by, r_on_col, *right_columns})),
-        by, num_buckets)
+    right = add_hash_bucket(ds_right.select_columns(right_sel),
+                            by, num_buckets)
 
-    def tag(side):
+    def align(side):
         def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "__side", pa.array([side] * len(batch), type=pa.int8()))
+            n = len(batch)
+            cols, names = [], []
+            for c in left_cols:
+                names.append(c)
+                cols.append(batch[c] if side == 0
+                            else pa.nulls(n, type=left_types[c]))
+            for c in right_sel:
+                names.append(f"__r_{c}")
+                cols.append(batch[c] if side == 1
+                            else pa.nulls(n, type=right_types[c]))
+            names.append("bucket")
+            cols.append(batch["bucket"])
+            names.append("__side")
+            cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            return pa.table(dict(zip(names, cols)))
         return fn
 
-    both = left.map_batches(tag(0), batch_format="pyarrow").union(
-        right.map_batches(tag(1), batch_format="pyarrow"))
+    both = left.map_batches(align(0), batch_format="pyarrow").union(
+        right.map_batches(align(1), batch_format="pyarrow"))
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lo = group[group["__side"] == 0]
-        hi = group[group["__side"] == 1]
-        out_cols = {c: f"{c}{suffix}" if c in left_cols else c
-                    for c in out_right}
-        if len(lo) == 0:
-            empty = lo[left_cols].head(0).copy()
-            for c in out_right:
-                empty[out_cols[c]] = hi[c].head(0)
-            return empty
-        l_on = lo[on].to_numpy()
-        matched = np.full(len(lo), -1, dtype=np.int64)
-        if len(hi) > 0:
-            # joint key codes across both sides
-            codes, _uniq = pd.factorize(
-                pd.concat([lo[by], hi[by]], ignore_index=True))
-            lc = codes[:len(lo)].astype(np.int64)
-            rc = codes[len(lo):].astype(np.int64)
-            r_on = hi[r_on_col].to_numpy()
+    def _codes(keys: pa.ChunkedArray | pa.Array, n_l: int):
+        """Joint dictionary codes for both sides' keys; null key -> -1."""
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        codes = idx.astype(np.int64)
+        return codes[:n_l], codes[n_l:]
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"]
+        lo_t = tbl.filter(pc.equal(side, 0))
+        hi_t = tbl.filter(pc.equal(side, 1))
+        n_l = len(lo_t)
+        matched = np.full(n_l, -1, dtype=np.int64)
+        if n_l and len(hi_t):
+            keys = pa.chunked_array([
+                lo_t[by].combine_chunks(),
+                hi_t[f"__r_{by}"].combine_chunks()])
+            lc, rc = _codes(keys, n_l)
+            l_on = lo_t[on].to_numpy(zero_copy_only=False)
+            r_on = hi_t[f"__r_{r_on_col}"].to_numpy(zero_copy_only=False)
             # composite rank: key-major, then on-value (merge both sides'
             # on-values into one sorted domain so ranks are comparable)
-            all_on = np.concatenate([l_on, r_on])
-            on_sorted = np.unique(all_on)
+            on_sorted = np.unique(np.concatenate([l_on, r_on]))
             l_rank = np.searchsorted(on_sorted, l_on).astype(np.int64)
             r_rank = np.searchsorted(on_sorted, r_on).astype(np.int64)
             span = np.int64(len(on_sorted) + 1)
             r_comp = rc * span + r_rank
             order = np.argsort(r_comp, kind="stable")
             r_comp_s = r_comp[order]
-            side = "left" if strict else "right"
+            sside = "left" if strict else "right"
             pos = np.searchsorted(r_comp_s, lc * span + l_rank,
-                                  side=side) - 1
+                                  side=sside) - 1
             ok = pos >= 0
             cand = np.where(ok, order[np.clip(pos, 0, None)], 0)
-            ok &= rc[cand] == lc  # predecessor must share the key
+            # predecessor must share the key; null keys (-1) match nothing
+            ok &= (rc[cand] == lc) & (lc >= 0)
             matched = np.where(ok, cand, -1)
-        keep = matched >= 0
         if how == "inner":
-            out = lo[left_cols][keep].reset_index(drop=True)
-            idx = matched[keep]
+            keep_idx = pa.array(np.flatnonzero(matched >= 0))
+            out = lo_t.select(left_cols).take(keep_idx)
+            ridx = pa.array(matched[matched >= 0])
             for c in out_right:
-                out[out_cols[c]] = hi[c].to_numpy()[idx]
+                out = out.append_column(
+                    out_cols[c],
+                    hi_t[f"__r_{c}"].combine_chunks().take(ridx))
             return out
-        out = lo[left_cols].reset_index(drop=True)
+        out = lo_t.select(left_cols)
+        ridx = pa.array(np.clip(matched, 0, None), mask=matched < 0)
         for c in out_right:
-            if len(hi):
-                src = pd.Series(hi[c].to_numpy()[np.clip(matched, 0, None)])
-                out[out_cols[c]] = src.mask(~pd.Series(keep)).to_numpy()
-            else:
-                out[out_cols[c]] = np.full(len(out), np.nan)
+            out = out.append_column(
+                out_cols[c], hi_t[f"__r_{c}"].combine_chunks().take(ridx))
         return out
 
     return both.groupby("bucket").map_groups(join_bucket,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
 
 
 def interval_join(ds_left, ds_right, *, by: str, on: str, lo: str, hi: str,

@@ -16,11 +16,20 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _desc_key(values: np.ndarray) -> np.ndarray:
+    """Dtype-safe descending sort key: negate the DENSE RANK, not the
+    value — ``-values`` wraps for unsigned dtypes (0 would rank as the
+    largest) and overflows at INT64_MIN, and fails outright for datetimes
+    (round-3 review fix)."""
+    _, inverse = np.unique(values, return_inverse=True)
+    return -inverse.astype(np.int64)
+
+
 def _segmented_topk_indices(group_codes: np.ndarray, values: np.ndarray,
                             ties: np.ndarray, k: int) -> np.ndarray:
     """Row indices of the per-group top-k (value desc, tie asc), vectorized:
     one lexsort + a rank-within-segment subtraction."""
-    order = np.lexsort((ties, -values, group_codes))
+    order = np.lexsort((ties, _desc_key(values), group_codes))
     g = group_codes[order]
     starts = np.r_[0, np.flatnonzero(np.diff(g)) + 1]
     seg_id = np.cumsum(np.r_[False, np.diff(g) != 0])
@@ -38,11 +47,20 @@ def topk_per_group(ds, group_col: str, value_col: str, k: int, *,
     from ..stages.partitioning import add_hash_bucket
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch
+        import pyarrow.compute as pc
+
         keys = batch[group_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        # null group keys are EXCLUDED (SQL GROUP BY semantics, matching the
+        # keyed sketch / session-window stages; round-3 review fix — the
+        # old path ran NaN.astype(int64) on them, an undefined code)
+        if keys.null_count:
+            valid = pc.is_valid(keys)
+            batch = batch.filter(valid)
+            keys = keys.filter(valid)
+        if len(batch) == 0:
+            return batch
         codes = keys.dictionary_encode().indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         values = batch[value_col].to_numpy(zero_copy_only=False)

@@ -18,6 +18,16 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _ts_micros(ts: pa.Array) -> pa.Array:
+    """Timestamp column -> int64 MICROSECONDS, any input resolution.
+
+    A bare ``cast(pa.int64())`` returns the raw tick count — nanoseconds
+    for pandas-default timestamp[ns] inputs — which silently made every
+    gap/window comparison 1000x stricter (round-3 review regression test).
+    """
+    return ts.cast(pa.timestamp("us")).cast(pa.int64())
+
+
 def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
                         key_column: str = "event_type",
                         ts_column: str = "ts",
@@ -36,7 +46,7 @@ def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
         ts = batch[ts_column]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        micros = _ts_micros(ts).to_numpy(zero_copy_only=False)
         bucket = (micros // window_us) * window_us
         tbl = pa.table({
             key_column: batch[key_column],
@@ -88,7 +98,7 @@ def sliding_window_agg(events_ds, *, window_minutes: int = 60,
         ts = batch[ts_column]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        micros = _ts_micros(ts).to_numpy(zero_copy_only=False)
         base = (micros // slide_us) * slide_us
         n = len(micros)
         starts = (np.repeat(base, k)
@@ -127,8 +137,11 @@ def _key_bucket(keys: pa.Array, num_buckets: int) -> np.ndarray:
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     if pa.types.is_integer(keys.type):
+        # bitwise reinterpretation, NOT a checked Arrow cast — negative ids
+        # (sentinel -1 users, signed hash keys) must wrap, not raise
+        # (round-3 review fix: cast(pa.uint64()) raised ArrowInvalid)
         h = hashing.splitmix64(
-            keys.cast(pa.uint64()).to_numpy(zero_copy_only=False))
+            keys.to_numpy(zero_copy_only=False).astype(np.uint64))
     else:
         h = hashing.hash_arrow_binary(keys, "fnv1a_mix")
     return (h % np.uint64(num_buckets)).astype(np.int32)
@@ -166,7 +179,7 @@ def session_window_stats(events_ds, *, gap_minutes: int = 30,
             ts = ts.combine_chunks()
         return pa.table({
             key_column: keys,
-            "_ts_us": ts.cast(pa.int64()),
+            "_ts_us": _ts_micros(ts),
             "_bucket": pa.array(_key_bucket(keys, num_buckets)),
         })
 

@@ -470,8 +470,9 @@ def xxh128_dotnet_fixed(values: np.ndarray) -> np.ndarray:
         lo = values.view(np.uint32).astype(np.uint64)
         in64 = lo | (lo << U64(32))
     elif width == 8:
-        v = values.view(np.uint64)
-        in64 = (v & _M32) | ((v >> U64(32)) << U64(32))
+        # len==8: lo32=bytes[0:4], hi32=bytes[4:8] reassemble the original
+        # little-endian word exactly, so in64 IS the raw value
+        in64 = values.view(np.uint64)
     else:
         raise TypeError(f"unsupported width for xxh128_dotnet_fixed: {width}")
     return _vhigh_4to8_from_parts(in64, lns).byteswap()

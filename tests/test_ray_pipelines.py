@@ -1272,3 +1272,89 @@ def test_topk_per_group_matches_sql_row_number(_ray, sf_dir):
         got[cols].sort_values(cols).reset_index(drop=True),
         exp[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_asof_join_preserves_int64_and_timestamp_dtypes(_ray):
+    """Round-3 review regression: the per-bucket join is Arrow-native, so
+    int64 ids above 2^53 survive exactly (a pandas union would NaN-promote
+    them to float64) and timestamp right columns stay typed under
+    how='left' even when some buckets have an empty right side."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.joins import asof_join
+
+    big_id = (1 << 60) + 12345  # not representable in float64
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "t": pd.to_datetime([10, 20, 15, 5], unit="s"),
+        "big": np.array([big_id, big_id + 1, big_id + 2, big_id + 3],
+                        dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": [1, 2],
+        "t": pd.to_datetime([5, 12], unit="s"),
+        "val": [1.5, 2.5],
+    })
+    out = asof_join(
+        ray.data.from_pandas(left).repartition(2),
+        ray.data.from_pandas(right).repartition(1),
+        by="k", on="t", right_columns=["t", "val"], num_buckets=4,
+        how="left").to_pandas().sort_values("big").reset_index(drop=True)
+    assert out["big"].dtype == np.int64
+    assert out["big"].tolist() == [big_id, big_id + 1, big_id + 2,
+                                   big_id + 3]
+    assert str(out["t_r"].dtype).startswith("datetime64")
+    # k=3 has no right rows anywhere -> typed nulls
+    assert out.loc[out["k"] == 3, "val"].isna().all()
+    assert out.loc[out["k"] == 3, "t_r"].isna().all()
+    assert out.loc[out["k"] == 1, "val"].notna().all()
+
+
+def test_topk_per_group_unsigned_values_and_null_keys(_ray):
+    """Round-3 review regressions: unsigned value columns must rank
+    correctly (naive -values wraps so 0 ranked LARGEST), and null group
+    keys are excluded like every other keyed stage."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ranking import topk_per_group
+
+    tbl = pa.table({
+        "g": pa.array([1, 1, 1, None, 2], type=pa.int64()),
+        "v": pa.array([0, 5, 3, 9, 7], type=pa.uint64()),
+        "id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+    })
+    got = topk_per_group(ray.data.from_arrow(tbl), "g", "v", 2,
+                         tie_col="id", num_buckets=4).to_pandas()
+    assert sorted(got["id"].tolist()) == [11, 12, 14]  # not the v=0 row
+    assert got["g"].notna().all()
+
+
+def test_session_windows_negative_keys(_ray):
+    """Round-3 review regression: negative integer keys must hash-bucket
+    (bitwise wrap), not raise ArrowInvalid."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import (
+        session_window_stats,
+    )
+
+    df = pd.DataFrame({
+        "user_id": [-1, -1, 7, 7, 7],
+        "ts": pd.to_datetime([0, 10_000, 0, 50, 4000], unit="s"),
+    })
+    out = session_window_stats(ray.data.from_pandas(df), gap_minutes=30)
+    got = dict(zip(out["user_id"], out["n_sessions"]))
+    assert got == {-1: 2, 7: 2}
+
+
+def test_minhash_kwarg_typos_raise(planted_docs):
+    from cardinalityestimation_ray.pipelines.dedup import (
+        minhash_dedup_keep_distributed,
+        minhash_dedup_pairs,
+    )
+
+    make, _ = planted_docs
+    with pytest.raises(TypeError):
+        minhash_dedup_pairs(make(), threshhold=0.9)  # typo must not pass
+    with pytest.raises(TypeError):
+        minhash_dedup_keep_distributed(make(), num_bangs=32)
