@@ -46,9 +46,18 @@ def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
         def __call__(self, batch: pa.Table) -> pa.Table:
             x = _normalize(_to_matrix(batch[vector_column]).astype(np.float32))
             ids = batch[id_column].to_numpy(zero_copy_only=False)
+            # deterministic under cosine TIES (round-3 review fix —
+            # argpartition kept an arbitrary tied subset, so duplicate
+            # embeddings could eject the id the driver tie-break prefers):
+            # order rows by id once, then a STABLE sort by -cosine resolves
+            # ties to the smaller id, matching the driver's final
+            # (cosine desc, id asc) ordering.
+            id_order = np.argsort(ids, kind="stable")
+            x = x[id_order]
+            ids = ids[id_order]
             sims = x @ self.q.T  # (n, q)
             kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, q)
             qn = sims.shape[1]
             qid = np.repeat(np.arange(qn, dtype=np.int64), kk)
             rows = top.T.reshape(-1)  # query-major

@@ -34,7 +34,8 @@ def incremental_distinct_update(results_path: str, new_tokens_ds, *,
     intact and rerunning is safe (the new data's partials are recomputed,
     not double-merged).
     """
-    prior = (read_sketch_results(results_path, key_name=key_column)
+    prior = (read_sketch_results(results_path, key_name=key_column,
+                                 hash_name=hash_name)
              if os.path.exists(results_path) else {})
     if explode_list:
         stage = HllTokenPartials(b=b, token_column=value_column,

@@ -39,10 +39,20 @@ def probe_token_membership(tokens_ds, probe_tokens: np.ndarray,
     probabilistic with the configured FPR.
     """
     bf, total = build_token_bloom(tokens_ds, **build_kwargs)
-    probes = np.asarray(probe_tokens, dtype=np.int32)
+    probes = np.asarray(probe_tokens)
+    # the corpus token ids are int32, so the filter holds 4-byte images;
+    # a probe outside int32 range CANNOT be a member — report False
+    # directly instead of wrapping/overflowing the cast (round-3 review
+    # fix: the hard int32 cast could wrap and break the zero-false-negative
+    # guarantee for mismatched-width probes)
+    in_range = (probes >= -(2 ** 31)) & (probes < 2 ** 31)
+    member = np.zeros(len(probes), dtype=bool)
+    if in_range.any():
+        member[in_range] = bf.contains_values(
+            probes[in_range].astype(np.int32))
     return pd.DataFrame({
         "token": probes,
-        "member": bf.contains_values(probes),
+        "member": member,
         "fill_ratio": bf.fill_ratio,
     })
 
@@ -60,9 +70,19 @@ def bloom_semi_join(ds, filter_blob_ref, column: str, *, negate: bool = False):
             self.bf = BloomFilter.from_bytes(blob)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             col = batch[column]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            # SQL [NOT] IN: null probe keys match nothing and are excluded
+            # even under negate — and critically, ONE null in a numeric
+            # column would flip to_numpy to float64 and silently change
+            # every element's hash image (same fix as broadcast_semi_join)
+            if col.null_count:
+                valid = pc.is_valid(col)
+                batch = batch.filter(valid)
+                col = col.filter(valid)
             mask = self.bf.contains_values(col.to_numpy(zero_copy_only=False))
             if negate:
                 mask = ~mask

@@ -62,19 +62,30 @@ def weighted_sample_column(ds, value_column: str, weight_column: str, *,
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # SQL null semantics: a null value or null weight excludes the row
-        # (a single NaN weight would otherwise poison total_weight forever)
+        # row-exclusion semantics: a null value/weight AND any non-finite
+        # or negative weight excludes the ROW (round-3 review fix — a
+        # literal NaN float is valid to Arrow, so the null filter alone let
+        # it through to add_weighted, which raises and killed the job on
+        # one bad row)
         valid = pc.and_(pc.is_valid(batch[value_column]),
                         pc.is_valid(batch[weight_column]))
         if not pc.all(valid).as_py():
             batch = batch.filter(valid)
+        import numpy as np
+
+        vals = batch[value_column].to_numpy(
+            zero_copy_only=False).astype("float64")
+        wts = batch[weight_column].to_numpy(
+            zero_copy_only=False).astype("float64")
+        good = np.isfinite(wts) & (wts >= 0)
+        if not good.all():
+            vals = vals[good]
+            wts = wts[good]
         r = WeightedReservoirSample(k=k)
-        vals = batch[value_column].to_numpy(zero_copy_only=False)
-        wts = batch[weight_column].to_numpy(zero_copy_only=False)
-        r.add_weighted(vals.astype("float64"), wts.astype("float64"))
+        r.add_weighted(vals, wts)
         return pa.table({
             "sketch": pa.array([r.to_bytes()], type=pa.binary()),
-            "n_added": pa.array([len(batch)], type=pa.int64()),
+            "n_added": pa.array([len(vals)], type=pa.int64()),
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

@@ -109,14 +109,27 @@ def write_sketch_results(merged: dict, path: str, *, kind: str,
     os.replace(tmp, path)
 
 
-def read_sketch_results(path: str, *, key_name: str = "key") -> dict:
+def read_sketch_results(path: str, *, key_name: str = "key",
+                        hash_name: str | None = None) -> dict:
     """Load a sketch-results table back into dict[key, (Sketch, n_added)] —
-    sketches remain mergeable across job runs (incremental corpus updates)."""
+    sketches remain mergeable across job runs (incremental corpus updates).
+
+    ``hash_name`` rebuilds sketches under that hash (the HLL v3 wire format
+    does not embed one; round-3 review fix — loading under the library
+    default then merging with fresh custom-hash sketches raised on every
+    incremental update). Kinds whose blobs embed the hash (theta) ignore a
+    None and validate a mismatch themselves.
+    """
     tbl = pq.read_table(path)
     out = {}
     for key, kind, blob, n in zip(tbl[key_name].to_pylist(),
                                   tbl["kind"].to_pylist(),
                                   tbl["sketch"].to_pylist(),
                                   tbl["n_added"].to_pylist()):
-        out[key] = (Sketch.REGISTRY[kind].from_bytes(blob), n)
+        cls = Sketch.REGISTRY[kind]
+        if hash_name is not None:
+            sk = cls.from_bytes(blob, hash_name)
+        else:
+            sk = cls.from_bytes(blob)
+        out[key] = (sk, n)
     return out

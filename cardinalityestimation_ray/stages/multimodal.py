@@ -120,7 +120,7 @@ class ImageFeatureStage:
         col = batch["image"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
         imgs = flat.reshape(len(batch), self.out_size, self.out_size, 3)
         means = imgs.mean(axis=(1, 2)).astype(np.float32)        # (n, 3)
         stds = imgs.std(axis=(1, 2)).astype(np.float32)

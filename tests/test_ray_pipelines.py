@@ -1358,3 +1358,123 @@ def test_minhash_kwarg_typos_raise(planted_docs):
         minhash_dedup_pairs(make(), threshhold=0.9)  # typo must not pass
     with pytest.raises(TypeError):
         minhash_dedup_keep_distributed(make(), num_bangs=32)
+
+
+# ---------------------------------------------------------------------------
+# round-3 whole-package review regressions
+
+
+def test_bloom_semi_join_null_batch_not_poisoned(_ray):
+    """One null in a numeric probe batch must not flip the batch to float64
+    hashing (which misfiltered EVERY row); nulls are excluded per SQL."""
+    import ray
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        bloom_semi_join,
+    )
+    from cardinalityestimation_ray.sketches.bloom import BloomFilter
+
+    bf = BloomFilter(num_bits=1 << 16, num_hashes=5)
+    bf.add_values(np.arange(0, 50, dtype=np.int64))
+    ref = ray.put(bf.to_bytes())
+    tbl = pa.table({"k": pa.array([1, 2, None, 40, 999], type=pa.int64())})
+    semi = bloom_semi_join(ray.data.from_arrow(tbl), ref, "k").to_pandas()
+    assert sorted(semi["k"]) == [1, 2, 40]
+    anti = bloom_semi_join(ray.data.from_arrow(tbl), ref, "k",
+                           negate=True).to_pandas()
+    assert sorted(anti["k"]) == [999]  # null excluded from anti-join too
+
+
+def test_add_hash_bucket_null_does_not_scatter_keys(_ray):
+    """A null in one batch must not change the bucket of NON-null keys
+    (float64-image hashing scattered the same key across buckets)."""
+    import ray.data
+
+    from cardinalityestimation_ray.stages.partitioning import (
+        add_hash_bucket,
+    )
+
+    with_null = pa.table({"k": pa.array([7, None, 12], type=pa.int64())})
+    without = pa.table({"k": pa.array([7, 12], type=pa.int64())})
+    b1 = add_hash_bucket(ray.data.from_arrow(with_null), "k", 64).to_pandas()
+    b2 = add_hash_bucket(ray.data.from_arrow(without), "k", 64).to_pandas()
+    m1 = dict(zip(b1["k"].dropna(), b1.loc[b1["k"].notna(), "bucket"]))
+    m2 = dict(zip(b2["k"], b2["bucket"]))
+    assert m1 == m2
+
+
+def test_incremental_update_custom_hash_roundtrip(tmp_path, _ray):
+    """Round-3 review regression: a second incremental run under a
+    non-default hash must MERGE, not raise on hash mismatch."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.incremental import (
+        incremental_distinct_update,
+    )
+
+    path = str(tmp_path / "inc.parquet")
+    df1 = pd.DataFrame({"source": ["a", "b"], "tokens": [[1, 2], [3]]})
+    df2 = pd.DataFrame({"source": ["a"], "tokens": [[2, 4]]})
+    incremental_distinct_update(path, ray.data.from_pandas(df1),
+                                hash_name="xxhash64")
+    out = incremental_distinct_update(path, ray.data.from_pandas(df2),
+                                      hash_name="xxhash64")
+    got = dict(zip(out["source"], out["distinct_tokens"]))
+    assert got == {"a": 3, "b": 1}  # {1,2,4} and {3}
+
+
+def test_probe_membership_out_of_range_probe_is_false(tokens_small):
+    from cardinalityestimation_ray.pipelines.membership import (
+        probe_token_membership,
+    )
+
+    probes = np.array([5, 2**40], dtype=np.int64)  # 2nd can't be int32
+    out = probe_token_membership(tokens_small(), probes)
+    assert bool(out.loc[out["token"] == 2**40, "member"].iloc[0]) is False
+
+
+def test_weighted_sample_nan_weight_row_excluded(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sampling import (
+        weighted_sample_column,
+    )
+
+    df = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0],
+                       "w": [1.0, float("nan"), -5.0, 2.0]})
+    rs, total = weighted_sample_column(
+        ray.data.from_pandas(df), "v", "w", k=10)
+    samp = sorted(rs.sample().tolist())
+    assert samp == [1.0, 4.0]  # NaN and negative weight rows excluded
+    assert total == 2
+
+
+def test_extract_json_int_rejects_floats_and_overflow(_ray):
+    from cardinalityestimation_ray.functions.parse import extract_json_int
+
+    tbl = pa.table({"props": pa.array([
+        '{"k": 7}', '{"k": 1.5}', '{"k": 2e8}',
+        '{"k": 99999999999999999999999}', '{"x": 1}', "not json",
+        '{"k": -12}',
+    ])})
+    out = extract_json_int(tbl, "props", "k")
+    assert out["k"].to_pylist() == [7, None, None, None, None, None, -12]
+
+
+def test_ann_brute_deterministic_under_ties(_ray):
+    """Duplicate embeddings (cosine ties at the k boundary) must yield the
+    id-ascending tie-break deterministically."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ann import ann_topk_brute
+
+    base = np.zeros((6, 4), dtype=np.float32)
+    base[:, 0] = 1.0  # six identical unit vectors: all cosine 1.0
+    df = pd.DataFrame({
+        "vec_id": [50, 10, 40, 30, 20, 60],
+        "embedding": [row for row in base],
+    })
+    q = np.array([[1.0, 0, 0, 0]], dtype=np.float32)
+    out = ann_topk_brute(ray.data.from_pandas(df).repartition(1), q, k=3)
+    assert out["vec_id"].tolist() == [10, 20, 30]  # smallest ids win ties
