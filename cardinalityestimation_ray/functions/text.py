@@ -72,6 +72,14 @@ def distinct_tokens_per_row(batch: pa.Table,
         col = col.combine_chunks()
     flat = pc.list_flatten(col)
     parents = pc.list_parent_indices(col)
+    # null ELEMENTS are not tokens (SQL semantics, mirroring
+    # _flatten_tokens) — and one null would flip the flat array to float64
+    # where NaN != NaN makes every null count as a NEW distinct token
+    # (round-3 review fix)
+    if flat.null_count:
+        valid = pc.is_valid(flat)
+        flat = flat.filter(valid)
+        parents = parents.filter(valid)
     values = _as_array(flat).to_numpy(zero_copy_only=False)
     rows = _as_array(parents).to_numpy(zero_copy_only=False)
     n = len(batch)
@@ -97,23 +105,31 @@ def quality_features(batch: pa.Table, text_column: str = "text") -> pa.Table:
     quality_score (composite in [0, 1], heuristically weighted).
     """
     text = _as_array(batch[text_column])
+    # null text rows compute as empty strings (round-3 review fix: a null
+    # row's utf8_length came back NaN and .astype(int64) produced INT64_MIN
+    # garbage features); deterministic zeros beat poisoned aggregates
+    if text.null_count:
+        text = pc.fill_null(text, "")
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
     safe_chars = np.maximum(n_chars, 1.0)
-    n_tokens = token_count_whitespace(text).to_numpy(zero_copy_only=False)
     n_pieces = token_count_bpe_ish(text).to_numpy(zero_copy_only=False)
     n_punct = pc.count_substring_regex(text, PUNCT_PATTERN).to_numpy(zero_copy_only=False)
     n_digit = pc.count_substring_regex(text, DIGIT_PATTERN).to_numpy(zero_copy_only=False)
     n_upper = pc.count_substring_regex(text, UPPER_PATTERN).to_numpy(zero_copy_only=False)
-    safe_tokens = np.maximum(n_tokens, 1)
-    avg_token_len = (n_chars - np.maximum(n_tokens - 1, 0)) / safe_tokens
 
-    # stopword ratio (en), vectorized: hash tokens, membership vs hashed set
+    # ONE whitespace split serves both n_tokens and the stopword ratio
+    # (round-3 review fix: the split — the stage's dominant cost — ran
+    # twice per batch, once inside token_count_whitespace and once here)
     toks = pc.split_pattern_regex(text, r"\s+")
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
     keep = pc.not_equal(flat, pa.scalar(""))
     flat = _as_array(flat.filter(keep))
     parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
+    n_tokens = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_tokens, parents, 1)
+    safe_tokens = np.maximum(n_tokens, 1)
+    avg_token_len = (n_chars - np.maximum(n_tokens - 1, 0)) / safe_tokens
     lowered = pc.utf8_lower(flat)
     h = hashing.hash_arrow_binary(_as_array(lowered), "fnv1a_mix")
     stop_hashes = np.asarray(

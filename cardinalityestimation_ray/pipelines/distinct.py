@@ -15,7 +15,6 @@ from ..stages.sketch_stages import (
     HllColumnPartials,
     HllTokenPartials,
     hll_merge_aggregate,
-    merge_partial_blobs,
     tree_merge_keyed_partials,
 )
 

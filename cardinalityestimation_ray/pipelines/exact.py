@@ -12,8 +12,16 @@ import pyarrow as pa
 
 def _local_unique_pairs(batch: pa.Table, key_column: str,
                         value_column: str) -> pa.Table:
-    """Within-batch dedup of (key, value) pairs (the combiner)."""
+    """Within-batch dedup of (key, value) pairs (the combiner).
+
+    Null VALUES are excluded — SQL COUNT(DISTINCT v) ignores nulls, and the
+    sketch stages already filter them, so keeping them here made the exact
+    oracle disagree with its own estimate (round-3 review fix)."""
+    import pyarrow.compute as pc
+
     tbl = batch.select([key_column, value_column])
+    if tbl[value_column].null_count:
+        tbl = tbl.filter(pc.is_valid(tbl[value_column]))
     return tbl.group_by([key_column, value_column]).aggregate([]).select(
         [key_column, value_column])
 
@@ -48,7 +56,11 @@ def exact_distinct_global(ds, value_column: str, *,
     (unlike the HLL direct regime); shuffles deduped values only."""
 
     def local_unique(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         tbl = batch.select([value_column])
+        if tbl[value_column].null_count:  # SQL: nulls are not distinct values
+            tbl = tbl.filter(pc.is_valid(tbl[value_column]))
         return tbl.group_by([value_column]).aggregate([]).select([value_column])
 
     uniq = ds.map_batches(local_unique, batch_format="pyarrow")

@@ -55,7 +55,11 @@ def token_topk_exact(tokens_ds, k: int = 100, token_column: str = "tokens"):
     pruned = agg.map_batches(block_topk, batch_format="pyarrow",
                              batch_size=None)
     top = pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
-    return top.to_pandas()
+    df = top.to_pandas()
+    if len(df) == 0:  # empty corpus: Ray returns a column-less frame
+        return pd.DataFrame({"token": pd.Series([], dtype="int32"),
+                             "cnt": pd.Series([], dtype="int64")})
+    return df
 
 
 def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
@@ -78,8 +82,6 @@ def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
     import ray
     from ray.data.aggregate import Sum
 
-    from ..sketches.countmin import CountMinSketch as _CMS
-
     if width is None:
         # candidate completeness only needs the CMS overestimate to stay
         # below ~phi/4 of N beyond truth; wider just shrinks the candidate
@@ -101,7 +103,7 @@ def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
     def candidate_counts(batch: pa.Table) -> pa.Table:
         # stateless task: full scheduler width; the broadcast blob fetch is
         # zero-copy from the local object store after the first task per node
-        sketch = _CMS.from_bytes(ray.get(cms_ref))
+        sketch = CountMinSketch.from_bytes(ray.get(cms_ref))
         values, _ = _flatten_tokens(batch, token_column)
         uniq, counts = np.unique(values, return_counts=True)
         est = sketch.query_values(uniq.astype(np.int32))
@@ -169,16 +171,11 @@ def token_bigram_topk(tokens_ds, k: int = 20,
     from ray.data.aggregate import Sum
 
     def batch_bigram_counts(batch: pa.Table) -> pa.Table:
-        values, parents = _flatten_tokens(batch, token_column)
-        if len(values) < 2:
+        pair = _packed_bigrams(batch, token_column)
+        if len(pair) == 0:
             return pa.table({"token_a": pa.array([], type=pa.int32()),
                              "token_b": pa.array([], type=pa.int32()),
                              "cnt": pa.array([], type=pa.int64())})
-        same_doc = parents[:-1] == parents[1:]
-        # mask the low word so negative int32 ids (e.g. -1 padding) don't
-        # sign-extend over the high word and collapse distinct pairs
-        pair = ((values[:-1].astype(np.int64) << 32)
-                | (values[1:].astype(np.int64) & 0xFFFFFFFF))[same_doc]
         uniq, counts = np.unique(pair, return_counts=True)
         return pa.table({
             "token_a": pa.array((uniq >> 32).astype(np.int32)),
@@ -205,7 +202,12 @@ def token_bigram_topk(tokens_ds, k: int = 20,
                              batch_size=None)
     top = pruned.sort(["cnt", "token_a", "token_b"],
                       descending=[True, False, False]).limit(k)
-    return top.to_pandas()
+    df = top.to_pandas()
+    if len(df) == 0:  # empty corpus: typed empty frame, stable schema
+        return pd.DataFrame({"token_a": pd.Series([], dtype="int32"),
+                             "token_b": pd.Series([], dtype="int32"),
+                             "cnt": pd.Series([], dtype="int64")})
+    return df
 
 
 def _packed_bigrams(batch: pa.Table, token_column: str) -> np.ndarray:
@@ -236,8 +238,6 @@ def bigram_heavy_hitters(make_tokens_ds, phi: float = 0.001, *,
     import ray
     from ray.data.aggregate import Sum
 
-    from ..sketches.countmin import CountMinSketch as _CMS
-
     if width is None:
         width = 1 << max(10, math.ceil(math.log2(4 * math.e / phi)))
 
@@ -261,7 +261,7 @@ def bigram_heavy_hitters(make_tokens_ds, phi: float = 0.001, *,
     cms_ref = ray.put(cms.to_bytes())
 
     def candidate_counts(batch: pa.Table) -> pa.Table:
-        sketch = _CMS.from_bytes(ray.get(cms_ref))
+        sketch = CountMinSketch.from_bytes(ray.get(cms_ref))
         pairs = _packed_bigrams(batch, token_column)
         uniq, counts = np.unique(pairs, return_counts=True)
         est = sketch.query_values(uniq)
@@ -273,9 +273,8 @@ def bigram_heavy_hitters(make_tokens_ds, phi: float = 0.001, *,
 
     cand = make_tokens_ds().map_batches(candidate_counts,
                                         batch_format="pyarrow")
-    from ray.data.aggregate import Sum as _Sum
 
-    agg = cand.groupby("pair").aggregate(_Sum("cnt", alias_name="cnt"))
+    agg = cand.groupby("pair").aggregate(Sum("cnt", alias_name="cnt"))
     df = agg.to_pandas()
     if len(df) == 0:  # zero candidates -> empty frame with stable schema
         return pd.DataFrame({"token_a": pd.Series([], dtype="int32"),

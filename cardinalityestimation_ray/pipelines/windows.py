@@ -28,6 +28,20 @@ def _ts_micros(ts: pa.Array) -> pa.Array:
     return ts.cast(pa.timestamp("us")).cast(pa.int64())
 
 
+def _drop_null_ts(batch: pa.Table, ts_column: str) -> pa.Table:
+    """Rows with a null event time belong to NO window and are dropped
+    (round-3 review fix: a null ts crashed the tumbling/sliding cast and
+    silently merged into the last session in the segmented scan)."""
+    import pyarrow.compute as pc
+
+    col = batch[ts_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
+
+
 def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
                         key_column: str = "event_type",
                         ts_column: str = "ts",
@@ -43,6 +57,7 @@ def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
     window_us = np.int64(window_minutes * 60 * 1_000_000)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_column)
         ts = batch[ts_column]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
@@ -95,6 +110,7 @@ def sliding_window_agg(events_ds, *, window_minutes: int = 60,
     slide_us = np.int64(slide_minutes * 60 * 1_000_000)
 
     def explode(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_column)
         ts = batch[ts_column]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
@@ -167,6 +183,7 @@ def session_window_stats(events_ds, *, gap_minutes: int = 30,
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_column)
         keys = batch[key_column]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()

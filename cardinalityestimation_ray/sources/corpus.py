@@ -137,6 +137,11 @@ def _doc_seeds(ids: np.ndarray, seed: int) -> np.ndarray:
     Keying on the canonical doc_id string (not the row position) makes every
     partition regenerable independently of block layout (FIXTURES.md F1).
     """
+    if len(ids) and int(ids.max()) >= 10**12:
+        # the doc-id string format is doc-%012d; beyond 10^12 the digit
+        # decomposition below would silently collide with id mod 10^12
+        # (round-3 review fix: raise instead of generating duplicate docs)
+        raise ValueError("synthetic corpus doc ids must be < 10^12")
     nums = ids.astype(np.uint64)
     h = np.full(len(nums), _U64(14695981039346656037))
     prime = _U64(1099511628211)
@@ -191,7 +196,13 @@ def synthesize_corpus_batch(ids: np.ndarray,
     u = np.clip(_uniform01(counters), 1e-12, 1 - 1e-12)
     one_minus_s = 1.0 - cfg.zipf_s
     vmax = float(cfg.vocab_size)
-    ranks = ((1.0 - u) + u * vmax**one_minus_s) ** (1.0 / one_minus_s)
+    if one_minus_s == 0.0:
+        # s == 1: the bounded power-law inverse CDF degenerates to the
+        # log-uniform limit exp(u * ln(V)) (round-3 review fix: the general
+        # form divides by 1-s and raised ZeroDivisionError)
+        ranks = np.exp(u * np.log(vmax))
+    else:
+        ranks = ((1.0 - u) + u * vmax**one_minus_s) ** (1.0 / one_minus_s)
     token_ids = np.minimum(ranks, vmax).astype(np.int32) - 1
 
     doc_id = pa.array([f"doc-{i:012d}" for i in ids], type=pa.string())

@@ -1478,3 +1478,78 @@ def test_ann_brute_deterministic_under_ties(_ray):
     q = np.array([[1.0, 0, 0, 0]], dtype=np.float32)
     out = ann_topk_brute(ray.data.from_pandas(df).repartition(1), q, k=3)
     assert out["vec_id"].tolist() == [10, 20, 30]  # smallest ids win ties
+
+
+def test_windows_null_timestamps_dropped(_ray):
+    """Null event times belong to no window: tumbling must not crash and
+    sessions must not absorb null-ts rows."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import (
+        session_window_stats,
+        tumbling_window_agg,
+    )
+
+    tbl = pa.table({
+        "event_type": ["a", "a", "a"],
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000, None, 1_700_003_600_000_000],
+                       type=pa.timestamp("us")),
+        "value": [1.0, 2.0, 3.0],
+    })
+    out = tumbling_window_agg(ray.data.from_arrow(tbl), window_minutes=60)
+    assert out["n_events"].sum() == 2  # the null-ts row is dropped
+    sess = session_window_stats(ray.data.from_arrow(tbl), gap_minutes=30)
+    assert sess.loc[sess["user_id"] == 1, "n_sessions"].iloc[0] == 2
+
+
+def test_exact_distinct_ignores_null_values(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.exact import (
+        exact_distinct_by_key,
+        exact_distinct_global,
+    )
+
+    tbl = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "v": pa.array([1, None, 1, None], type=pa.int64()),
+    })
+    by_key = exact_distinct_by_key(ray.data.from_arrow(tbl), "v", "k",
+                                   distinct_name="d")
+    got = dict(zip(by_key["k"], by_key["d"]))
+    assert got.get("a") == 1 and got.get("b") in (None, 0)  # SQL: b has 0
+    glob = exact_distinct_global(ray.data.from_arrow(tbl), "v")
+    assert int(glob["distinct_values"][0]) == 1
+
+
+def test_quality_features_and_vocab_null_safe(_ray):
+    from cardinalityestimation_ray.functions.text import (
+        distinct_tokens_per_row,
+        quality_features,
+    )
+
+    tbl = pa.table({"text": pa.array(["hello world", None])})
+    out = quality_features(tbl)
+    assert out["n_chars"].to_pylist() == [11, 0]
+    assert out["n_tokens"].to_pylist() == [2, 0]
+
+    toks = pa.table({"tokens": pa.array([[1, 2, None, 2], [None, None]],
+                                        type=pa.list_(pa.int32()))})
+    vv = distinct_tokens_per_row(toks)
+    assert vv["n_distinct_tokens"].to_pylist() == [2, 0]
+
+
+def test_corpus_generator_guards(_ray):
+    from cardinalityestimation_ray.sources.corpus import (
+        CorpusConfig,
+        synthesize_corpus_batch,
+    )
+
+    with pytest.raises(ValueError, match="10\\^12"):
+        synthesize_corpus_batch(np.array([10**12 + 5]))
+    # s == 1 uses the log-uniform limit instead of dividing by zero
+    t = synthesize_corpus_batch(np.arange(50), CorpusConfig(zipf_s=1.0))
+    assert t.num_rows == 50
+    flat = [x for row in t["tokens"].to_pylist() for x in row]
+    assert min(flat) >= 0 and max(flat) < 100_000
