@@ -713,12 +713,37 @@ def encode_element(x) -> bytes:
     raise TypeError(f"unsupported element type: {type(x)}")
 
 
+
+def wordfnv64_fixed(values: np.ndarray) -> np.ndarray:
+    """Vectorized wordfnv over fixed-width 4/8-byte values: the byte image
+    is a single (zero-padded) little-endian word, folded then length-mixed —
+    bit-identical to the scalar :func:`wordfnv64` on the same bytes."""
+    values = np.ascontiguousarray(values)
+    width = values.dtype.itemsize
+    if width == 4:
+        w = values.view(np.uint32).astype(np.uint64)
+    elif width == 8:
+        w = values.view(np.uint64)
+    else:
+        raise TypeError(
+            f"unsupported dtype for wordfnv64_fixed: {values.dtype}")
+    h = (_FNV_OFFSET ^ w) * _FNV_PRIME
+    return (h ^ U64(width)) * _FNV_PRIME
+
+
 DEFAULT_HASH = "fnv1a_mix"
 
 def _xxh128_dotnet_scalar(data: bytes) -> int:
     from .xxh3 import xxh128_dotnet
 
     return xxh128_dotnet(data)
+
+
+def _polars_scalar_unsupported(data: bytes) -> int:
+    raise ValueError(
+        "the 'polars' hash backend is a batch string-path accelerator "
+        "(hash_arrow_binary); it has no scalar byte-image rule — use "
+        "add_arrow/add_values, or pick fnv1a_mix/xxhash64 for scalar adds")
 
 
 HASH_FUNCTIONS = {
@@ -731,6 +756,9 @@ HASH_FUNCTIONS = {
     # (CardinalityEstimator.cs:212-213) — bit-exact numpy port in xxh3.py
     "xxhash128": _xxh128_dotnet_scalar,
     "splitmix64": lambda data: splitmix64_scalar(int.from_bytes(data[:8].ljust(8, b"\0"), "little")),
+    # registered so a configured-but-unsupported path raises an actionable
+    # error instead of a bare KeyError mid-pipeline (round-3 review fix)
+    "polars": _polars_scalar_unsupported,
 }
 
 
@@ -745,12 +773,25 @@ def hash_fixed_batch(values: np.ndarray, hash_name: str = DEFAULT_HASH) -> np.nd
     well-avalanched finalizer; splitmix64 is a faster mixer whose identity
     rule is the 64-bit integer value itself.
     """
+    values = np.ascontiguousarray(values)
+    dt = values.dtype
+    if dt == np.bool_:
+        raise TypeError("bool elements are not supported")  # reference rule
+    if dt.kind in "iu" and dt.itemsize < 4:
+        # narrow ints hash via their widened 4-byte image — the reference
+        # encodes small ints through the int32 rule (round-3 review fix:
+        # int8/int16 columns crashed the fixed-width kernels)
+        values = values.astype(np.int32 if dt.kind == "i" else np.uint32)
+    elif dt.kind == "f" and dt.itemsize < 4:
+        values = values.astype(np.float32)
     if hash_name == "fnv1a":
         return fnv1a64_fixed(values)
     if hash_name == "fnv1a_mix":
         return splitmix64_inplace(fnv1a64_fixed(values))
     if hash_name == "xxhash64":
         return xxh64_fixed(values)
+    if hash_name == "wordfnv_mix":
+        return splitmix64_inplace(wordfnv64_fixed(values))
     if hash_name == "xxhash128":
         from .xxh3 import xxh128_dotnet_fixed
 

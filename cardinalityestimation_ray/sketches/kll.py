@@ -14,6 +14,7 @@ still hold — tests assert bounds, not exact values, SURVEY.md §7.4).
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 import numpy as np
@@ -28,16 +29,22 @@ class KLLSketch(Sketch):
 
     __slots__ = ("k", "seed", "compactors", "n", "_min", "_max", "_rng")
 
-    def __init__(self, k: int = 200, seed: int = 42):
+    def __init__(self, k: int = 200, seed: int | None = None):
         if k < 8:
             raise ValueError(f"k must be >= 8, got {k}")
         self.k = k
-        self.seed = seed
+        # seed=None (default) draws per-instance entropy — every distributed
+        # partial must flip INDEPENDENT compaction coins or per-level rank
+        # errors correlate across the merge tree instead of cancelling (the
+        # same round-1 ADVICE finding fixed for ReservoirSample; round-3
+        # review found KLL still shared seed 42 everywhere)
+        self.seed = (int.from_bytes(os.urandom(8), "little")
+                     if seed is None else seed)
         self.compactors: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
         self._min = math.inf
         self._max = -math.inf
-        self._rng = np.random.Generator(np.random.PCG64(seed))
+        self._rng = np.random.Generator(np.random.PCG64(self.seed))
 
     # ------------------------------------------------------------------
 

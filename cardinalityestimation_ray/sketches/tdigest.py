@@ -56,6 +56,15 @@ class TDigest(Sketch):
         else:
             # apply the same NaN mask so means stay aligned with weights
             w = np.asarray(weights, dtype=np.float64)[keep]
+            if len(w) and (np.isnan(w).any() or (w < 0).any()):
+                raise ValueError("t-digest weights must be >= 0 and non-NaN")
+            # zero-weight items carry no mass; keeping them could form a
+            # weight-0 compression cluster whose mean is 0/0 = NaN and
+            # silently poison every later quantile (round-3 review fix)
+            nz = w > 0
+            if not nz.all():
+                values = values[nz]
+                w = w[nz]
         if len(values) == 0:
             return
         self._min = min(self._min, float(values.min()))

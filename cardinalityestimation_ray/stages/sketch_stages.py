@@ -32,7 +32,9 @@ def build_sketch(kind: str, params: dict) -> Sketch:
 
 
 def sketch_from_blob(kind: str, blob: bytes) -> Sketch:
-    return Sketch.REGISTRY[kind].from_bytes(blob)
+    from ..sketches.base import sketch_from_bytes
+
+    return sketch_from_bytes(kind, blob)
 
 
 def _flatten_tokens(batch: pa.Table, token_column: str):
@@ -183,8 +185,12 @@ class HllTokenPartials:
                 out_keys.append(key)
                 out_blobs.append(self._new_sketch().to_bytes())
                 out_counts.append(0)
+        # key column emitted under the INPUT key type: a python-list
+        # round-trip would re-infer int64 for int32 keys while the
+        # fully-filtered path kept the original type, and the two block
+        # schemas then fail to concatenate (round-3 review fix)
         return pa.table({
-            self.key_column: pa.array(out_keys),
+            self.key_column: pa.array(out_keys, type=keys.type),
             "sketch": pa.array(out_blobs, type=pa.binary()),
             "n_added": pa.array(out_counts, type=pa.int64()),
         })
@@ -249,8 +255,9 @@ class HllColumnPartials:
             out_keys.append(key_values[int(rc_sorted[lo])])
             out_blobs.append(sk.to_bytes())
             out_counts.append(hi - lo)
+        # typed keys: must match the fully-filtered path's schema exactly
         return pa.table({
-            self.key_column: pa.array(out_keys),
+            self.key_column: pa.array(out_keys, type=keys.type),
             "sketch": pa.array(out_blobs, type=pa.binary()),
             "n_added": pa.array(out_counts, type=pa.int64()),
         })
@@ -334,6 +341,27 @@ class GenericSketchPartials:
 
     def _values(self, batch: pa.Table):
         if self.explode_list:
+            col = batch[self.value_column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vt = col.type.value_type
+            if pa.types.is_string(vt) or pa.types.is_binary(vt) or \
+                    pa.types.is_large_string(vt) or \
+                    pa.types.is_large_binary(vt):
+                # string/binary elements stay ARROW for the zero-copy hash
+                # path (round-3 review fix: .to_numpy() produced an object
+                # array that crashed the fixed-width hash kernels)
+                flat = pc.list_flatten(col)
+                parents = pc.list_parent_indices(col)
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                if isinstance(parents, pa.ChunkedArray):
+                    parents = parents.combine_chunks()
+                if flat.null_count:
+                    valid = pc.is_valid(flat)
+                    flat = flat.filter(valid)
+                    parents = parents.filter(valid)
+                return flat, parents.to_numpy(zero_copy_only=False)
             flat, parents = _flatten_tokens(batch, self.value_column)
             return flat, parents
         col = batch[self.value_column]
@@ -397,8 +425,9 @@ class GenericSketchPartials:
             out_keys.append(key_values[int(vc_sorted[lo])])
             out_blobs.append(sk.to_bytes())
             out_counts.append(hi - lo)
+        # typed keys: must match the fully-filtered path's schema exactly
         return pa.table({
-            self.key_column: pa.array(out_keys),
+            self.key_column: pa.array(out_keys, type=keys.type),
             "sketch": pa.array(out_blobs, type=pa.binary()),
             "n_added": pa.array(out_counts, type=pa.int64()),
         })

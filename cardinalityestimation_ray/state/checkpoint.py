@@ -222,6 +222,19 @@ def resumable_distinct_tokens(input_files: list[str], checkpoint_root: str, *,
         and r.metrics.get("hash") == hash_name
         and r.metrics.get("token_column") == token_column
     }
+    if not aborted:
+        # completeness gate (round-3 review fix): a lineage record written
+        # to a worker-local (non-shared) checkpoint_root, or lost to a
+        # failed write, previously just VANISHED from the merge and the job
+        # returned a silently undercounted estimate. checkpoint_root must
+        # be driver-visible shared storage; fail loudly when it isn't.
+        missing = wanted - set(recs)
+        if missing:
+            raise RuntimeError(
+                f"{len(missing)} processed partition(s) have no readable "
+                f"lineage record under {checkpoint_root!r} (e.g. "
+                f"{sorted(missing)[:3]}). The checkpoint_root must be on "
+                "storage visible to the driver and every worker node.")
     merged = HyperLogLog.merge_many(
         HyperLogLog.from_bytes(r.sketch_blob(), hash_name)
         for r in recs.values())

@@ -472,3 +472,100 @@ def test_cms_unique_collapse_identical_to_raw():
         CountMinSketch.UNIQUE_COLLAPSE_THRESHOLD = old
     assert collapsed.total == raw.total == len(vals)
     assert np.array_equal(collapsed.counts, raw.counts)
+
+
+def test_tdigest_zero_weight_rows_do_not_poison():
+    """Round-3 review regression: zero-weight rows are dropped (a weight-0
+    compression cluster had mean 0/0 = NaN and poisoned every quantile);
+    negative/NaN weights raise."""
+    import numpy as np
+    import pytest
+
+    from cardinalityestimation_ray.sketches.tdigest import TDigest
+
+    td = TDigest()
+    td.add_values(np.array([1.0, 2.0, 3.0]),
+                  weights=np.array([0.0, 0.0, 5.0]))
+    assert td.quantile(0.5) == 3.0
+    with pytest.raises(ValueError):
+        TDigest().add_values(np.array([1.0]), weights=np.array([-1.0]))
+    with pytest.raises(ValueError):
+        TDigest().add_values(np.array([1.0]),
+                             weights=np.array([float("nan")]))
+
+
+def test_kll_default_seed_is_per_instance():
+    from cardinalityestimation_ray.sketches.kll import KLLSketch
+
+    a, b = KLLSketch(), KLLSketch()
+    assert a.seed != b.seed  # independent compaction coins per partial
+    # explicit seed stays deterministic
+    assert KLLSketch(seed=7).seed == KLLSketch(seed=7).seed == 7
+
+
+def test_hashing_registry_and_narrow_dtypes():
+    import numpy as np
+    import pytest
+
+    from cardinalityestimation_ray.sketches import hashing
+
+    # wordfnv_mix now works on fixed-width numerics, matching the scalar
+    import struct
+    got = hashing.hash_fixed_batch(np.array([123], dtype=np.int32),
+                                   "wordfnv_mix")
+    exp = hashing.wordfnv64_mix(struct.pack("<i", 123))
+    assert int(got[0]) == exp
+    # polars scalar path raises an actionable error, not a bare KeyError
+    with pytest.raises(ValueError, match="polars"):
+        hashing.hash_scalar(b"x", "polars")
+    # int16 widens through the int32 image; bool raises (reference rule)
+    assert np.array_equal(
+        hashing.hash_fixed_batch(np.array([5, -3], dtype=np.int16)),
+        hashing.hash_fixed_batch(np.array([5, -3], dtype=np.int32)))
+    with pytest.raises(TypeError):
+        hashing.hash_fixed_batch(np.array([True, False]))
+
+
+def test_generic_partials_string_list_explode(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        GenericSketchPartials,
+        tree_merge_partials,
+    )
+
+    tbl = pa.table({
+        "words": pa.array([["a", "b"], ["b", None, "c"], []],
+                          type=pa.list_(pa.string())),
+    })
+    partials = ray.data.from_arrow(tbl).map_batches(
+        GenericSketchPartials("hll", {"b": 12}, "words", explode_list=True),
+        batch_format="pyarrow")
+    sk, total = tree_merge_partials(partials, "hll")
+    assert total == 4  # null element excluded
+    assert sk.estimate() == 3  # a, b, c
+
+
+def test_keyed_partials_schema_stable_with_all_null_batches(ray_session):
+    """Round-3 review regression: a fully-filtered batch must emit the SAME
+    key-column type as normal batches (int32 keys previously came back
+    int32 from the empty path but int64 from the normal path, crashing
+    block concatenation)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_column_by_key,
+    )
+
+    t1 = pa.table({"k": pa.array([1, 2], type=pa.int32()),
+                   "v": pa.array([10, 20], type=pa.int64())})
+    t2 = pa.table({"k": pa.array([1, 3], type=pa.int32()),
+                   "v": pa.array([None, None], type=pa.int64())})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    out = distinct_column_by_key(ds, "v", "k", b=12,
+                                 estimate_name="d", count_name="n",
+                                 strategy="groupby")
+    got = dict(zip(out["k"], out["d"]))
+    assert got == {1: 1, 2: 1}
