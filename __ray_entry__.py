@@ -407,6 +407,34 @@ def _q_exact_distinct_users_by_type(sf_dir: str):
                                  distinct_name="distinct_users")
 
 
+def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
+    """Distinct users per event type through the GENERIC mergeable-UDAF
+    surface: partial theta sketches per batch, merged by Ray's native
+    ``groupby().aggregate(sketch_merge_aggregate("theta", ...))`` tree
+    reduction. A theta sketch is EXACT below its retention cap k (theta=1,
+    every distinct 64-bit hash retained), so at sf0.01 (150 users/type)
+    DuckDB's COUNT(DISTINCT) oracles it with no tolerance."""
+    import ray.data
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        GenericSketchPartials,
+        sketch_merge_aggregate,
+    )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    partials = ev.map_batches(
+        GenericSketchPartials("theta", {"k": 4096}, "user_id",
+                              key_column="event_type"),
+        batch_format="pyarrow")
+    out = partials.groupby("event_type").aggregate(
+        sketch_merge_aggregate("theta", {"k": 4096},
+                               finalize="estimate", name="distinct_users"))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["distinct_users"] = df["distinct_users"].astype("int64")
+    return df
+
+
 def _q_event_counts_by_type(sf_dir: str):
     import ray.data
 
@@ -868,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_names": _q_customer_nation_names,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
+        "udaf_theta_distinct_users_by_type": _q_udaf_theta_distinct_users_by_type,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
         "heavy_hitter_counts": _q_heavy_hitter_counts,
@@ -942,6 +971,11 @@ def oracle_sql() -> dict[str, str]:
         # cms_token_frequencies / ntok_quantiles_* / bloom_token_membership:
         # approximate results -> rows-only checks (bounds pytest-asserted)
         "exact_distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events
+            GROUP BY event_type
+        """,
+        "udaf_theta_distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events
             GROUP BY event_type

@@ -312,6 +312,66 @@ def merge_partial_blobs(blobs: Iterable[bytes],
     )
 
 
+def sketch_merge_aggregate(kind: str, params: dict | None = None, *,
+                           blob_column: str = "sketch",
+                           finalize: "str | object" = "sketch",
+                           name: str | None = None):
+    """Generic mergeable Ray AggregateFn over partial-sketch blob rows for
+    ANY registered sketch kind — the north-star's "all sketches as mergeable
+    UDAFs" surface: ``ds.groupby(key).aggregate(sketch_merge_aggregate(
+    "tdigest", {"delta": 200}, finalize=lambda sk: sk.quantile(0.5)))``.
+
+    Accumulator = the sketch's own wire blob (kilobyte-scale), so Ray's
+    groupby-aggregate tree-reduction ships sketches, never raw values —
+    the same two-level merge shape the reference builds by hand with
+    Parallel.ForEach + PLINQ (ConcurrentCardinalityEstimator.cs:709-773).
+
+    ``finalize``: ``"sketch"`` → the merged wire blob (binary);
+    ``"estimate"`` → ``sk.estimate()`` (kinds exposing it: hll, theta);
+    or any callable ``sk -> scalar`` (cloudpickled into the reduce tasks).
+    Merge-order caveat: hll/theta/countmin/bloom merges are exactly
+    order-invariant; tdigest/kll/reservoir are order- or coin-dependent,
+    so finalize those to values with published error bounds, not to blobs
+    expected to be bit-stable across runs.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    params = dict(params or {})
+
+    def init(_key):
+        return build_sketch(kind, params).to_bytes()
+
+    def accumulate_block(acc: bytes, block) -> bytes:
+        sk = sketch_from_blob(kind, acc)
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        for blob in tbl[blob_column]:
+            sk.merge(sketch_from_blob(kind, blob.as_py()))
+        return sk.to_bytes()
+
+    def merge(a: bytes, bb: bytes) -> bytes:
+        sk = sketch_from_blob(kind, a)
+        sk.merge(sketch_from_blob(kind, bb))
+        return sk.to_bytes()
+
+    def finalize_fn(acc: bytes):
+        if finalize == "sketch":
+            return acc
+        sk = sketch_from_blob(kind, acc)
+        if finalize == "estimate":
+            return sk.estimate()
+        return finalize(sk)
+
+    if name is None:
+        name = kind if finalize == "sketch" else "estimate"
+    return AggregateFn(
+        init=init,
+        merge=merge,
+        accumulate_block=accumulate_block,
+        finalize=finalize_fn,
+        name=name,
+    )
+
+
 class GenericSketchPartials:
     """map_batches stage: build one partial sketch (any registered kind) per
     batch over a scalar column or an exploded list<...> column.

@@ -1553,3 +1553,105 @@ def test_corpus_generator_guards(_ray):
     assert t.num_rows == 50
     flat = [x for row in t["tokens"].to_pylist() for x in row]
     assert min(flat) >= 0 and max(flat) < 100_000
+
+
+# ---------------------------------------------------------------------------
+# generic mergeable-UDAF surface (sketch_merge_aggregate — north-star: every
+# sketch kind pluggable into ds.groupby().aggregate(...) tree reduction)
+
+
+def test_udaf_theta_keyed_exact(_ray, sf_dir):
+    """Theta UDAF through Ray's native groupby-aggregate == exact COUNT
+    (DISTINCT) below the retention cap (theta=1 keeps every hash)."""
+    import duckdb
+    import ray.data
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        GenericSketchPartials,
+        sketch_merge_aggregate,
+    )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    partials = ev.map_batches(
+        GenericSketchPartials("theta", {"k": 4096}, "user_id",
+                              key_column="event_type"),
+        batch_format="pyarrow")
+    out = partials.groupby("event_type").aggregate(
+        sketch_merge_aggregate("theta", {"k": 4096},
+                               finalize="estimate", name="distinct_users"))
+    got = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        FROM '{sf_dir}/events.parquet' GROUP BY event_type ORDER BY event_type
+    """).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["distinct_users"].astype(int).tolist() == \
+        want["distinct_users"].astype(int).tolist()
+
+
+def test_udaf_countmin_counter_identity(tokens_small, sf_dir):
+    """count-min merge is a counter SUM — order-invariant, so the UDAF path
+    must agree exactly with a single-process build on every probe."""
+    import duckdb
+
+    from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        GenericSketchPartials,
+        sketch_from_blob,
+        sketch_merge_aggregate,
+    )
+
+    params = {"depth": 4, "width": 1 << 12}
+    partials = tokens_small().map_batches(
+        GenericSketchPartials("countmin", params, "source"),
+        batch_format="pyarrow")
+    res = partials.aggregate(
+        sketch_merge_aggregate("countmin", params, name="cms"))
+    cms = sketch_from_blob("countmin", res["cms"])
+
+    local = CountMinSketch(**params)
+    src = duckdb.sql(
+        f"SELECT source FROM '{sf_dir}/documents.parquet'").df()["source"]
+    local.add_arrow(pa.array(src, type=pa.string()))
+    for probe in src.unique():
+        assert cms.query(probe) == local.query(probe)
+
+
+def test_udaf_tdigest_quantile_and_bloom_blob(tokens_small, sf_dir):
+    import duckdb
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        GenericSketchPartials,
+        sketch_from_blob,
+        sketch_merge_aggregate,
+    )
+
+    partials = tokens_small().map_batches(
+        GenericSketchPartials("tdigest", {"delta": 200}, "n_tok"),
+        batch_format="pyarrow")
+    res = partials.aggregate(
+        sketch_merge_aggregate("tdigest", {"delta": 200},
+                               finalize=lambda sk: sk.quantile(0.5),
+                               name="p50"))
+    vals = duckdb.sql(f"""
+        SELECT len({_TOK_SQL}) AS n FROM '{sf_dir}/documents.parquet'
+    """).df()["n"].to_numpy()
+    # rank-error bound: the estimate's rank must be within 2% of the median's
+    rank = (vals <= res["p50"]).mean()
+    assert 0.45 <= rank <= 0.55
+
+    bpart = tokens_small().map_batches(
+        GenericSketchPartials("bloom", {"num_bits": 1 << 16, "num_hashes": 5},
+                              "doc_id"),
+        batch_format="pyarrow")
+    blob = bpart.aggregate(
+        sketch_merge_aggregate("bloom", {"num_bits": 1 << 16, "num_hashes": 5},
+                               finalize="sketch", name="bloom"))["bloom"]
+    bf = sketch_from_blob("bloom", blob)
+    assert bf.contains("doc-0") and bf.contains("doc-42")
+    assert not bf.contains("doc-definitely-not-there")
+
+
+_TOK_SQL = ("list_filter(regexp_split_to_array(text, '\\s+'), "
+            "x -> x <> '')")
