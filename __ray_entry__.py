@@ -407,6 +407,79 @@ def _q_exact_distinct_users_by_type(sf_dir: str):
                                  distinct_name="distinct_users")
 
 
+def _q_bmp_channel_stats(sf_dir: str):
+    """End-to-end MULTIMODAL plumbing with a closed-form oracle: synthesize a
+    deterministic 16x16 24-bit BMP per document (uniform per-channel pixels
+    derived from doc_id), decode through the REAL pure-numpy BMP codec in an
+    actor-pool map_batches stage (stages/codecs.py:decode_bmp — actual byte
+    layout, not the fake backend), extract channel means/stds, and return
+    per-doc stats. Uniform channels make every feature exactly
+    SQL-expressible (integer means < 2^24 are exact in float32; std == 0.0),
+    so this is a full-value oracle over the media path, not a rows-only
+    check."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.codecs import encode_bmp
+    from cardinalityestimation_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        ImageDecodeStage,
+        ImageFeatureStage,
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        chans = np.stack([
+            ids % 256,
+            (ids * 7 + 13) % 256,
+            (ids * 31 + 5) % 256,
+        ], axis=1).astype(np.uint8)                       # (n, 3)
+        imgs = np.broadcast_to(chans[:, None, None, :], (len(ids), 16, 16, 3))
+        payloads = [encode_bmp(img) for img in imgs]
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids.astype("U")),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(np.full(n, 16, np.int32)),
+            "height": pa.array(np.full(n, 16, np.int32)),
+        })
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    decoded = media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"decoder": "bmp", "out_size": 16},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+    feats = decoded.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"out_size": 16},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        fcol = batch["features"]
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        mat = fcol.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), 6).astype(np.float64)
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "mean_r": pa.array(mat[:, 0]),
+            "mean_g": pa.array(mat[:, 1]),
+            "mean_b": pa.array(mat[:, 2]),
+            "std_r": pa.array(mat[:, 3]),
+            "std_g": pa.array(mat[:, 4]),
+            "std_b": pa.array(mat[:, 5]),
+        })
+
+    out = feats.map_batches(project, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
     """Distinct users per event type through the GENERIC mergeable-UDAF
     surface: partial theta sketches per batch, merged by Ray's native
@@ -897,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "udaf_theta_distinct_users_by_type": _q_udaf_theta_distinct_users_by_type,
+        "bmp_channel_stats": _q_bmp_channel_stats,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
         "heavy_hitter_counts": _q_heavy_hitter_counts,
@@ -979,6 +1053,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events
             GROUP BY event_type
+        """,
+        "bmp_channel_stats": """
+            SELECT doc_id,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,
+                   CAST((doc_id * 31 + 5) % 256 AS DOUBLE) AS mean_b,
+                   CAST(0 AS DOUBLE) AS std_r,
+                   CAST(0 AS DOUBLE) AS std_g,
+                   CAST(0 AS DOUBLE) AS std_b
+            FROM documents
         """,
         "event_counts_by_type": """
             SELECT event_type, count(*) AS n_events
