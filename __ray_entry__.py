@@ -480,6 +480,64 @@ def _q_bmp_channel_stats(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_wav_rms_energy(sf_dir: str):
+    """AUDIO-path counterpart of bmp_channel_stats: synthesize a deterministic
+    constant-amplitude PCM-16 WAV per document, decode through the REAL
+    pure-numpy RIFF/PCM codec in an actor-pool stage
+    (stages/codecs.py:decode_wav_pcm16), frame it into 16 RMS-energy windows,
+    and return the mean frame energy. A constant signal's RMS is exactly
+    amplitude/32768 at every float width involved (power-of-two divisions,
+    exact squares under IEEE sqrt), so the oracle is a closed-form full-value
+    check over the audio plumbing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.codecs import encode_wav_pcm16
+    from cardinalityestimation_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        AudioFrameSampleStage,
+    )
+
+    N_SAMPLES, RATE = 1600, 16000
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        amps = ((ids * 97 + 11) % 32768).astype(np.int16)
+        payloads = [
+            encode_wav_pcm16(np.full(N_SAMPLES, a, dtype=np.int16), RATE)
+            for a in amps
+        ]
+        return pa.table({
+            "media_id": pa.array(ids.astype("U")),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    frames = media.map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs={"decoder": "wav", "n_frames": 16},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch["frame_energy"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), 16)
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "rms": pa.array(mat.mean(axis=1).astype(np.float64)),
+        })
+
+    out = frames.map_batches(project, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
     """Distinct users per event type through the GENERIC mergeable-UDAF
     surface: partial theta sketches per batch, merged by Ray's native
@@ -971,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "udaf_theta_distinct_users_by_type": _q_udaf_theta_distinct_users_by_type,
         "bmp_channel_stats": _q_bmp_channel_stats,
+        "wav_rms_energy": _q_wav_rms_energy,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
         "heavy_hitter_counts": _q_heavy_hitter_counts,
@@ -1062,6 +1121,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS DOUBLE) AS std_r,
                    CAST(0 AS DOUBLE) AS std_g,
                    CAST(0 AS DOUBLE) AS std_b
+            FROM documents
+        """,
+        "wav_rms_energy": """
+            SELECT doc_id,
+                   CAST((doc_id * 97 + 11) % 32768 AS DOUBLE) / 32768 AS rms
             FROM documents
         """,
         "event_counts_by_type": """
