@@ -247,6 +247,18 @@ class HyperLogLog(Sketch):
         self.sparse = None
         self.is_sparse = False
 
+    def reserve_dense(self) -> "HyperLogLog":
+        """Performance hint: allocate the dense register bank up front.
+
+        Skips the sparse phase's per-chunk dict merge when the caller knows
+        the incoming stream is at least register-bank-sized (the sketch would
+        promote almost immediately anyway). Pure storage change — the
+        ``direct`` exact-count set, estimates, merge semantics, and the wire
+        format (direct blobs still serialize tiny) are unaffected.
+        """
+        self._switch_to_dense()
+        return self
+
     # ------------------------------------------------------------------
     # estimate
 

@@ -173,6 +173,12 @@ class HllTokenPartials:
             lo, hi = bounds[i], bounds[i + 1]
             code = int(tk_sorted[lo])
             sk = self._new_sketch()
+            if hi - lo >= sk.m:
+                # register-bank-sized segment: the sketch would promote to
+                # dense within a few chunks anyway — skip the sparse phase's
+                # per-chunk dict merge (measured 0.24s -> 0.06s per 940k-token
+                # block with 10 keys). `direct` exactness is unaffected.
+                sk.reserve_dense()
             for c in range(lo, hi, self.CHUNK):
                 sk.add_hashes(h_sorted[c:min(c + self.CHUNK, hi)])
             out_keys.append(key_values[code])
@@ -434,6 +440,11 @@ class GenericSketchPartials:
         return col.to_numpy(zero_copy_only=False), None
 
     def _add_chunked(self, sk: Sketch, values) -> None:
+        if hasattr(sk, "reserve_dense") and len(values) >= getattr(sk, "m", 0):
+            # register-bank-sized stream into a chunked HLL add: pre-promote
+            # to dense so each chunk is a vectorized scatter-max, not a
+            # sparse dict merge (storage-only hint; direct exactness kept)
+            sk.reserve_dense()
         if isinstance(values, pa.Array):
             for lo in range(0, len(values), self.CHUNK):
                 sk.add_arrow(values.slice(lo, self.CHUNK))

@@ -165,3 +165,37 @@ def test_copy_preserves_everything():
     assert cp.count_additions == hll.count_additions
     cp.add_values(_stream(100, seed=10))
     assert cp != hll  # deep copy: mutation does not leak back
+
+
+def test_reserve_dense_is_pure_storage_hint():
+    """reserve_dense() (keyed-partial fast path) must not change any
+    observable state: registers, direct exactness, wire blobs, merges."""
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches import HyperLogLog
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2 ** 63, size=50_000, dtype=np.int64).astype(np.uint64)
+    plain = HyperLogLog(b=14)
+    plain.add_hashes(h)
+    hinted = HyperLogLog(b=14).reserve_dense()
+    hinted.add_hashes(h)
+    assert plain == hinted
+    assert plain.estimate() == hinted.estimate()
+
+    # direct-count exactness survives the dense bank (incl. duplicates)
+    small = rng.integers(0, 2 ** 63, size=50, dtype=np.int64).astype(np.uint64)
+    c = HyperLogLog(b=14).reserve_dense()
+    c.add_hashes(small)
+    c.add_hashes(small)
+    assert c.estimate() == len(np.unique(small))
+    assert HyperLogLog.from_bytes(c.to_bytes()).estimate() == c.estimate()
+
+    # sparse x dense merges agree with a single-sketch build
+    m1 = HyperLogLog(b=14)
+    m1.add_hashes(small)
+    m1.merge(hinted)
+    m2 = HyperLogLog(b=14)
+    m2.add_hashes(small)
+    m2.add_hashes(h)
+    assert m1 == m2
