@@ -666,6 +666,21 @@ def _q_minhash_dedup_pairs(sf_dir: str):
     return minhash_dedup_pairs(docs, threshold=0.7)
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-trigram Jaccard similarity join (inverted index, no LSH)
+    — every pair >= 0.5 with its TRUE similarity; float-bit-identical to
+    the DuckDB list-slice n-gram self-join oracle."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
 def _q_ann_topk(sf_dir: str):
     """Exact cosine top-5 for query vectors vec_id 0..2 — integer columns
     only (cosine values differ in the last float bits vs the SQL oracle)."""
@@ -1039,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": _q_doc_length_stats,
         "doc_quality_scores": _q_doc_quality_scores,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ann_topk": _q_ann_topk,
         "event_props_sum": _q_event_props_sum,
         "customer_order_counts": _q_customer_order_counts,
@@ -1293,6 +1309,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM documents a JOIN documents b
               ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        # exact word-trigram Jaccard >= 0.5: distinct trigrams per doc via
+        # list slicing over the tokenizer-parity token array, self-join on
+        # the gram, Jaccard from integer counts (same float64 division on
+        # both sides -> bit-identical values)
+        "ngram_jaccard_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            idx AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM tok),
+            grams AS (SELECT doc_id,
+                             array_to_string(
+                                 t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                 ' ') AS g
+                      FROM idx),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+            co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS inter
+                   FROM dg a JOIN dg b
+                     ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+            FROM co
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "sliding_event_windows": """
             SELECT event_type,
