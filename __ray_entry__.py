@@ -605,6 +605,24 @@ def _q_tumbling_event_windows(sf_dir: str):
     return out
 
 
+def _q_windowed_distinct_users(sf_dir: str):
+    """Streaming-shaped windowed COUNT(DISTINCT): per (event_type, hour)
+    distinct users through the mergeable theta-sketch UDAF (exact below
+    the k=4096 retention cap -> zero-tolerance oracle at sf0.01; same
+    pipeline is ~1/sqrt(k) RSE at web scale)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import (
+        tumbling_distinct_agg,
+    )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "user_id"])
+    df = tumbling_distinct_agg(ev, window_minutes=60)
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
+    return df
+
+
 def _q_session_window_stats(sf_dir: str):
     import ray.data
 
@@ -664,6 +682,21 @@ def _q_minhash_dedup_pairs(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return minhash_dedup_pairs(docs, threshold=0.7)
+
+
+def _q_ntok_quantiles_exact_by_source(sf_dir: str):
+    """EXACT distributed quantiles of a discrete column (value-count
+    aggregate; only the bounded distinct-value table reaches the driver) —
+    zero-tolerance quantile_disc oracle, complementing the t-digest/KLL
+    sketch quantiles whose results are approximate by design."""
+    from cardinalityestimation_ray.pipelines.quantiles import (
+        exact_quantiles_by_key,
+    )
+
+    df = exact_quantiles_by_key(_tokens(sf_dir), "n_tok", "source",
+                                qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    df["value"] = df["value"].astype("int64")
+    return df
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
@@ -1049,12 +1082,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_stats_by_source": _q_ntok_stats_by_source,
         "heavy_hitter_counts": _q_heavy_hitter_counts,
         "tumbling_event_windows": _q_tumbling_event_windows,
+        "windowed_distinct_users": _q_windowed_distinct_users,
         "session_window_stats": _q_session_window_stats,
         "exact_dedup_stats": _q_exact_dedup_stats,
         "doc_length_stats": _q_doc_length_stats,
         "doc_quality_scores": _q_doc_quality_scores,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ntok_quantiles_exact_by_source": _q_ntok_quantiles_exact_by_source,
         "ann_topk": _q_ann_topk,
         "event_props_sum": _q_event_props_sum,
         "customer_order_counts": _q_customer_order_counts,
@@ -1167,6 +1202,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT sum(cnt) AS n FROM counts
             )
             SELECT cnt FROM counts, total WHERE cnt >= 0.02 * total.n
+        """,
+        "windowed_distinct_users": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+                   count(DISTINCT user_id) AS distinct_ids
+            FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
         """,
         "tumbling_event_windows": """
             SELECT event_type,
@@ -1309,6 +1352,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM documents a JOIN documents b
               ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "ntok_quantiles_exact_by_source": f"""
+            WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents)
+            SELECT source, 0.1 AS q, quantile_disc(n_tok, 0.1) AS value,
+                   count(*) AS n FROM tok GROUP BY source
+            UNION ALL
+            SELECT source, 0.25, quantile_disc(n_tok, 0.25), count(*)
+            FROM tok GROUP BY source
+            UNION ALL
+            SELECT source, 0.5, quantile_disc(n_tok, 0.5), count(*)
+            FROM tok GROUP BY source
+            UNION ALL
+            SELECT source, 0.75, quantile_disc(n_tok, 0.75), count(*)
+            FROM tok GROUP BY source
+            UNION ALL
+            SELECT source, 0.9, quantile_disc(n_tok, 0.9), count(*)
+            FROM tok GROUP BY source
+            UNION ALL
+            SELECT source, 0.99, quantile_disc(n_tok, 0.99), count(*)
+            FROM tok GROUP BY source
+            ORDER BY source, q
         """,
         # exact word-trigram Jaccard >= 0.5: distinct trigrams per doc via
         # list slicing over the tokenizer-parity token array, self-join on

@@ -1,10 +1,13 @@
 """Quantile pipelines: t-digest and KLL over a numeric column, global or
-per key. Approximate (published rank-error bounds); estimates are asserted
-against exact quantiles in tests, and rows-only checked by the driver."""
+per key (approximate, published rank-error bounds; asserted against exact
+quantiles in tests), plus EXACT distributed quantiles for discrete columns
+via value-count aggregation (oracle-checkable against SQL quantile_disc)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..stages.sketch_stages import (
     GenericSketchPartials,
@@ -31,6 +34,73 @@ def column_quantiles(ds, column: str, *, kind: str = "tdigest",
         "value": [sk.quantile(float(q)) for q in qs],
         "n": [total] * len(qs),
     })
+
+
+def exact_quantiles_by_key(ds, column: str, key_column: str | None = None,
+                           *, qs=_DEFAULT_QS) -> pd.DataFrame:
+    """EXACT quantiles of a DISCRETE numeric column, distributed.
+
+    The scale-correct exact path for integer / bounded-cardinality columns
+    (token counts, lengths, categorical codes): a per-batch ``np.unique``
+    combiner reduces each batch to (key, value, count) rows, a single
+    groupby sums them, and only the VALUE-COUNT table — bounded by the
+    number of distinct values, not the number of rows — reaches the
+    driver, where a cumulative-sum rank lookup reads off the quantiles.
+    No full sort of the data, no row-scale shuffle. For continuous
+    columns whose distinct-value count approaches the row count, use
+    :func:`column_quantiles` (t-digest/KLL) instead — documented contract.
+
+    Semantics match SQL ``quantile_disc`` (PostgreSQL
+    ``percentile_disc``): the smallest value whose cumulative count
+    reaches ``ceil(q * n)`` (at least 1) — so results are
+    oracle-checkable with zero tolerance.
+
+    Returns (key_column?, q, value, n) sorted by (key, q).
+    """
+    from ray.data.aggregate import Sum
+
+    group_cols = ([key_column] if key_column else []) + [column]
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({c: batch[c] for c in group_cols})
+        return (tbl.group_by(group_cols)
+                .aggregate([([], "count_all")])
+                .rename_columns(group_cols + ["cnt"]))
+
+    per_value = (ds.map_batches(value_counts, batch_format="pyarrow")
+                 .groupby(group_cols[0] if len(group_cols) == 1
+                          else group_cols)
+                 .aggregate(Sum("cnt", alias_name="cnt")))
+    vc = per_value.to_pandas()
+
+    def _quantiles(sub: pd.DataFrame) -> pd.DataFrame:
+        sub = sub.sort_values(column)
+        values = sub[column].to_numpy()
+        cum = np.cumsum(sub["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        ranks = np.maximum(1, np.ceil(np.asarray(qs, dtype=np.float64) * n))
+        idx = np.searchsorted(cum, ranks, side="left")
+        return pd.DataFrame({
+            "q": np.asarray(qs, dtype=np.float64),
+            "value": values[idx],
+            "n": np.int64(n),
+        })
+
+    if not key_column:
+        if len(vc) == 0:
+            return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                                 "value": [float("nan")] * len(qs),
+                                 "n": np.int64(0)})
+        return _quantiles(vc).reset_index(drop=True)
+    if len(vc) == 0:
+        return pd.DataFrame({key_column: pd.Series([], dtype="object"),
+                             "q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    out = (vc.groupby(key_column, sort=True, group_keys=True)
+           .apply(_quantiles, include_groups=False)
+           .reset_index(level=0).reset_index(drop=True))
+    return out[[key_column, "q", "value", "n"]]
 
 
 def column_quantiles_by_key(ds, column: str, key_column: str, *,
