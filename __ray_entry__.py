@@ -793,6 +793,46 @@ def _q_embedding_dup_pairs(sf_dir: str):
     return embedding_dedup_pairs(emb, threshold=0.95)
 
 
+def _q_embedding_exact_dup_pairs(sf_dir: str):
+    """Positive-control ORACLE for the embedding LSH near-dup path: unit
+    vectors are synthesized deterministically from ``vec_id % 400`` (one
+    fixed 64-d gaussian per residue class), so ids sharing a residue carry
+    IDENTICAL vectors. Identical vectors collide in EVERY hyperplane band
+    (recall is certain, not probabilistic) and score cosine 1.0, while
+    distinct random 64-d vectors sit ~N(0, 1/8) — nowhere near the 0.99
+    threshold. The SQL oracle therefore predicts the pair set with pure
+    vec_id arithmetic. At sf0.001 (50 ids < 400) this is a negative
+    control; at sf0.01 (500 ids) it yields exactly 100 planted pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        embedding_dedup_pairs,
+    )
+
+    M = 400
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        residues = ids % M
+        vecs = np.empty((len(ids), 64), dtype=np.float32)
+        for r in np.unique(residues):
+            v = np.random.default_rng(90_000 + int(r)).standard_normal(64)
+            vecs[residues == r] = v.astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel()), 64),
+        })
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    pairs = embedding_dedup_pairs(emb, threshold=0.99)
+    return pairs[["id_a", "id_b"]].astype("int64")
+
+
 def _q_ann_topk_ivf(sf_dir: str):
     import numpy as np
     import ray.data
@@ -930,6 +970,21 @@ def _q_bloom_semi_join_orders(sf_dir: str):
     out = joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_orders"))
     return out.to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def _q_stratified_sample_by_source(sf_dir: str):
+    """Stratified (per-source) uniform sampling via keyed mergeable
+    reservoirs. The returned columns are the DETERMINISTIC projections of
+    the sample (per-key population and sample sizes: n_sample =
+    least(k, n)) so the query is oracle-checkable; the random sample
+    values themselves are distribution-tested in pytest."""
+    from cardinalityestimation_ray.pipelines.sampling import (
+        stratified_sample_summary,
+    )
+
+    df = stratified_sample_summary(_tokens(sf_dir), "n_tok", "source", k=10)
+    return df[["source", "n_total", "n_sample"]].astype(
+        {"n_total": "int64", "n_sample": "int64"})
 
 
 def _q_reservoir_sample_ntok(sf_dir: str):
@@ -1100,11 +1155,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_pairs": _q_exact_dup_pairs,
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "embedding_exact_dup_pairs": _q_embedding_exact_dup_pairs,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "sliding_event_windows": _q_sliding_event_windows,
         "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "reservoir_sample_ntok": _q_reservoir_sample_ntok,
+        "stratified_sample_by_source": _q_stratified_sample_by_source,
         "incremental_distinct_docs": _q_incremental_distinct_docs,
         "lang_set_ops": _q_lang_set_ops,
         "token_bigram_counts": _q_token_bigram_counts,
@@ -1353,6 +1410,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.text = b.text AND a.doc_id < b.doc_id
         """,
+        # planted-duplicate arithmetic: ids sharing vec_id % 400 carry
+        # identical synthesized vectors (see _q_embedding_exact_dup_pairs)
+        "embedding_exact_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 400 = b.vec_id % 400
+             AND a.vec_id < b.vec_id
+            ORDER BY id_a, id_b
+        """,
         "ntok_quantiles_exact_by_source": f"""
             WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents)
             SELECT source, 0.1 AS q, quantile_disc(n_tok, 0.1) AS value,
@@ -1425,6 +1491,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
             GROUP BY o_orderstatus
+        """,
+        "stratified_sample_by_source": """
+            SELECT source,
+                   count(*) AS n_total,
+                   least(10, count(*)) AS n_sample
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
         "incremental_distinct_docs": """
             SELECT source,

@@ -48,6 +48,55 @@ def reservoir_sample_summary(ds, column: str, *, k: int = 1024,
     })
 
 
+def stratified_sample_by_key(ds, column: str, key_column: str, *,
+                             k: int = 256) -> dict:
+    """Per-key (stratified) uniform k-sample — one mergeable reservoir per
+    key through the SAME keyed-partial scaffold the grouped sketch merges
+    use: per-batch per-key partial reservoirs (<= k survivors per key per
+    block are all that moves), combiner-tree merge, driver holds only
+    |keys| reservoirs of k values each. The training-data use: a balanced
+    per-source sample for eval/inspection regardless of source skew.
+
+    Returns {key: (ReservoirSample, n_rows_for_key)}.
+    """
+    from ..stages.sketch_stages import tree_merge_keyed_partials_generic
+
+    partials = ds.map_batches(
+        GenericSketchPartials("reservoir", {"k": k}, column,
+                              key_column=key_column),
+        batch_format="pyarrow",
+    )
+    return tree_merge_keyed_partials_generic(partials, key_column,
+                                             "reservoir")
+
+
+def stratified_sample_summary(ds, column: str, key_column: str, *,
+                              k: int = 256) -> pd.DataFrame:
+    """Driver-facing per-key summary (stable shape; the sample itself is
+    random): (key, n_total, n_sample, sample_min, sample_max)."""
+    merged = stratified_sample_by_key(ds, column, key_column, k=k)
+    rows = []
+    for key in sorted(merged):
+        rs, total = merged[key]
+        samp = rs.sample()
+        rows.append({
+            key_column: key,
+            "n_total": int(total),
+            "n_sample": int(len(samp)),
+            "sample_min": float(samp.min()) if len(samp) else float("nan"),
+            "sample_max": float(samp.max()) if len(samp) else float("nan"),
+        })
+    if not rows:
+        return pd.DataFrame({
+            key_column: pd.Series([], dtype="object"),
+            "n_total": pd.Series([], dtype="int64"),
+            "n_sample": pd.Series([], dtype="int64"),
+            "sample_min": pd.Series([], dtype="float64"),
+            "sample_max": pd.Series([], dtype="float64"),
+        })
+    return pd.DataFrame(rows)
+
+
 def weighted_sample_column(ds, value_column: str, weight_column: str, *,
                            k: int = 1024):
     """Weight-proportional k-sample (without replacement, A-ES) of a numeric
