@@ -793,6 +793,85 @@ def _q_embedding_dup_pairs(sf_dir: str):
     return embedding_dedup_pairs(emb, threshold=0.95)
 
 
+def _planted_docs(sf_dir: str, M: int = 200):
+    """Deterministic planted-duplicate text corpus: ``doc_id % M`` selects
+    one of M fixed random token strings, so ids sharing a residue carry
+    IDENTICAL text while distinct residues are unrelated random strings.
+    Duplicate structure is therefore pure id arithmetic the SQL oracle can
+    reproduce without seeing any text. At sf0.001/sf0.01 (500 ids, M=200)
+    residues 0..99 hold 3 docs and 100..199 hold 2 -> 400 planted pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        res = ids % M
+        texts_by_res = {}
+        for r in np.unique(res):
+            rng = np.random.default_rng(77_000 + int(r))
+            n_tok_ = int(rng.integers(20, 40))
+            toks = ["".join(chr(97 + c) for c in
+                            rng.integers(0, 26, size=int(rng.integers(4, 9))))
+                    for _ in range(n_tok_)]
+            texts_by_res[int(r)] = " ".join(toks)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array([texts_by_res[int(r)] for r in res]),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+
+
+def _q_minhash_planted_dup_pairs(sf_dir: str):
+    """Positive-control ORACLE for MinHash+LSH dedup: identical planted
+    texts (see :func:`_planted_docs`) have identical signatures — they
+    collide in EVERY band, so recall is certain — and the exact char-ngram
+    verify at threshold 1.0 keeps exactly the identical-text pairs. The
+    SQL oracle predicts the pair set with id arithmetic."""
+    import pandas as pd
+
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(_planted_docs(sf_dir), threshold=1.0,
+                                verify="char_ngram")
+    out = pairs[pairs["similarity"] >= 1.0][["id_a", "id_b"]]
+    return out.astype("int64") if len(out) else pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64")})
+
+
+def _q_simhash_planted_dup_pairs(sf_dir: str):
+    """Positive-control ORACLE for SimHash dedup: identical planted texts
+    share the full 64-bit simhash (Hamming 0, certain recall under
+    banding); distinct random texts sit ~32 bits apart, so max_hamming=0
+    admits exactly the planted pairs. Deterministic given the fixed synth
+    seeds; the SQL oracle is id arithmetic."""
+    from cardinalityestimation_ray.pipelines.dedup import simhash_dedup_pairs
+
+    pairs = simhash_dedup_pairs(_planted_docs(sf_dir), max_hamming=0)
+    return pairs[["id_a", "id_b", "hamming"]].astype("int64")
+
+
+def _q_minhash_planted_clusters(sf_dir: str):
+    """Positive-control ORACLE for the DISTRIBUTED near-dup clustering path
+    (LSH pairs -> min-label-propagation connected components, no driver
+    union-find): planted residue classes ARE the components, so
+    (doc_id, cluster_id=min id in class, keep) is pure id arithmetic."""
+    from cardinalityestimation_ray.pipelines.dedup import (
+        minhash_dedup_keep_distributed,
+    )
+
+    out = minhash_dedup_keep_distributed(
+        _planted_docs(sf_dir), threshold=1.0, verify="char_ngram")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["keep"] = out["keep"].astype("bool")
+    return out
+
+
 def _q_embedding_exact_dup_pairs(sf_dir: str):
     """Positive-control ORACLE for the embedding LSH near-dup path: unit
     vectors are synthesized deterministically from ``vec_id % 400`` (one
@@ -801,8 +880,8 @@ def _q_embedding_exact_dup_pairs(sf_dir: str):
     (recall is certain, not probabilistic) and score cosine 1.0, while
     distinct random 64-d vectors sit ~N(0, 1/8) — nowhere near the 0.99
     threshold. The SQL oracle therefore predicts the pair set with pure
-    vec_id arithmetic. At sf0.001 (50 ids < 400) this is a negative
-    control; at sf0.01 (500 ids) it yields exactly 100 planted pairs."""
+    vec_id arithmetic. At sf0.001 and sf0.01 (500 ids each, M=400)
+    residues 0..99 hold two ids -> exactly 100 planted pairs."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -847,6 +926,31 @@ def _q_ann_topk_ivf(sf_dir: str):
                    key=lambda r: r["vec_id"])
     queries_mat = np.stack([r["embedding"] for r in qrows])
     return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
+
+
+def _q_ann_topk_ivf_exact(sf_dir: str):
+    """IVF at nprobe == n_cells degrades to exact brute force (every cell
+    probed, every row scored) — so THIS configuration is oracle-checkable
+    against the same SQL as the brute path, proving the IVF routing /
+    per-cell scoring / fold machinery loses nothing when coverage is
+    total. The production approximate config stays rows-only by design
+    (``ann_topk_ivf``)."""
+    import numpy as np
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.ann import ann_topk_ivf
+
+    def emb():
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+    qrows = sorted((r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
+                   key=lambda r: r["vec_id"])
+    queries_mat = np.stack([r["embedding"] for r in qrows])
+    df = ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=8)
+    df["query_id"] = df["query_id"].map({i: r["vec_id"]
+                                         for i, r in enumerate(qrows)})
+    return df[["query_id", "rank", "vec_id"]].astype("int64")
 
 
 def _q_exact_distinct_users_global(sf_dir: str):
@@ -1156,7 +1260,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_exact_dup_pairs": _q_embedding_exact_dup_pairs,
+        "minhash_planted_dup_pairs": _q_minhash_planted_dup_pairs,
+        "simhash_planted_dup_pairs": _q_simhash_planted_dup_pairs,
+        "minhash_planted_clusters": _q_minhash_planted_clusters,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "sliding_event_windows": _q_sliding_event_windows,
         "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1418,6 +1526,47 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id % 400 = b.vec_id % 400
              AND a.vec_id < b.vec_id
             ORDER BY id_a, id_b
+        """,
+        # planted-duplicate arithmetic: ids sharing doc_id % 200 carry
+        # identical synthesized text (see _planted_docs)
+        "minhash_planted_dup_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON a.doc_id % 200 = b.doc_id % 200
+             AND a.doc_id < b.doc_id
+        """,
+        "simhash_planted_dup_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents a JOIN documents b
+              ON a.doc_id % 200 = b.doc_id % 200
+             AND a.doc_id < b.doc_id
+        """,
+        "minhash_planted_clusters": """
+            WITH cl AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY doc_id % 200)
+                       AS cluster_id,
+                     count(*) OVER (PARTITION BY doc_id % 200) AS n
+              FROM documents
+            )
+            SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+            FROM cl WHERE n >= 2
+        """,
+        "ann_topk_ivf_exact": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.embedding,
+                                                       e.embedding) DESC,
+                                e.vec_id ASC) - 1 AS rank
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, rank, vec_id FROM scored WHERE rank < 5
         """,
         "ntok_quantiles_exact_by_source": f"""
             WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents)

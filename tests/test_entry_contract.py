@@ -51,6 +51,43 @@ def test_representative_queries_run_at_sf0001(entry_mod):
     assert (hh["cnt"].values[:-1] >= hh["cnt"].values[1:]).all()
 
 
+def test_planted_dup_controls_at_sf0001(entry_mod):
+    """The planted-duplicate controls must reproduce the residue-class
+    arithmetic exactly (500 ids, M=200: classes 0..99 of 3 docs, 100..199
+    of 2 -> 400 pairs, 200 clusters) — both recall (identical signatures
+    collide in every band) and precision (exact verify kills everything
+    else)."""
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    expected = {(a, b) for a in range(500) for b in range(a + 1, 500)
+                if a % 200 == b % 200}
+    mh = qs["minhash_planted_dup_pairs"](sf)
+    assert set(zip(mh["id_a"], mh["id_b"])) == expected
+    sh = qs["simhash_planted_dup_pairs"](sf)
+    assert set(zip(sh["id_a"], sh["id_b"])) == expected
+    assert (sh["hamming"] == 0).all()
+    cl = qs["minhash_planted_clusters"](sf)
+    assert len(cl) == 500
+    assert (cl["cluster_id"] == cl["doc_id"] % 200).all()
+    assert (cl["keep"] == (cl["doc_id"] < 200)).all()
+
+
+def test_planted_dup_positive_recall_small_modulus(entry_mod):
+    """Mass-duplication regime: M=20 over 500 ids plants 20 residue
+    classes of 25 identical docs each -> 6000 pairs, exercising the
+    identical-signature collapse path with groups well under
+    identical_cap (all-pairs semantics preserved)."""
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+
+    docs = entry_mod._planted_docs("/root/testdata/sf0.001", M=20)
+    pairs = minhash_dedup_pairs(docs, threshold=1.0, verify="char_ngram")
+    expected = {(a, b) for a in range(500) for b in range(a + 1, 500)
+                if a % 20 == b % 20}
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == expected
+    assert (pairs["similarity"] == 1.0).all()
+
+
 def test_bloom_semi_join_filters(ray_session):
     import ray
     import ray.data
