@@ -396,6 +396,35 @@ def _q_bloom_token_membership(sf_dir: str):
     return probe_token_membership(_tokens(sf_dir), probes)
 
 
+def _q_pack_sequences_by_source(sf_dir: str):
+    """Concat-and-chunk sequence packing (GPT-style pretraining prep):
+    every document's (seq_id, seq_offset) in the per-source 512-token
+    stream, via the distributed keyed exclusive prefix sum — exact window
+    arithmetic the SQL oracle reproduces with SUM() OVER."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinalityestimation_ray.pipelines.packing import pack_sequences
+
+    def int_ids(batch: pa.Table) -> pa.Table:
+        # tokens-corpus doc_id is the string "doc-<n>" (input_hint shape);
+        # packing orders by the integral id
+        ids = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 1 << 30),
+                      pa.int64())
+        return batch.set_column(batch.schema.get_field_index("doc_id"),
+                                "doc_id", ids)
+
+    toks = _tokens(sf_dir).select_columns(["doc_id", "n_tok", "source"]) \
+        .map_batches(int_ids, batch_format="pyarrow")
+    out = pack_sequences(toks, max_tokens=512,
+                         key_column="source", id_column="doc_id",
+                         count_column="n_tok").to_pandas()
+    out = out[["source", "doc_id", "n_tok", "seq_id", "seq_offset"]]
+    for c in ("doc_id", "n_tok", "seq_id", "seq_offset"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def _q_exact_distinct_users_by_type(sf_dir: str):
     import ray.data
 
@@ -1265,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_planted_clusters": _q_minhash_planted_clusters,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
+        "pack_sequences_by_source": _q_pack_sequences_by_source,
         "sliding_event_windows": _q_sliding_event_windows,
         "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1567,6 +1597,22 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e
             )
             SELECT query_id, rank, vec_id FROM scored WHERE rank < 5
+        """,
+        "pack_sequences_by_source": f"""
+            WITH tok AS (
+              SELECT source, doc_id, len({_TOK}) AS n_tok FROM documents
+            ), cum AS (
+              SELECT source, doc_id, n_tok,
+                     COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_prev
+              FROM tok
+            )
+            SELECT source, doc_id, n_tok,
+                   CAST(cum_prev // 512 AS BIGINT) AS seq_id,
+                   CAST(cum_prev % 512 AS BIGINT) AS seq_offset
+            FROM cum
         """,
         "ntok_quantiles_exact_by_source": f"""
             WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents)
