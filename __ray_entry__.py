@@ -425,6 +425,34 @@ def _q_pack_sequences_by_source(sf_dir: str):
     return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
 
 
+def _q_token_budget_mix(sf_dir: str):
+    """Deterministic pretraining-mix selection: per-source token budgets
+    cut each source's doc-id-ordered stream by window arithmetic (keep iff
+    tokens-before < budget) — reproducible source mixing with no sampling
+    randomness. Exact SUM() OVER oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinalityestimation_ray.pipelines.packing import (
+        select_token_budget,
+    )
+
+    def int_ids(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 1 << 30),
+                      pa.int64())
+        return batch.set_column(batch.schema.get_field_index("doc_id"),
+                                "doc_id", ids)
+
+    toks = _tokens(sf_dir).select_columns(["doc_id", "n_tok", "source"]) \
+        .map_batches(int_ids, batch_format="pyarrow")
+    budgets = {"src0": 500, "src1": 1500}
+    out = select_token_budget(toks, budgets, default_budget=200).to_pandas()
+    out = out[["source", "doc_id", "n_tok", "cum_prev"]]
+    for c in ("doc_id", "n_tok", "cum_prev"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def _q_exact_distinct_users_by_type(sf_dir: str):
     import ray.data
 
@@ -1295,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "pack_sequences_by_source": _q_pack_sequences_by_source,
+        "token_budget_mix": _q_token_budget_mix,
         "sliding_event_windows": _q_sliding_event_windows,
         "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1613,6 +1642,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_prev // 512 AS BIGINT) AS seq_id,
                    CAST(cum_prev % 512 AS BIGINT) AS seq_offset
             FROM cum
+        """,
+        "token_budget_mix": f"""
+            WITH tok AS (
+              SELECT source, doc_id, len({_TOK}) AS n_tok FROM documents
+            ), cum AS (
+              SELECT source, doc_id, n_tok,
+                     COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_prev
+              FROM tok
+            )
+            SELECT source, doc_id, n_tok, CAST(cum_prev AS BIGINT) AS cum_prev
+            FROM cum
+            WHERE cum_prev < CASE source WHEN 'src0' THEN 500
+                                         WHEN 'src1' THEN 1500
+                                         ELSE 200 END
         """,
         "ntok_quantiles_exact_by_source": f"""
             WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents)

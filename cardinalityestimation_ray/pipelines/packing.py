@@ -134,3 +134,56 @@ def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
     out = (bucketed.groupby([key_column, "_bucket"])
            .map_groups(per_bucket, batch_format="pandas"))
     return out.drop_columns(["_bucket"])
+
+
+def select_token_budget(tokens_ds, budgets: dict, *,
+                        key_column: str = "source",
+                        id_column: str = "doc_id",
+                        count_column: str = "n_tok",
+                        default_budget: int | None = None,
+                        bucket_width: int = 1 << 20):
+    """Deterministic source-mixing selection: keep each key's documents in
+    ascending id order until that key's TOKEN budget is exhausted.
+
+    The training-data use: compose a pretraining mix ("2B tokens of web,
+    500M of code, 100M of wiki") reproducibly — no sampling randomness, no
+    driver-side iteration; the cut is pure window arithmetic. A document is
+    kept iff the tokens BEFORE it (same key, smaller id) total less than
+    the key's budget, i.e. the budget cuts mid-document rather than
+    dropping the straddler (the packing consumer trims the tail). SQL::
+
+        ... WHERE cum_prev < budget(key)
+
+    ``budgets`` maps key -> token budget; keys absent from the mapping get
+    ``default_budget`` (None = keep everything for that key). Returns the
+    kept rows with their ``cum_prev`` column (total tokens of the same key
+    before each row — also each doc's start offset in the mix stream).
+    """
+    import ray
+
+    prefixed = keyed_prefix_sums(tokens_ds, key_column=key_column,
+                                 id_column=id_column,
+                                 value_column=count_column,
+                                 bucket_width=bucket_width)
+    budgets_ref = ray.put(dict(budgets))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        import pyarrow.compute as pc
+
+        b = ray.get(budgets_ref)
+        col = batch[key_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = pc.dictionary_encode(col)
+        # budget per DISTINCT key (None -> +inf keeps everything), gathered
+        # to rows via the dictionary indices — no per-row Python
+        lim_by_code = np.array(
+            [np.inf if (v := b.get(k, default_budget)) is None else float(v)
+             for k in codes.dictionary.to_pylist()])
+        lims = lim_by_code[codes.indices.to_numpy(zero_copy_only=False)]
+        cum = batch["cum_prev"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(cum < lims))
+
+    return prefixed.map_batches(keep, batch_format="pyarrow")

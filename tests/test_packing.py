@@ -64,6 +64,34 @@ def test_pack_sequences_matches_reference(ray_session, skewed_df):
     assert len(big) > 0  # the fixture plants n_tok up to 899
 
 
+def test_select_token_budget(ray_session, skewed_df):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.packing import (
+        select_token_budget,
+    )
+
+    ds = ray.data.from_pandas(skewed_df.sample(frac=1, random_state=3)) \
+        .repartition(4)
+    out = select_token_budget(
+        ds, {"big": 10_000, "small": None}, default_budget=0,
+        bucket_width=50_000).to_pandas()
+    # reference: keep while tokens-before < budget; None = keep all
+    ref = _ref_pack(skewed_df, 512)
+    ref["cum_prev"] = ref.groupby("source")["n_tok"].cumsum() - ref["n_tok"]
+    keep_big = ref[(ref["source"] == "big") & (ref["cum_prev"] < 10_000)]
+    keep_small = ref[ref["source"] == "small"]
+    assert set(out[out["source"] == "big"]["doc_id"]) == \
+        set(keep_big["doc_id"])
+    assert set(out[out["source"] == "small"]["doc_id"]) == \
+        set(keep_small["doc_id"])
+    # budget cuts mid-document: kept tokens may overshoot by at most the
+    # straddler, never undershoot while docs remain
+    got_big = out[out["source"] == "big"]["n_tok"].sum()
+    assert got_big >= 10_000
+    assert got_big - keep_big["n_tok"].iloc[-1] < 10_000
+
+
 def test_pack_sequences_validation_and_empty(ray_session):
     import ray.data
 
