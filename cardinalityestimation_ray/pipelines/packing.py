@@ -83,6 +83,11 @@ def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
     Returns a Dataset of (key, id, value, cum_prev) where ``cum_prev`` is
     the sum of ``value`` over all rows of the same key with smaller id.
     See the module docstring for the three-phase distributed shape.
+
+    Assumptions: ids are unique within a key (ties would make the scan
+    order — and therefore cum_prev — ambiguous, exactly as in SQL); null
+    values count as 0 in the running sums (SQL window-SUM semantics) but
+    pass through unchanged in the value column.
     """
     import ray
     import ray.data
@@ -112,6 +117,8 @@ def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
                 "cum_prev", pa.array([0] * len(b), type=pa.int64())),
             batch_format="pyarrow")
     offsets: dict[tuple, int] = {}
+    # all-null groups sum to None; SQL window-SUM treats nulls as absent
+    totals["_bucket_total"] = totals["_bucket_total"].fillna(0)
     for key, grp in totals.groupby(key_column, sort=False):
         grp = grp.sort_values("_bucket")
         run = np.r_[0, grp["_bucket_total"].to_numpy().cumsum()[:-1]]
@@ -126,6 +133,8 @@ def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
         offs = ray.get(offsets_ref)
         group = group.sort_values(id_column, kind="mergesort")
         vals = group[value_column].to_numpy()
+        if vals.dtype.kind != "i":  # nullable -> float/object; null = 0
+            vals = np.nan_to_num(vals.astype(np.float64), nan=0.0)
         base = offs[(group[key_column].iloc[0], int(group["_bucket"].iloc[0]))]
         group = group.assign(
             cum_prev=base + np.r_[0, vals.cumsum()[:-1]].astype(np.int64))
