@@ -72,7 +72,15 @@ def tokenize_documents_batch(batch: pa.Table) -> pa.Table:
         flat = flat.combine_chunks()
     if isinstance(parents, pa.ChunkedArray):
         parents = parents.combine_chunks()
-    h = hashing.hash_arrow_binary(flat, hashing.DEFAULT_HASH)
+    # dictionary-collapse before hashing: natural-language tokens are
+    # Zipf-repetitive (~12x here), so hash only the UNIQUE tokens (Arrow's
+    # C++ hash table does the dedup) and gather — bit-identical to hashing
+    # every slot, measured 85 -> 25 ms per 612k-token block. The collapse
+    # stays LOCAL to tokenization; generic string sketch paths keep direct
+    # hashing (their inputs, e.g. doc ids, are mostly unique).
+    codes = pc.dictionary_encode(flat)
+    uh = hashing.hash_arrow_binary(codes.dictionary, hashing.DEFAULT_HASH)
+    h = uh[codes.indices.to_numpy(zero_copy_only=False)]
     ids = (h & _TOKEN_ID_MASK).astype(np.int32)
     # rebuild list offsets from parent counts (parents are sorted)
     counts = np.zeros(len(batch) + 1, dtype=np.int64)
