@@ -453,6 +453,36 @@ def _q_token_budget_mix(sf_dir: str):
     return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
 
 
+def _q_decontaminate_report(sf_dir: str):
+    """Eval-set decontamination report: every 50th document plays the eval
+    set; each corpus doc's distinct word-trigram count and how many of
+    those trigrams appear in the eval set (broadcast sorted-hash-set
+    membership, one streaming pass, no shuffle). Exact SQL oracle via the
+    list-slice gram construction."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.decontamination import (
+        decontaminate,
+    )
+
+    def docs():
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    def eval_mask(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    eval_rows = docs().map_batches(
+        eval_mask, batch_format="pyarrow").take_all()
+    eval_texts = [r["text"] for r in eval_rows]
+    out = decontaminate(docs(), eval_texts, n=3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["contaminated"] = out["contaminated"].astype("bool")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_exact_distinct_users_by_type(sf_dir: str):
     import ray.data
 
@@ -1324,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "pack_sequences_by_source": _q_pack_sequences_by_source,
         "token_budget_mix": _q_token_budget_mix,
+        "decontaminate_report": _q_decontaminate_report,
         "sliding_event_windows": _q_sliding_event_windows,
         "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1642,6 +1673,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_prev // 512 AS BIGINT) AS seq_id,
                    CAST(cum_prev % 512 AS BIGINT) AS seq_offset
             FROM cum
+        """,
+        "decontaminate_report": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            idx AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM tok),
+            grams AS (SELECT DISTINCT doc_id,
+                             array_to_string(
+                                 t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                 ' ') AS gram
+                      FROM idx),
+            eval_grams AS (SELECT DISTINCT gram FROM grams
+                           WHERE doc_id % 50 = 0),
+            counts AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     count(*) FILTER (WHERE gram IN
+                         (SELECT gram FROM eval_grams)) AS n_matched
+              FROM grams GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(c.n_grams, 0) AS n_grams,
+                   COALESCE(c.n_matched, 0) AS n_matched,
+                   COALESCE(c.n_matched, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN counts c USING (doc_id)
         """,
         "token_budget_mix": f"""
             WITH tok AS (

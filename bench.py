@@ -397,12 +397,15 @@ def main():
             # cross-parallelism determinism: same registers -> same estimate
             "results_identical": bool(
                 lo["distinct_tokens_est"] == hi["distinct_tokens_est"]),
-            "note": ("task/text paths are CPU-bound and measure the true "
-                     "N -> 4N scaling; the pre-tokenized Dataset path became "
-                     "DRAM-bandwidth-bound on this single shared-memory box "
-                     "after the round-2 speedups (per-core rate tripled) — "
-                     "bandwidth is per-node on a real cluster, see "
-                     "BASELINE.md for the sub-bandwidth 1 -> 4 evidence"),
+            "note": ("the task path (single-threaded tasks, parallelism == "
+                     "num_cpus) is CPU-bound and measures the true N -> 4N "
+                     "scaling; the Dataset paths (pre-tokenized since round "
+                     "2, raw-text since the round-3 dictionary-collapse "
+                     "tokenizer) are DRAM-bandwidth-bound on this single "
+                     "shared-memory box — each speedup that tripled their "
+                     "per-core rate pushed them into the ceiling. Bandwidth "
+                     "is per-node on a real cluster; see BASELINE.md for "
+                     "the sub-bandwidth 1 -> 4 evidence"),
         }))
     else:
         print(json.dumps(bench_once()))
