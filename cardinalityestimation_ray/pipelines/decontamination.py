@@ -101,15 +101,15 @@ def decontaminate(corpus_ds, eval_texts, *, n: int = 13,
                                  concurrency=(1, 8))
 
 
-def decontaminated_corpus(corpus_ds, eval_texts, **kwargs):
+def decontaminated_corpus(corpus_ds, eval_texts, *, n: int = 13,
+                          text_column: str = "text",
+                          hash_name: str = hashing.DEFAULT_HASH):
     """The clean corpus: drop every contaminated document (semi-join of the
     report back onto the stream via a second pass of the same broadcast
-    check — still no shuffle)."""
+    check — still no shuffle). Explicit keywords (no silent kwargs.get
+    defaults — unknown parameters must raise, round-3 review rule)."""
     import ray
 
-    n = kwargs.get("n", 13)
-    text_column = kwargs.get("text_column", "text")
-    hash_name = kwargs.get("hash_name", hashing.DEFAULT_HASH)
     grams = eval_gram_set(eval_texts, n, hash_name=hash_name)
     grams_ref = ray.put(grams)
 

@@ -569,3 +569,39 @@ def test_keyed_partials_schema_stable_with_all_null_batches(ray_session):
                                  strategy="groupby")
     got = dict(zip(out["k"], out["d"]))
     assert got == {1: 1, 2: 1}
+
+
+def test_token_partials_keyed_paths_blob_identical():
+    """The few-keys L2 fast path (per-key filter + chunked hash/add) and
+    the many-keys path (hash-once + argsort segmentation) must emit
+    byte-identical partial blobs — the strategy switch is purely a
+    performance decision."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        HllTokenPartials,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 500
+    offsets = np.r_[0, np.cumsum(rng.integers(0, 30, size=n))]
+    vals = rng.integers(0, 5000, size=offsets[-1]).astype(np.int32)
+    batch = pa.table({
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(vals)),
+        "source": pa.array(rng.choice(["a", "b", "c", None], size=n)),
+    })
+    few = HllTokenPartials(b=11, key_column="source")
+    many = HllTokenPartials(b=11, key_column="source")
+    many.FILTER_KEYED_MAX_KEYS = 0  # force the argsort path
+    rf = few(batch)
+    rm = many(batch)
+    df = {rf["source"][i].as_py(): (rf["sketch"][i].as_py(),
+                                    rf["n_added"][i].as_py())
+          for i in range(len(rf))}
+    dm = {rm["source"][i].as_py(): (rm["sketch"][i].as_py(),
+                                    rm["n_added"][i].as_py())
+          for i in range(len(rm))}
+    assert df == dm
+    assert len(df) == 3  # null keys dropped, a/b/c present
