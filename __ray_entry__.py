@@ -504,16 +504,31 @@ def _q_bmp_channel_stats(sf_dir: str):
     SQL-expressible (integer means < 2^24 are exact in float32; std == 0.0),
     so this is a full-value oracle over the media path, not a rows-only
     check."""
+    return _media_channel_stats(sf_dir, codec="bmp")
+
+
+def _q_png_channel_stats(sf_dir: str):
+    """Same closed-form channel-stats oracle through the PNG path: the
+    payloads are REAL zlib-DEFLATE-compressed PNGs and the decode stage
+    runs the full chunk-CRC-validate -> inflate -> defilter pipeline
+    (stages/codecs.py:decode_png) — a genuine compressed-format media
+    decode with exact SQL-expressible output."""
+    return _media_channel_stats(sf_dir, codec="png")
+
+
+def _media_channel_stats(sf_dir: str, *, codec: str):
     import numpy as np
     import pyarrow as pa
     import ray.data
 
-    from cardinalityestimation_ray.stages.codecs import encode_bmp
+    from cardinalityestimation_ray.stages.codecs import encode_bmp, encode_png
     from cardinalityestimation_ray.stages.multimodal import (
         DEFAULT_MEDIA_BATCH_SIZE,
         ImageDecodeStage,
         ImageFeatureStage,
     )
+
+    encode = {"bmp": encode_bmp, "png": encode_png}[codec]
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -523,7 +538,7 @@ def _q_bmp_channel_stats(sf_dir: str):
             (ids * 31 + 5) % 256,
         ], axis=1).astype(np.uint8)                       # (n, 3)
         imgs = np.broadcast_to(chans[:, None, None, :], (len(ids), 16, 16, 3))
-        payloads = [encode_bmp(img) for img in imgs]
+        payloads = [encode(np.ascontiguousarray(img)) for img in imgs]
         n = len(ids)
         return pa.table({
             "media_id": pa.array(ids.astype("U")),
@@ -537,7 +552,7 @@ def _q_bmp_channel_stats(sf_dir: str):
     media = docs.map_batches(synth, batch_format="pyarrow")
     decoded = media.map_batches(
         ImageDecodeStage,
-        fn_constructor_kwargs={"decoder": "bmp", "out_size": 16},
+        fn_constructor_kwargs={"decoder": codec, "out_size": 16},
         batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
         batch_format="pyarrow")
     feats = decoded.map_batches(
@@ -1323,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "udaf_theta_distinct_users_by_type": _q_udaf_theta_distinct_users_by_type,
         "bmp_channel_stats": _q_bmp_channel_stats,
+        "png_channel_stats": _q_png_channel_stats,
         "wav_rms_energy": _q_wav_rms_energy,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
@@ -1420,6 +1436,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "bmp_channel_stats": """
+            SELECT doc_id,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,
+                   CAST((doc_id * 31 + 5) % 256 AS DOUBLE) AS mean_b,
+                   CAST(0 AS DOUBLE) AS std_r,
+                   CAST(0 AS DOUBLE) AS std_g,
+                   CAST(0 AS DOUBLE) AS std_b
+            FROM documents
+        """,
+        "png_channel_stats": """
             SELECT doc_id,
                    CAST(doc_id % 256 AS DOUBLE) AS mean_r,
                    CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,

@@ -203,3 +203,154 @@ def decode_bmpseq_frame(data: bytes, index: int) -> np.ndarray:
         raise ValueError(f"frame index {index} out of range [0, {n})")
     end = int(offsets[index + 1]) if index + 1 < n else len(data)
     return decode_bmp(data[int(offsets[index]):end])
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit gray/RGB/RGBA, non-interlaced. A REAL compressed-image codec
+# using only stdlib zlib + numpy (RFC 2083): chunk stream with CRC
+# validation, zlib-inflated scanlines, all five defilter types. This
+# upgrades the multimodal image stage from "compressed formats stubbed" to
+# a real DEFLATE-compressed path; JPEG/FLAC/MP4 (entropy coders and DSP
+# well beyond a from-scratch port) remain behind NotImplementedError.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W) gray, (H, W, 3) RGB or (H, W, 4) RGBA uint8 as PNG
+    (filter 0 rows, one zlib IDAT)."""
+    import zlib
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"expected uint8, got {img.dtype}")
+    if img.ndim == 2:
+        colortype, chans = 0, 1
+        img = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        colortype, chans = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        colortype, chans = 6, 4
+    else:
+        raise ValueError(f"expected (H,W)/(H,W,3)/(H,W,4), got {img.shape}")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    # filter byte 0 per row
+    raw = np.empty((h, 1 + w * chans), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * chans)
+    idat = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        import zlib as _z
+
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", _z.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) +
+            chunk(b"IEND", b""))
+
+
+def _png_defilter(flt: np.ndarray, h: int, w: int, chans: int) -> np.ndarray:
+    """Reverse PNG row filters. flt: (h, 1 + w*chans) filter-byte + data."""
+    stride = w * chans
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(flt[y, 0])
+        row = flt[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = row
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            # per-channel prefix sum mod 256 (vectorized along the row)
+            r = row.reshape(w, chans).astype(np.uint64)
+            out[y] = np.cumsum(r, axis=0).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            out[y] = row + prev
+        elif ftype == 3:  # Average — left-dependent, sequential per pixel
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - chans]) if x >= chans else 0
+                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — left-dependent, sequential per pixel
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - chans]) if x >= chans else 0
+                b = int(prev[x])
+                c = int(prev[x - chans]) if x >= chans else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype} in row {y}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to (H, W) gray or (H, W, C).
+
+    Validates signature, chunk CRCs, header-declared sizes against actual
+    payload (the sketch deserializers' DoS rules), and the inflated length.
+    Supports colortypes 0/2/4/6 at bit depth 8; rejects palette (3),
+    16-bit, and interlaced images with actionable errors.
+    """
+    import zlib
+
+    if len(data) < len(_PNG_SIG) + 25 or data[:8] != _PNG_SIG:
+        raise ValueError("invalid PNG: bad signature or truncated")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4:pos + 8]
+        if length > len(data) - pos - 12:
+            raise ValueError("truncated PNG: chunk length past end")
+        payload = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"invalid PNG: bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = payload
+        elif typ == b"IDAT":
+            idat.extend(payload)
+        elif typ == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_end:
+        raise ValueError("invalid PNG: missing IHDR or IEND")
+    if len(ihdr) != 13:
+        raise ValueError("invalid PNG: IHDR length")
+    w, h, depth, colortype, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if colortype == 3:
+        raise ValueError("unsupported PNG: palette images (colortype 3)")
+    if colortype not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG colortype {colortype}")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("unsupported PNG: Adam7 interlacing")
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    chans = _PNG_CHANNELS[colortype]
+    expect = h * (1 + w * chans)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"invalid PNG: corrupt IDAT ({e})") from None
+    if len(raw) != expect:
+        raise ValueError(
+            f"invalid PNG: inflated {len(raw)} bytes, expected {expect}")
+    flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * chans)
+    out = _png_defilter(flt, h, w, chans)
+    return out.reshape(h, w) if chans == 1 else out.reshape(h, w, chans)

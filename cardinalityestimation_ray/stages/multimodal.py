@@ -75,17 +75,23 @@ class ImageDecodeStage:
         self.out_size = out_size
         if decoder == "pil":
             raise NotImplementedError(
-                "PIL is not available in this container (needed for "
-                "JPEG/PNG); use decoder='bmp' (real pure-numpy decode of "
-                "24-bit BMP payloads) or 'fake'")
-        if decoder not in ("fake", "bmp"):
+                "PIL is not available in this container (needed for JPEG); "
+                "use decoder='png' (real stdlib-zlib DEFLATE decode, "
+                "codecs.py:decode_png), decoder='bmp' (real pure-numpy "
+                "24-bit BMP decode) or 'fake'")
+        if decoder not in ("fake", "bmp", "png"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _decode_one(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if self.decoder == "bmp":
-            from .codecs import decode_bmp, resize_nearest
+        if self.decoder in ("bmp", "png"):
+            from .codecs import decode_bmp, decode_png, resize_nearest
 
-            img = decode_bmp(payload)
+            img = decode_bmp(payload) if self.decoder == "bmp" \
+                else decode_png(payload)
+            if img.ndim == 2:  # gray -> 3-channel for the fixed stage schema
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            elif img.shape[2] == 4:  # drop alpha
+                img = img[:, :, :3]
             return resize_nearest(img, self.out_size, self.out_size)
         # "fake": deterministic pixels from the payload hash; keeps the
         # plumbing testable with arbitrary payload bytes

@@ -227,3 +227,137 @@ class TestBmpSeq:
         assert np.allclose(feats[0], 0)
         assert np.allclose(feats[3][0::3], 1.0) and np.allclose(feats[3][1::3], 0.0)
         assert list(ts) == [0, 1000, 2000, 3000]
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+class TestPNG:
+    def test_roundtrip_gray_rgb_rgba(self):
+        import numpy as np
+
+        from cardinalityestimation_ray.stages.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(31)
+        for shape in [(1, 1), (5, 7), (16, 16, 3), (9, 4, 4), (32, 32, 3)]:
+            img = rng.integers(0, 256, size=shape).astype(np.uint8)
+            out = decode_png(encode_png(img))
+            assert out.shape == img.shape
+            assert (out == img).all()
+
+    def test_all_filter_types_against_spec_forward_filter(self):
+        """decode must invert each RFC 2083 filter; rows are FORWARD
+        filtered here by an independent straight-from-spec implementation,
+        so the defilter paths (incl. Sub's cumsum trick and the sequential
+        Average/Paeth) are checked against ground truth, not against our
+        own encoder (which only emits filter 0)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from cardinalityestimation_ray.stages.codecs import decode_png
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb and pa_ <= pc_:
+                return a
+            return b if pb <= pc_ else c
+
+        rng = np.random.default_rng(77)
+        h, w, chans = 6, 5, 3
+        img = rng.integers(0, 256, size=(h, w * chans)).astype(np.uint8)
+        filters = [0, 1, 2, 3, 4, 1]
+        rows = []
+        for y, ftype in enumerate(filters):
+            cur = img[y].astype(int)
+            prev = img[y - 1].astype(int) if y else np.zeros(w * chans, int)
+            raw = np.empty(w * chans, dtype=np.uint8)
+            for x in range(w * chans):
+                a = cur[x - chans] if x >= chans else 0
+                b = prev[x]
+                c = prev[x - chans] if x >= chans else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = paeth(a, b, c)
+                raw[x] = (cur[x] - pred) & 0xFF
+            rows.append(bytes([ftype]) + raw.tobytes())
+        idat = zlib.compress(b"".join(rows))
+
+        def chunk(typ, payload):
+            return (struct.pack(">I", len(payload)) + typ + payload +
+                    struct.pack(">I", zlib.crc32(typ + payload)))
+
+        png = (b"\x89PNG\r\n\x1a\n" +
+               chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)) +
+               chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+        out = decode_png(png)
+        assert (out.reshape(h, w * chans) == img).all()
+
+    def test_adversarial_pngs_raise(self):
+        import numpy as np
+        import pytest
+
+        from cardinalityestimation_ray.stages.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_png(b"notapng")
+        with pytest.raises(ValueError):
+            decode_png(good[:20])  # truncated
+        bad_crc = bytearray(good)
+        bad_crc[-5] ^= 0xFF  # corrupt IEND CRC
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad_crc))
+        # corrupt the deflate stream (keep chunk CRC consistent)
+        import struct
+        import zlib
+
+        ihdr_end = 8 + 12 + 13
+        (idat_len,) = struct.unpack_from(">I", good, ihdr_end)
+        payload = bytearray(good[ihdr_end + 8:ihdr_end + 8 + idat_len])
+        payload[0] ^= 0xFF
+        rebuilt = (good[:ihdr_end] + struct.pack(">I", idat_len) + b"IDAT" +
+                   bytes(payload) +
+                   struct.pack(">I", zlib.crc32(b"IDAT" + bytes(payload))) +
+                   good[ihdr_end + 12 + idat_len:])
+        with pytest.raises(ValueError):
+            decode_png(rebuilt)
+
+    def test_decode_stage_accepts_png(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from cardinalityestimation_ray.stages.codecs import encode_png
+        from cardinalityestimation_ray.stages.multimodal import (
+            ImageDecodeStage,
+        )
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(6):
+            img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+            rows.append({"media_id": i, "payload": encode_png(img),
+                         "width": 16, "height": 16})
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = ds.map_batches(ImageDecodeStage(decoder="png", out_size=16),
+                             batch_size=4, concurrency=1,
+                             batch_format="pyarrow").to_pandas()
+        assert len(out) == 6
+        assert (out["width"] == 16).all()
