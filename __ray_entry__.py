@@ -758,6 +758,48 @@ def _q_doc_length_stats(sf_dir: str):
                                 ).to_pandas()
 
 
+def _q_doc_quality_counts(sf_dir: str):
+    """The integer quality signals (punct/digit/upper char counts + en
+    stopword token count) — the exactly-SQL-expressible core of the
+    quality scorer, oracle-checked; the composite float score stays
+    rows-only in ``doc_quality_scores`` (float formula ordering is not
+    bit-pinned against SQL)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.functions.text import quality_features
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    feats = docs.map_batches(lambda b: quality_features(b),
+                             batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_punct": pa.array(np.round(
+                batch["punct_ratio"].to_numpy(zero_copy_only=False)
+                * np.maximum(n_chars, 1)).astype(np.int64)),
+            "n_digit": pa.array(np.round(
+                batch["digit_ratio"].to_numpy(zero_copy_only=False)
+                * np.maximum(n_chars, 1)).astype(np.int64)),
+            "n_upper": pa.array(np.round(
+                batch["upper_ratio"].to_numpy(zero_copy_only=False)
+                * np.maximum(n_chars, 1)).astype(np.int64)),
+            "n_stop": pa.array(np.round(
+                batch["stopword_ratio"].to_numpy(zero_copy_only=False)
+                * np.maximum(batch["n_tokens"]
+                             .to_numpy(zero_copy_only=False), 1))
+                .astype(np.int64)),
+        })
+
+    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_quality_scores(sf_dir: str):
     import ray.data
 
@@ -1349,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_stats": _q_exact_dedup_stats,
         "doc_length_stats": _q_doc_length_stats,
         "doc_quality_scores": _q_doc_quality_scores,
+        "doc_quality_counts": _q_doc_quality_counts,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ntok_quantiles_exact_by_source": _q_ntok_quantiles_exact_by_source,
@@ -1699,6 +1742,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_prev // 512 AS BIGINT) AS seq_id,
                    CAST(cum_prev % 512 AS BIGINT) AS seq_offset
             FROM cum
+        """,
+        "doc_quality_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                   len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                   len(list_filter({_TOK}, x -> list_contains(
+                       ['the','and','of','to','a','in','is','it','you',
+                        'that','was','for','on','are','with','as','this',
+                        'at','be'], lower(x)))) AS n_stop
+            FROM documents
         """,
         "decontaminate_report": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
