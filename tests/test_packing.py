@@ -108,3 +108,42 @@ def test_pack_sequences_validation_and_empty(ray_session):
         "doc_id": ["a", "b"], "n_tok": [1, 2], "source": ["s", "s"]}))
     with pytest.raises(Exception, match="integral"):
         pack_sequences(strs, max_tokens=16).to_pandas()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 120),
+    n_keys=st.integers(1, 4),
+    bucket_width=st.sampled_from([1, 7, 64, 1 << 20]),
+    id_scale=st.sampled_from([1, 13, 1000]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prefix_sums_property(ray_session, n, n_keys, bucket_width,
+                              id_scale, seed):
+    """Property: for ANY unique-id frame, bucket width (down to one id per
+    bucket), and partitioning, cum_prev equals the pandas groupby-cumsum
+    ground truth."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.packing import keyed_prefix_sums
+
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(n * id_scale + 1, size=n, replace=False).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": ids,
+        "n_tok": rng.integers(0, 50, size=n).astype(np.int64),
+        "source": rng.choice([f"k{i}" for i in range(n_keys)], size=n),
+    })
+    ds = ray.data.from_pandas(df.sample(frac=1, random_state=1)) \
+        .repartition(min(4, n))
+    out = keyed_prefix_sums(ds, key_column="source", id_column="doc_id",
+                            value_column="n_tok",
+                            bucket_width=bucket_width) \
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    ref = df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    ref["cum_prev"] = ref.groupby("source")["n_tok"].cumsum() - ref["n_tok"]
+    assert (out["cum_prev"].to_numpy() == ref["cum_prev"].to_numpy()).all()
