@@ -516,6 +516,68 @@ def _q_png_channel_stats(sf_dir: str):
     return _media_channel_stats(sf_dir, codec="png")
 
 
+def _q_jpeg_channel_stats(sf_dir: str):
+    """Channel-stats oracle through the REAL baseline JPEG codec
+    (stages/jpeg.py: Annex K tables, Huffman entropy coding, DCT): uniform
+    gray blocks are DC-only, and for EVEN pixel values the luma DC
+    quantizer divides evenly, so decode is closed-form EXACT — the lossy
+    codec becomes SQL-oracle-checkable on this input family. Pixel value =
+    (doc_id * 2) % 256."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.jpeg import encode_jpeg
+    from cardinalityestimation_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        ImageDecodeStage,
+        ImageFeatureStage,
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        vals = ((ids * 2) % 256).astype(np.uint8)
+        payloads = [encode_jpeg(np.full((16, 16), v, dtype=np.uint8))
+                    for v in vals]
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids.astype("U")),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(np.full(n, 16, np.int32)),
+            "height": pa.array(np.full(n, 16, np.int32)),
+        })
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    decoded = media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"decoder": "jpeg", "out_size": 16},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+    feats = decoded.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"out_size": 16},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        fcol = batch["features"]
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        mat = fcol.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), 6).astype(np.float64)
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "mean_gray": pa.array(mat[:, 0]),
+            "std_gray": pa.array(mat[:, 3]),
+        })
+
+    out = feats.map_batches(project, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _media_channel_stats(sf_dir: str, *, codec: str):
     import numpy as np
     import pyarrow as pa
@@ -1381,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "udaf_theta_distinct_users_by_type": _q_udaf_theta_distinct_users_by_type,
         "bmp_channel_stats": _q_bmp_channel_stats,
         "png_channel_stats": _q_png_channel_stats,
+        "jpeg_channel_stats": _q_jpeg_channel_stats,
         "wav_rms_energy": _q_wav_rms_energy,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
@@ -1496,6 +1559,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS DOUBLE) AS std_r,
                    CAST(0 AS DOUBLE) AS std_g,
                    CAST(0 AS DOUBLE) AS std_b
+            FROM documents
+        """,
+        "jpeg_channel_stats": """
+            SELECT doc_id,
+                   CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_gray,
+                   CAST(0 AS DOUBLE) AS std_gray
             FROM documents
         """,
         "wav_rms_energy": """

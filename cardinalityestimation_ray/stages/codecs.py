@@ -3,8 +3,9 @@
 BMP (BITMAPINFOHEADER, 24-bit BI_RGB) and WAV (RIFF PCM-16) are published
 byte layouts decodable with struct + numpy alone — no imaging/audio
 libraries required. These give the multimodal stages REAL decode paths in
-this container (compressed formats — JPEG/PNG/FLAC/MP4 — still need the
-external libs and stay behind NotImplementedError in multimodal.py).
+this container; PNG (DEFLATE) lives below, baseline JPEG (DCT + Huffman)
+in stages/jpeg.py — compressed AUDIO/VIDEO (FLAC/MP4) still need external
+libs and stay behind NotImplementedError in multimodal.py.
 
 Both decoders validate bounds before trusting header-declared sizes
 (truncated/garbage input raises ValueError, mirroring the sketch

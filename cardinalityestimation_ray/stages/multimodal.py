@@ -5,15 +5,19 @@ next to them. Decode / feature-extraction run as ACTOR-POOL map_batches
 stages (decoder state built once per actor in __init__).
 
 Decoder backends:
+- ``"jpeg"`` / ``"png"`` — REAL pure-numpy COMPRESSED codecs:
+  baseline-DCT JPEG with Annex K Huffman entropy coding (stages/jpeg.py)
+  and stdlib-zlib DEFLATE PNG with full defiltering (codecs.py) — actual
+  lossy/lossless image decode, no external libraries.
 - ``"bmp"`` / ``"wav"`` — REAL pure-numpy codecs for the uncompressed
   published formats (stages/codecs.py): actual pixel/sample decode with
   bounds-validated headers.
 - ``"fake"`` (default) — deterministic stand-in keeping the Ray plumbing
   (schema, batch sizing, actor signature, output layout) testable with
   arbitrary payload bytes.
-- ``"pil"``/``"soundfile"``/``"pyav"`` — compressed formats need external
-  libs absent from this container; they raise NotImplementedError and are
-  the only line to swap on a real deployment.
+- ``"soundfile"``/``"pyav"`` — compressed AUDIO/VIDEO (FLAC/H.264) need
+  external DSP libs absent from this container; they raise
+  NotImplementedError and are the only line to swap on a real deployment.
 
 Memory rule for media: batches of large binary payloads must be SMALL —
 ``media_batch_size`` defaults to 32 rows so batch x concurrency stays within
@@ -75,19 +79,26 @@ class ImageDecodeStage:
         self.out_size = out_size
         if decoder == "pil":
             raise NotImplementedError(
-                "PIL is not available in this container (needed for JPEG); "
-                "use decoder='png' (real stdlib-zlib DEFLATE decode, "
-                "codecs.py:decode_png), decoder='bmp' (real pure-numpy "
-                "24-bit BMP decode) or 'fake'")
-        if decoder not in ("fake", "bmp", "png"):
+                "PIL is not available in this container; every shipped "
+                "decoder is already a real pure-numpy codec — use "
+                "decoder='jpeg' (baseline DCT, stages/jpeg.py), 'png' "
+                "(stdlib-zlib DEFLATE, codecs.py:decode_png), 'bmp' "
+                "(24-bit BI_RGB) or 'fake'")
+        if decoder not in ("fake", "bmp", "png", "jpeg"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _decode_one(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if self.decoder in ("bmp", "png"):
+        if self.decoder in ("bmp", "png", "jpeg"):
             from .codecs import decode_bmp, decode_png, resize_nearest
 
-            img = decode_bmp(payload) if self.decoder == "bmp" \
-                else decode_png(payload)
+            if self.decoder == "bmp":
+                img = decode_bmp(payload)
+            elif self.decoder == "png":
+                img = decode_png(payload)
+            else:
+                from .jpeg import decode_jpeg
+
+                img = decode_jpeg(payload)
             if img.ndim == 2:  # gray -> 3-channel for the fixed stage schema
                 img = np.repeat(img[:, :, None], 3, axis=2)
             elif img.shape[2] == 4:  # drop alpha
