@@ -702,6 +702,63 @@ def _q_wav_rms_energy(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_adpcm_rms_energy(sf_dir: str):
+    """COMPRESSED-audio-path counterpart of wav_rms_energy: the payloads
+    are IMA ADPCM WAVs (4-bit codes, 4:1 compression) decoded through the
+    REAL adaptive-predictor codec (stages/codecs.py:decode_wav_adpcm). A
+    constant signal encodes EXACTLY (block header stores the first sample;
+    at step index 0 a zero diff encodes as code 0 with diff 7>>3 == 0), so
+    the lossy codec is closed-form oracle-checkable on this input family —
+    the audio analogue of jpeg_channel_stats' DC-exact trick."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.codecs import encode_wav_adpcm
+    from cardinalityestimation_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        AudioFrameSampleStage,
+    )
+
+    N_SAMPLES, RATE = 1600, 16000
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        amps = ((ids * 131 + 17) % 32768).astype(np.int16)
+        payloads = [
+            encode_wav_adpcm(np.full(N_SAMPLES, a, dtype=np.int16), RATE)
+            for a in amps
+        ]
+        return pa.table({
+            "media_id": pa.array(ids.astype("U")),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    frames = media.map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs={"decoder": "adpcm", "n_frames": 16},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch["frame_energy"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), 16)
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "rms": pa.array(mat.mean(axis=1).astype(np.float64)),
+        })
+
+    out = frames.map_batches(project, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
     """Distinct users per event type through the GENERIC mergeable-UDAF
     surface: partial theta sketches per batch, merged by Ray's native
@@ -1445,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_channel_stats": _q_png_channel_stats,
         "jpeg_channel_stats": _q_jpeg_channel_stats,
         "wav_rms_energy": _q_wav_rms_energy,
+        "adpcm_rms_energy": _q_adpcm_rms_energy,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
         "heavy_hitter_counts": _q_heavy_hitter_counts,
@@ -1570,6 +1628,11 @@ def oracle_sql() -> dict[str, str]:
         "wav_rms_energy": """
             SELECT doc_id,
                    CAST((doc_id * 97 + 11) % 32768 AS DOUBLE) / 32768 AS rms
+            FROM documents
+        """,
+        "adpcm_rms_energy": """
+            SELECT doc_id,
+                   CAST((doc_id * 131 + 17) % 32768 AS DOUBLE) / 32768 AS rms
             FROM documents
         """,
         "event_counts_by_type": """

@@ -166,18 +166,20 @@ class AudioFrameSampleStage:
         if decoder == "soundfile":
             raise NotImplementedError(
                 "soundfile is not available in this container (needed for "
-                "FLAC/OGG); use decoder='wav' (real pure-numpy PCM-16 "
-                "decode) or 'fake'")
-        if decoder not in ("fake", "wav"):
+                "FLAC/OGG); use decoder='adpcm' (real IMA ADPCM 4:1 "
+                "COMPRESSED decode, codecs.py:decode_wav_adpcm), "
+                "decoder='wav' (real pure-numpy PCM-16 decode) or 'fake'")
+        if decoder not in ("fake", "wav", "adpcm"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.n_frames = n_frames
 
     def _frame_energies(self, payload: bytes) -> np.ndarray:
-        if self.decoder == "wav":
-            from .codecs import decode_wav_pcm16
+        if self.decoder in ("wav", "adpcm"):
+            from .codecs import decode_wav_adpcm, decode_wav_pcm16
 
-            samples, _rate = decode_wav_pcm16(payload)
+            samples, _rate = decode_wav_pcm16(payload) \
+                if self.decoder == "wav" else decode_wav_adpcm(payload)
             if samples.ndim == 2:
                 samples = samples.mean(axis=1)
             x = samples.astype(np.float64) / 32768.0

@@ -361,3 +361,99 @@ class TestPNG:
                              batch_format="pyarrow").to_pandas()
         assert len(out) == 6
         assert (out["width"] == 16).all()
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV
+
+
+class TestADPCM:
+    def test_constant_signal_exact(self):
+        import numpy as np
+
+        from cardinalityestimation_ray.stages.codecs import (
+            decode_wav_adpcm,
+            encode_wav_adpcm,
+        )
+
+        for amp in (-32768, -1234, 0, 1, 1234, 32767):
+            sig = np.full(1511, amp, dtype=np.int16)
+            dec, rate = decode_wav_adpcm(encode_wav_adpcm(sig, 8000))
+            assert rate == 8000
+            assert len(dec) == len(sig)
+            assert (dec == amp).all(), amp
+
+    def test_sine_tracks_closely(self):
+        import numpy as np
+
+        from cardinalityestimation_ray.stages.codecs import (
+            decode_wav_adpcm,
+            encode_wav_adpcm,
+        )
+
+        t = np.arange(4000)
+        sig = (8000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+        dec, _ = decode_wav_adpcm(encode_wav_adpcm(sig, 16000))
+        err = np.abs(dec.astype(int) - sig.astype(int))
+        assert err.mean() < 100  # ~0.3% of amplitude for a smooth signal
+
+    def test_partial_final_block_length_preserved(self):
+        import numpy as np
+
+        from cardinalityestimation_ray.stages.codecs import (
+            decode_wav_adpcm,
+            encode_wav_adpcm,
+        )
+
+        sig = np.arange(-300, 300, dtype=np.int16)  # 600 % 505 != 0
+        dec, _ = decode_wav_adpcm(encode_wav_adpcm(sig, 8000))
+        assert len(dec) == len(sig)  # fact chunk trims block padding
+
+    def test_adversarial(self):
+        import numpy as np
+        import pytest
+
+        from cardinalityestimation_ray.stages.codecs import (
+            decode_wav_adpcm,
+            decode_wav_pcm16,
+            encode_wav_adpcm,
+            encode_wav_pcm16,
+        )
+
+        good = encode_wav_adpcm(np.zeros(100, dtype=np.int16), 8000)
+        with pytest.raises(ValueError):
+            decode_wav_adpcm(good[:16])
+        # cross-format confusion raises actionably both ways
+        pcm = encode_wav_pcm16(np.zeros(100, dtype=np.int16), 8000)
+        with pytest.raises(ValueError, match="fmt|format"):
+            decode_wav_adpcm(pcm)
+        with pytest.raises(ValueError, match="PCM-16|format"):
+            decode_wav_pcm16(good)
+        with pytest.raises(ValueError):
+            encode_wav_adpcm(np.zeros((2, 5), dtype=np.int16), 8000)
+        with pytest.raises(ValueError):
+            encode_wav_adpcm(np.zeros(10, dtype=np.float32), 8000)
+
+    def test_audio_stage_accepts_adpcm(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from cardinalityestimation_ray.stages.codecs import encode_wav_adpcm
+        from cardinalityestimation_ray.stages.multimodal import (
+            AudioFrameSampleStage,
+        )
+
+        rows = []
+        for i in range(4):
+            sig = np.full(1600, 100 * (i + 1), dtype=np.int16)
+            rows.append({"media_id": i,
+                         "payload": encode_wav_adpcm(sig, 16000)})
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = ds.map_batches(AudioFrameSampleStage(decoder="adpcm",
+                                                   n_frames=8),
+                             batch_size=2, concurrency=1,
+                             batch_format="pyarrow").to_pandas()
+        e = np.stack(out["frame_energy"])
+        expect = (np.arange(1, 5) * 100 / 32768.0)[:, None]
+        assert np.allclose(e, np.broadcast_to(expect, e.shape), atol=1e-6)
