@@ -759,6 +759,64 @@ def _q_adpcm_rms_energy(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_mjpeg_frame_features(sf_dir: str):
+    """COMPRESSED-video-path oracle: per document an 8-frame Motion-JPEG
+    AVI of uniform even-valued frames (RIFF container + the real baseline
+    JPEG codec per '00dc' chunk), frame-sampled through the actor-pool
+    video stage with idx1 random access. Uniform even values are DC-exact
+    under JPEG, so round(feature*255) reproduces the pixel value exactly
+    — closed-form SQL arithmetic of doc_id."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.codecs import encode_avi_mjpeg
+    from cardinalityestimation_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        VideoFrameSampleStage,
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            v = int((i * 2) % 256)
+            frames = np.full((8, 16, 16, 3), v, dtype=np.uint8)
+            payloads.append(encode_avi_mjpeg(frames, fps=4))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids.astype("U")),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "duration_ms": pa.array(np.full(n, 2000, np.int32)),
+        })
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    sampled = media.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"decoder": "mjpeg", "n_frames": 4,
+                               "feature_dim": 12},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch["frame_features"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), -1)
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pixel_value": pa.array(
+                np.round(mat.mean(axis=1) * 255.0).astype(np.int64)),
+        })
+
+    out = sampled.map_batches(project, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
     """Distinct users per event type through the GENERIC mergeable-UDAF
     surface: partial theta sketches per batch, merged by Ray's native
@@ -1503,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_channel_stats": _q_jpeg_channel_stats,
         "wav_rms_energy": _q_wav_rms_energy,
         "adpcm_rms_energy": _q_adpcm_rms_energy,
+        "mjpeg_frame_features": _q_mjpeg_frame_features,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
         "heavy_hitter_counts": _q_heavy_hitter_counts,
@@ -1633,6 +1692,10 @@ def oracle_sql() -> dict[str, str]:
         "adpcm_rms_energy": """
             SELECT doc_id,
                    CAST((doc_id * 131 + 17) % 32768 AS DOUBLE) / 32768 AS rms
+            FROM documents
+        """,
+        "mjpeg_frame_features": """
+            SELECT doc_id, CAST((doc_id * 2) % 256 AS BIGINT) AS pixel_value
             FROM documents
         """,
         "event_counts_by_type": """

@@ -511,3 +511,126 @@ def decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
     if n_samples_fact is not None and n_samples_fact <= len(samples):
         samples = samples[:n_samples_fact]  # drop final-block padding
     return samples, int(sample_rate)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI — a REAL compressed-video format: the published RIFF AVI
+# container (hdrl/movi/idx1) carrying one baseline-JPEG frame per '00dc'
+# chunk (Motion JPEG, the webcam/capture-card staple). Container math is
+# struct-only; frame pixels go through the real DCT codec in
+# stages/jpeg.py. Random access via the idx1 index, like BSEQ.
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (N, H, W, 3) uint8 frames as an MJPEG AVI."""
+    from .jpeg import encode_jpeg
+
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError(
+            f"expected (N, H, W, 3) uint8, got {frames.shape} {frames.dtype}")
+    n, h, w, _ = frames.shape
+    if n == 0:
+        raise ValueError("empty video")
+    blobs = [encode_jpeg(f) for f in frames]
+
+    def chunk(ckid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return ckid + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_size = max(len(b) for b in blobs)
+    avih = struct.pack("<10I2I2I", 1_000_000 // max(fps, 1), max_size * fps,
+                       0, 0x10, n, 0, 1, max_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0,
+                                            1, max(fps, 1), 0, n, max_size,
+                                            -1, 0) +
+            struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       len(blobs[0]), 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = []
+    idx_entries = []
+    offset = 4  # relative to the start of the 'movi' fourcc
+    for b in blobs:
+        ck = chunk(b"00dc", b)
+        movi_chunks.append(ck)
+        idx_entries.append(struct.pack("<4sII I".replace(" ", ""),
+                                       b"00dc", 0x10, offset, len(b)))
+        offset += len(ck)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def avi_mjpeg_info(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray, int]:
+    """(n_frames, fps, frame_offsets, frame_sizes, movi_base) with bounds
+    validation; offsets are ABSOLUTE positions of each JPEG payload."""
+    if len(data) < 24 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("invalid AVI: bad RIFF/AVI magic")
+    pos = 12
+    fps = 25
+    n_frames = None
+    movi_base = None
+    idx_payload = None
+    while pos + 8 <= len(data):
+        ckid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            raise ValueError(f"truncated AVI: chunk {ckid!r} past end")
+        if ckid == b"LIST":
+            kind = data[pos + 8:pos + 12]
+            if kind == b"movi":
+                movi_base = pos + 8  # points at the 'movi' fourcc
+            elif kind == b"hdrl":
+                # scan inside for strh to pull rate/scale and length
+                inner = data[pos + 12:pos + 8 + size]
+                spos = inner.find(b"strh")
+                if spos >= 0:
+                    body = inner[spos + 8:spos + 8 + 56]
+                    if len(body) >= 40 and body[:4] == b"vids":
+                        scale, rate = struct.unpack_from("<II", body, 20)
+                        if scale:
+                            fps = max(rate // scale, 1)
+                        (n_frames,) = struct.unpack_from("<I", body, 32)
+                pos += 8 + size + (size & 1)
+                continue
+        elif ckid == b"idx1":
+            idx_payload = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if movi_base is None or idx_payload is None:
+        raise ValueError("invalid AVI: missing movi list or idx1 index")
+    n = len(idx_payload) // 16
+    if n == 0:
+        raise ValueError("invalid AVI: empty index")
+    if n_frames is not None and n_frames != n:
+        raise ValueError(
+            f"invalid AVI: header declares {n_frames} frames, index has {n}")
+    offs = np.empty(n, dtype=np.int64)
+    sizes = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        ckid, _flags, off, sz = struct.unpack_from("<4sIII",
+                                                   idx_payload, 16 * i)
+        if ckid != b"00dc":
+            raise ValueError(f"unsupported AVI: stream chunk {ckid!r}")
+        # idx1 offsets are relative to the 'movi' fourcc
+        abs_off = movi_base + off + 8  # skip the 00dc chunk header
+        if abs_off + sz > len(data):
+            raise ValueError("invalid AVI: index entry past end of input")
+        offs[i] = abs_off
+        sizes[i] = sz
+    return n, fps, offs, sizes, movi_base
+
+
+def decode_avi_mjpeg_frame(data: bytes, index: int) -> np.ndarray:
+    """Decode one MJPEG frame (random access via idx1)."""
+    from .jpeg import decode_jpeg
+
+    n, _fps, offs, sizes, _base = avi_mjpeg_info(data)
+    if not (0 <= index < n):
+        raise ValueError(f"frame index {index} out of range [0, {n})")
+    return decode_jpeg(data[int(offs[index]):int(offs[index] + sizes[index])])

@@ -219,30 +219,46 @@ class VideoFrameSampleStage:
         if decoder == "pyav":
             raise NotImplementedError(
                 "PyAV is not available in this container (needed for "
-                "H.264/MP4); use decoder='bmpseq' (real decode of the "
-                "BMP-sequence container, stages/codecs.py) or 'fake'")
-        if decoder not in ("fake", "bmpseq"):
+                "H.264/MP4); use decoder='mjpeg' (real COMPRESSED Motion-"
+                "JPEG AVI decode — RIFF container + the baseline JPEG "
+                "codec), decoder='bmpseq' (uncompressed BMP-sequence "
+                "container) or 'fake'")
+        if decoder not in ("fake", "bmpseq", "mjpeg"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.n_frames = n_frames
         self.feature_dim = feature_dim
 
     def _sample_one(self, payload: bytes, dur: int):
-        if self.decoder == "bmpseq":
-            from .codecs import bmpseq_info, decode_bmp, resize_nearest
+        if self.decoder in ("bmpseq", "mjpeg"):
+            from .codecs import (
+                avi_mjpeg_info,
+                bmpseq_info,
+                decode_bmp,
+                resize_nearest,
+            )
 
             # parse the container header ONCE; sampled frames decode from
-            # offset slices directly
-            total, fps, offsets = bmpseq_info(payload)
+            # offset slices directly (both containers index random access)
+            if self.decoder == "mjpeg":
+                from .jpeg import decode_jpeg
+
+                total, fps, offsets, sizes, _ = avi_mjpeg_info(payload)
+                ends = offsets + sizes
+                decode = decode_jpeg
+            else:
+                total, fps, offsets = bmpseq_info(payload)
+                ends = np.r_[offsets[1:], len(payload)] if total else \
+                    np.array([], dtype=np.int64)
+                decode = decode_bmp
             idx = (np.arange(self.n_frames) * total
                    // max(self.n_frames, 1)).clip(0, max(total - 1, 0))
             ts = (idx * 1000 // max(fps, 1)).astype(np.int32)
             feats = np.zeros((self.n_frames, self.feature_dim),
                              dtype=np.float32)
             if total:
-                ends = np.r_[offsets[1:], len(payload)]
                 for j, fi in enumerate(idx):
-                    frame = decode_bmp(
+                    frame = decode(
                         payload[int(offsets[fi]):int(ends[fi])])
                     # feature = channel means of a coarse grid (real pixels)
                     side = max(int(np.sqrt(self.feature_dim // 3)), 1)

@@ -457,3 +457,88 @@ class TestADPCM:
         e = np.stack(out["frame_energy"])
         expect = (np.arange(1, 5) * 100 / 32768.0)[:, None]
         assert np.allclose(e, np.broadcast_to(expect, e.shape), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI
+
+
+class TestMjpegAvi:
+    def test_roundtrip_uniform_frames_exact(self):
+        import numpy as np
+
+        from cardinalityestimation_ray.stages.codecs import (
+            avi_mjpeg_info,
+            decode_avi_mjpeg_frame,
+            encode_avi_mjpeg,
+        )
+
+        frames = np.stack([np.full((16, 16, 3), v * 2, dtype=np.uint8)
+                           for v in range(6)])
+        blob = encode_avi_mjpeg(frames, fps=12)
+        n, fps, offs, sizes, _ = avi_mjpeg_info(blob)
+        assert (n, fps) == (6, 12)
+        for i in (0, 3, 5):  # even uniform values are DC-exact under JPEG
+            assert (decode_avi_mjpeg_frame(blob, i) == frames[i]).all()
+
+    def test_random_frames_lossy_but_structural(self):
+        import numpy as np
+
+        from cardinalityestimation_ray.stages.codecs import (
+            decode_avi_mjpeg_frame,
+            encode_avi_mjpeg,
+        )
+
+        rng = np.random.default_rng(8)
+        frames = rng.integers(0, 256, size=(3, 24, 16, 3)).astype(np.uint8)
+        blob = encode_avi_mjpeg(frames, fps=5)
+        out = decode_avi_mjpeg_frame(blob, 1)
+        assert out.shape == (24, 16, 3)
+
+    def test_adversarial(self):
+        import numpy as np
+        import pytest
+
+        from cardinalityestimation_ray.stages.codecs import (
+            avi_mjpeg_info,
+            decode_avi_mjpeg_frame,
+            encode_avi_mjpeg,
+        )
+
+        frames = np.zeros((2, 8, 8, 3), dtype=np.uint8)
+        good = encode_avi_mjpeg(frames)
+        with pytest.raises(ValueError):
+            avi_mjpeg_info(b"RIFFxxxxWAVE")
+        with pytest.raises(ValueError):
+            avi_mjpeg_info(good[:60])
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg_frame(good, 2)
+        with pytest.raises(ValueError):
+            encode_avi_mjpeg(np.zeros((0, 8, 8, 3), dtype=np.uint8))
+
+    def test_video_stage_mjpeg(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from cardinalityestimation_ray.stages.codecs import encode_avi_mjpeg
+        from cardinalityestimation_ray.stages.multimodal import (
+            VideoFrameSampleStage,
+        )
+
+        rows = []
+        for i in range(3):
+            frames = np.stack([np.full((16, 16, 3), 2 * (10 * i + f),
+                                       dtype=np.uint8) for f in range(8)])
+            rows.append({"media_id": i,
+                         "payload": encode_avi_mjpeg(frames, fps=4),
+                         "duration_ms": 2000})
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = ds.map_batches(
+            VideoFrameSampleStage(decoder="mjpeg", n_frames=4,
+                                  feature_dim=12),
+            batch_size=2, concurrency=1, batch_format="pyarrow").to_pandas()
+        assert len(out) == 3
+        # first sampled frame of media 1 is uniform 20 -> features 20/255
+        feats = np.stack(out.sort_values("media_id")["frame_features"])
+        assert np.allclose(feats[1].reshape(4, 12)[0], 20 / 255.0, atol=1e-3)
