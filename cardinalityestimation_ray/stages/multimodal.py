@@ -158,8 +158,9 @@ class ImageFeatureStage:
 class AudioFrameSampleStage:
     """Actor-pool stage: audio payload -> fixed-count frame energy samples.
 
-    The codec call is stubbed exactly like ImageDecodeStage; the
-    metadata-driven framing math (sample_rate, duration) is real.
+    decoder='wav' (PCM-16) and 'adpcm' (IMA ADPCM, compressed) decode real
+    samples through the pure-numpy codecs; 'fake' keeps the plumbing
+    testable with arbitrary payloads.
     """
 
     def __init__(self, decoder: str = "fake", n_frames: int = 16):
@@ -210,8 +211,10 @@ class AudioFrameSampleStage:
 class VideoFrameSampleStage:
     """Actor-pool stage: video payload -> k uniformly-sampled frame features.
 
-    The metadata math (duration -> frame timestamps at the requested fps) is
-    real; the codec call is stubbed like the other decode stages.
+    decoder='mjpeg' (Motion-JPEG AVI, compressed) and 'bmpseq'
+    (uncompressed BMP-sequence) decode real pixels with random-access
+    frame indexes; 'fake' keeps the plumbing testable with arbitrary
+    payloads.
     """
 
     def __init__(self, decoder: str = "fake", n_frames: int = 8,

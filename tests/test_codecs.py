@@ -1,9 +1,7 @@
-"""Pure-numpy BMP/WAV codecs + real-decode multimodal stages.
-
-The codecs are the published uncompressed byte layouts (24-bit BI_RGB BMP;
-RIFF PCM-16 WAV) implemented with struct + numpy only — they upgrade the
-multimodal stages from deterministic stubs to REAL decode paths for these
-formats in this container.
+"""Pure-numpy media codecs + real-decode multimodal stages: BMP, PCM WAV,
+PNG (DEFLATE), IMA ADPCM (compressed audio), BSEQ and MJPEG AVI
+(compressed video container) — published byte layouts implemented with
+struct/zlib/numpy only.
 """
 
 import numpy as np
