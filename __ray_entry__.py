@@ -759,6 +759,61 @@ def _q_adpcm_rms_energy(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_flac_rms_energy(sf_dir: str):
+    """LOSSLESS-compressed-audio oracle: per document a constant-amplitude
+    FLAC clip (real Rice-coded bitstream with frame CRCs, stages/flac.py)
+    decoded through the actor-pool audio stage. FLAC is lossless, so the
+    closed-form RMS holds for ANY deterministic signal — constants keep
+    the float math exact (amp/32768 is a power-of-two division)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.flac import encode_flac
+    from cardinalityestimation_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        AudioFrameSampleStage,
+    )
+
+    N_SAMPLES, RATE = 1600, 16000
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        amps = ((ids * 53 + 29) % 32768).astype(np.int16)
+        payloads = [
+            encode_flac(np.full(N_SAMPLES, a, dtype=np.int16), RATE)
+            for a in amps
+        ]
+        return pa.table({
+            "media_id": pa.array(ids.astype("U")),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    frames = media.map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs={"decoder": "flac", "n_frames": 16},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch["frame_energy"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), 16)
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "rms": pa.array(mat.mean(axis=1).astype(np.float64)),
+        })
+
+    out = frames.map_batches(project, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_mjpeg_frame_features(sf_dir: str):
     """COMPRESSED-video-path oracle: per document an 8-frame Motion-JPEG
     AVI of uniform even-valued frames (RIFF container + the real baseline
@@ -1562,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_rms_energy": _q_wav_rms_energy,
         "adpcm_rms_energy": _q_adpcm_rms_energy,
         "mjpeg_frame_features": _q_mjpeg_frame_features,
+        "flac_rms_energy": _q_flac_rms_energy,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
         "heavy_hitter_counts": _q_heavy_hitter_counts,
@@ -1692,6 +1748,11 @@ def oracle_sql() -> dict[str, str]:
         "adpcm_rms_energy": """
             SELECT doc_id,
                    CAST((doc_id * 131 + 17) % 32768 AS DOUBLE) / 32768 AS rms
+            FROM documents
+        """,
+        "flac_rms_energy": """
+            SELECT doc_id,
+                   CAST((doc_id * 53 + 29) % 32768 AS DOUBLE) / 32768 AS rms
             FROM documents
         """,
         "mjpeg_frame_features": """

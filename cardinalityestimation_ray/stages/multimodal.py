@@ -167,20 +167,26 @@ class AudioFrameSampleStage:
         if decoder == "soundfile":
             raise NotImplementedError(
                 "soundfile is not available in this container (needed for "
-                "FLAC/OGG); use decoder='adpcm' (real IMA ADPCM 4:1 "
-                "COMPRESSED decode, codecs.py:decode_wav_adpcm), "
-                "decoder='wav' (real pure-numpy PCM-16 decode) or 'fake'")
-        if decoder not in ("fake", "wav", "adpcm"):
+                "OGG/Vorbis); use decoder='flac' (real lossless Rice-coded "
+                "decode, stages/flac.py), 'adpcm' (real IMA ADPCM 4:1 "
+                "lossy decode), 'wav' (PCM-16) or 'fake'")
+        if decoder not in ("fake", "wav", "adpcm", "flac"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.n_frames = n_frames
 
     def _frame_energies(self, payload: bytes) -> np.ndarray:
-        if self.decoder in ("wav", "adpcm"):
+        if self.decoder in ("wav", "adpcm", "flac"):
             from .codecs import decode_wav_adpcm, decode_wav_pcm16
 
-            samples, _rate = decode_wav_pcm16(payload) \
-                if self.decoder == "wav" else decode_wav_adpcm(payload)
+            if self.decoder == "wav":
+                samples, _rate = decode_wav_pcm16(payload)
+            elif self.decoder == "adpcm":
+                samples, _rate = decode_wav_adpcm(payload)
+            else:
+                from .flac import decode_flac
+
+                samples, _rate = decode_flac(payload)
             if samples.ndim == 2:
                 samples = samples.mean(axis=1)
             x = samples.astype(np.float64) / 32768.0
