@@ -1032,6 +1032,25 @@ def _q_doc_quality_counts(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_chunk_passages(sf_dir: str):
+    """RAG-prep passage chunking: every document split into overlapping
+    128-token windows at stride 64, one ROW PER PASSAGE (the row-expanding
+    flat_map shape), passage text = tokens re-joined — byte-identical to
+    the DuckDB list-slice + array_to_string oracle."""
+    import ray.data
+
+    from cardinalityestimation_ray.functions.text import chunk_passages
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = docs.map_batches(
+        lambda b: chunk_passages(b, window=128, stride=64),
+        batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "passage_id", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "passage_id"]).reset_index(drop=True)
+
+
 def _q_doc_quality_scores(sf_dir: str):
     import ray.data
 
@@ -1628,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": _q_doc_length_stats,
         "doc_quality_scores": _q_doc_quality_scores,
         "doc_quality_counts": _q_doc_quality_counts,
+        "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ntok_quantiles_exact_by_source": _q_ntok_quantiles_exact_by_source,
@@ -1998,6 +2018,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_prev // 512 AS BIGINT) AS seq_id,
                    CAST(cum_prev % 512 AS BIGINT) AS seq_offset
             FROM cum
+        """,
+        "chunk_passages": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            p AS (
+              SELECT doc_id, t, len(t) AS n,
+                     unnest(generate_series(0,
+                       CASE WHEN len(t) > 128
+                            THEN CAST(ceil((len(t) - 128) / 64.0) AS BIGINT)
+                            ELSE 0 END)) AS passage_id
+              FROM tok
+            )
+            SELECT doc_id, passage_id,
+                   least(128, n - passage_id * 64) AS n_tokens,
+                   array_to_string(
+                     t[CAST(passage_id * 64 + 1 AS INT):
+                       CAST(least(passage_id * 64 + 128, n) AS INT)],
+                     ' ') AS passage
+            FROM p
         """,
         "doc_quality_counts": f"""
             SELECT doc_id,

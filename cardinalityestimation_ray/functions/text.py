@@ -307,3 +307,75 @@ def clean_text(batch: pa.Table, text_column: str = "text", *,
                                        replacement=" ")
         t = pc.utf8_trim(t, characters=" \t")
     return batch.append_column(out_column, t)
+
+
+def chunk_passages(batch: pa.Table, *, window: int, stride: int,
+                   text_column: str = "text",
+                   id_column: str = "doc_id") -> pa.Table:
+    """Row-expanding passage chunker (RAG / retrieval prep): split each
+    document's token stream into overlapping ``window``-token passages at
+    ``stride`` offsets and emit one ROW PER PASSAGE — the flat_map shape.
+
+    Tokenization is the corpus whitespace rule (ascii split, empties
+    dropped), and a passage's text is its tokens re-joined with single
+    spaces — exactly DuckDB's ``array_to_string(t[i:j], ' ')``, so the
+    operator is fully SQL-oracle-checkable. A document shorter than
+    ``window`` yields one passage (its whole token stream); otherwise
+    passages start at 0, stride, 2*stride, ... and the FINAL start is the
+    last offset with a full window (tail tokens are covered by the overlap
+    rule, matching the common fixed-stride chunkers).
+
+    Vectorized: one split per batch, passage boundaries by arithmetic over
+    the list offsets, and one ``pa.ListArray`` take + binary-join for the
+    passage texts — no per-passage Python.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got "
+                         f"{window}/{stride}")
+    text = _as_array(batch[text_column])
+    if text.null_count:
+        text = pc.fill_null(text, "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = _as_array(flat.filter(keep))
+    parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
+    n_rows = len(batch)
+    counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    doc_starts = np.r_[0, counts.cumsum()[:-1]]
+
+    # passages per doc: 1 + max(0, ceil((n - window) / stride)) for n>0,
+    # and exactly 1 for n==0 (empty passage keeps every doc represented)
+    extra = np.maximum(counts - window, 0)
+    n_pass = 1 + (extra + stride - 1) // stride
+    pass_doc = np.repeat(np.arange(n_rows, dtype=np.int64), n_pass)
+    pass_idx = (np.arange(len(pass_doc), dtype=np.int64)
+                - np.repeat(np.r_[0, n_pass.cumsum()[:-1]], n_pass))
+    starts = pass_idx * stride
+    lens = np.minimum(window, counts[pass_doc] - starts)
+    abs_start = doc_starts[pass_doc] + starts
+
+    # one gather builds every passage's token list
+    gather_idx = []
+    offsets = np.zeros(len(pass_doc) + 1, dtype=np.int64)
+    offsets[1:] = lens.cumsum()
+    total = int(offsets[-1])
+    gidx = np.empty(total, dtype=np.int64)
+    for i in range(len(pass_doc)):  # builds INDICES only; O(total tokens)
+        gidx[offsets[i]:offsets[i + 1]] = np.arange(
+            abs_start[i], abs_start[i] + lens[i])
+    del gather_idx
+    passage_tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        flat.take(pa.array(gidx)))
+    passage_text = pc.binary_join(passage_tokens, pa.scalar(" "))
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_column: ids.take(pa.array(pass_doc)),
+        "passage_id": pa.array(pass_idx),
+        "n_tokens": pa.array(lens),
+        "passage": passage_text,
+    })

@@ -122,3 +122,36 @@ def test_partition_helper_trivia(ray_session):
     ds = ray.data.range(100)
     assert round_robin(ds, 5).count() == 100
     assert chunked(ds, 5).count() == 100
+
+
+def test_chunk_passages_edges(ray_session):
+    """Window/stride arithmetic edges: exact-multiple lengths, shorter-
+    than-window docs, empty docs, stride > window (gapped sampling)."""
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.functions.text import chunk_passages
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [" ".join(f"t{i}" for i in range(10)),
+                 " ".join(f"u{i}" for i in range(6)),    # n == window
+                 "short one",
+                 ""],
+    })
+    out = chunk_passages(t, window=6, stride=4).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1 n=10: passages at 0 and 4 (ceil((10-6)/4)=1 extra)
+    assert [r["passage"] for r in by_doc[1]] == [
+        "t0 t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8 t9"]
+    # doc2 n==window: single full passage
+    assert [r["n_tokens"] for r in by_doc[2]] == [6]
+    # doc3 shorter than window: whole doc
+    assert [r["passage"] for r in by_doc[3]] == ["short one"]
+    # doc4 empty: one empty passage keeps the doc represented
+    assert [r["n_tokens"] for r in by_doc[4]] == [0]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_passages(t, window=0, stride=1)
