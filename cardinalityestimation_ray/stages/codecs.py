@@ -569,7 +569,15 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25) -> bytes:
 
 def avi_mjpeg_info(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray, int]:
     """(n_frames, fps, frame_offsets, frame_sizes, movi_base) with bounds
-    validation; offsets are ABSOLUTE positions of each JPEG payload."""
+    validation; offsets are ABSOLUTE positions of each JPEG payload.
+    Malformed containers always raise ValueError (fuzz-pinned)."""
+    try:
+        return _avi_mjpeg_info(data)
+    except (IndexError, struct.error, OverflowError) as e:
+        raise ValueError(f"invalid AVI: malformed chunk ({e})") from None
+
+
+def _avi_mjpeg_info(data: bytes):
     if len(data) < 24 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("invalid AVI: bad RIFF/AVI magic")
     pos = 12

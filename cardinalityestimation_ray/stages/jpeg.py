@@ -362,8 +362,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     Supports what :func:`encode_jpeg` emits (baseline SOF0, 8-bit, 1x1
     sampling, no restarts) and rejects everything else with actionable
     errors — progressive (SOF2), 12-bit, subsampled, or arithmetic-coded
-    streams name the missing feature instead of mis-decoding.
+    streams name the missing feature instead of mis-decoding. Malformed
+    streams always raise ValueError (never IndexError/struct.error —
+    fuzz-pinned in tests).
     """
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error, OverflowError) as e:
+        raise ValueError(f"invalid JPEG: malformed segment ({e})") from None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         raise ValueError("invalid JPEG: missing SOI")
     pos = 2
@@ -456,6 +465,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci, (q, dct, act) in enumerate(comp_q):
                 zz = np.zeros(64, dtype=np.int64)
                 size = reader.read_symbol(dct)
+                if size > 15:  # corrupt DHT can define any byte as symbol
+                    raise ValueError(
+                        f"invalid JPEG: DC magnitude category {size}")
                 diff = _extend(reader.read_bits(size), size)
                 preds[ci] += diff
                 zz[0] = preds[ci]

@@ -540,3 +540,69 @@ class TestMjpegAvi:
         # first sampled frame of media 1 is uniform 20 -> features 20/255
         feats = np.stack(out.sort_values("media_id")["frame_features"])
         assert np.allclose(feats[1].reshape(4, 12)[0], 20 / 255.0, atol=1e-3)
+
+
+def test_all_decoders_fuzz_raise_valueerror_only():
+    """Exception hygiene across every media decoder: random byte flips,
+    truncations and garbage must raise ValueError — never IndexError /
+    struct.error / OverflowError (found by fuzzing: corrupt DHT tables
+    could define 200+-bit magnitude categories) — and never hang."""
+    import numpy as np
+
+    from cardinalityestimation_ray.stages.codecs import (
+        decode_avi_mjpeg_frame,
+        decode_bmp,
+        decode_bmpseq_frame,
+        decode_png,
+        decode_wav_adpcm,
+        decode_wav_pcm16,
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_bmpseq,
+        encode_png,
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+    from cardinalityestimation_ray.stages.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    from cardinalityestimation_ray.stages.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(123)
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    sig = (1000 * np.sin(np.arange(2000) / 10)).astype(np.int16)
+    frames = np.stack([img] * 3)
+    decoders = [
+        (encode_jpeg(img), decode_jpeg),
+        (encode_png(img), decode_png),
+        (encode_bmp(img), decode_bmp),
+        (encode_flac(sig, 8000), decode_flac),
+        (encode_wav_adpcm(sig, 8000), decode_wav_adpcm),
+        (encode_wav_pcm16(sig, 8000), decode_wav_pcm16),
+        (encode_avi_mjpeg(frames), lambda d: decode_avi_mjpeg_frame(d, 0)),
+        (encode_bmpseq(frames), lambda d: decode_bmpseq_frame(d, 0)),
+    ]
+    for blob, dec in decoders:
+        blob = bytearray(blob)
+        for trial in range(120):
+            m = bytearray(blob)
+            kind = trial % 4
+            if kind == 0:
+                m[rng.integers(0, len(m))] ^= int(rng.integers(1, 256))
+            elif kind == 1:
+                m = m[:rng.integers(0, len(m))]
+            elif kind == 2:
+                for _ in range(5):
+                    m[rng.integers(0, len(m))] ^= int(rng.integers(1, 256))
+            else:
+                m = bytearray(rng.integers(
+                    0, 256, size=int(rng.integers(0, 300)))
+                    .astype(np.uint8).tobytes())
+            try:
+                dec(bytes(m))
+            except ValueError:
+                pass  # the only acceptable failure mode
