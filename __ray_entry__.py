@@ -645,88 +645,55 @@ def _media_channel_stats(sf_dir: str, *, codec: str):
 
 
 def _q_wav_rms_energy(sf_dir: str):
-    """AUDIO-path counterpart of bmp_channel_stats: synthesize a deterministic
-    constant-amplitude PCM-16 WAV per document, decode through the REAL
-    pure-numpy RIFF/PCM codec in an actor-pool stage
-    (stages/codecs.py:decode_wav_pcm16), frame it into 16 RMS-energy windows,
-    and return the mean frame energy. A constant signal's RMS is exactly
-    amplitude/32768 at every float width involved (power-of-two divisions,
-    exact squares under IEEE sqrt), so the oracle is a closed-form full-value
-    check over the audio plumbing."""
-    import numpy as np
-    import pyarrow as pa
-    import ray.data
-
-    from cardinalityestimation_ray.stages.codecs import encode_wav_pcm16
-    from cardinalityestimation_ray.stages.multimodal import (
-        DEFAULT_MEDIA_BATCH_SIZE,
-        AudioFrameSampleStage,
-    )
-
-    N_SAMPLES, RATE = 1600, 16000
-
-    def synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        amps = ((ids * 97 + 11) % 32768).astype(np.int16)
-        payloads = [
-            encode_wav_pcm16(np.full(N_SAMPLES, a, dtype=np.int16), RATE)
-            for a in amps
-        ]
-        return pa.table({
-            "media_id": pa.array(ids.astype("U")),
-            "payload": pa.array(payloads, type=pa.binary()),
-        })
-
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
-    media = docs.map_batches(synth, batch_format="pyarrow")
-    frames = media.map_batches(
-        AudioFrameSampleStage,
-        fn_constructor_kwargs={"decoder": "wav", "n_frames": 16},
-        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
-        batch_format="pyarrow")
-
-    def project(batch: pa.Table) -> pa.Table:
-        col = batch["frame_energy"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mat = col.flatten().to_numpy(zero_copy_only=False) \
-            .reshape(len(batch), 16)
-        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
-        return pa.table({
-            "doc_id": pa.array(ids),
-            "rms": pa.array(mat.mean(axis=1).astype(np.float64)),
-        })
-
-    out = frames.map_batches(project, batch_format="pyarrow")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    """AUDIO-path counterpart of bmp_channel_stats through the real
+    pure-numpy RIFF/PCM-16 codec (stages/codecs.py:decode_wav_pcm16)."""
+    return _audio_rms_energy(sf_dir, codec="wav", mul=97, add=11)
 
 
 def _q_adpcm_rms_energy(sf_dir: str):
-    """COMPRESSED-audio-path counterpart of wav_rms_energy: the payloads
-    are IMA ADPCM WAVs (4-bit codes, 4:1 compression) decoded through the
-    REAL adaptive-predictor codec (stages/codecs.py:decode_wav_adpcm). A
-    constant signal encodes EXACTLY (block header stores the first sample;
-    at step index 0 a zero diff encodes as code 0 with diff 7>>3 == 0), so
-    the lossy codec is closed-form oracle-checkable on this input family —
-    the audio analogue of jpeg_channel_stats' DC-exact trick."""
+    """COMPRESSED-audio oracle through the real IMA ADPCM codec (4-bit
+    adaptive-predictor codes; constant signals encode exactly — the audio
+    analogue of jpeg_channel_stats' DC-exact trick)."""
+    return _audio_rms_energy(sf_dir, codec="adpcm", mul=131, add=17)
+
+
+def _audio_rms_energy(sf_dir: str, *, codec: str, mul: int, add: int):
+    """Shared audio-oracle pipeline (wav / adpcm / flac — review fix: the
+    three queries were near-verbatim copies): per document a
+    constant-amplitude clip at amp = (doc_id*mul + add) % 32768, decoded
+    through the REAL codec in the actor-pool audio stage; constant
+    signals make the RMS closed-form exact in every codec (PCM and FLAC
+    are lossless; ADPCM encodes constants exactly; amp/32768 is a
+    power-of-two division)."""
     import numpy as np
     import pyarrow as pa
     import ray.data
 
-    from cardinalityestimation_ray.stages.codecs import encode_wav_adpcm
     from cardinalityestimation_ray.stages.multimodal import (
         DEFAULT_MEDIA_BATCH_SIZE,
         AudioFrameSampleStage,
     )
 
+    if codec == "wav":
+        from cardinalityestimation_ray.stages.codecs import (
+            encode_wav_pcm16 as encode,
+        )
+    elif codec == "adpcm":
+        from cardinalityestimation_ray.stages.codecs import (
+            encode_wav_adpcm as encode,
+        )
+    else:
+        from cardinalityestimation_ray.stages.flac import (
+            encode_flac as encode,
+        )
+
     N_SAMPLES, RATE = 1600, 16000
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        amps = ((ids * 131 + 17) % 32768).astype(np.int16)
+        amps = ((ids * mul + add) % 32768).astype(np.int16)
         payloads = [
-            encode_wav_adpcm(np.full(N_SAMPLES, a, dtype=np.int16), RATE)
+            encode(np.full(N_SAMPLES, a, dtype=np.int16), RATE)
             for a in amps
         ]
         return pa.table({
@@ -739,7 +706,7 @@ def _q_adpcm_rms_energy(sf_dir: str):
     media = docs.map_batches(synth, batch_format="pyarrow")
     frames = media.map_batches(
         AudioFrameSampleStage,
-        fn_constructor_kwargs={"decoder": "adpcm", "n_frames": 16},
+        fn_constructor_kwargs={"decoder": codec, "n_frames": 16},
         batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
         batch_format="pyarrow")
 
@@ -760,58 +727,9 @@ def _q_adpcm_rms_energy(sf_dir: str):
 
 
 def _q_flac_rms_energy(sf_dir: str):
-    """LOSSLESS-compressed-audio oracle: per document a constant-amplitude
-    FLAC clip (real Rice-coded bitstream with frame CRCs, stages/flac.py)
-    decoded through the actor-pool audio stage. FLAC is lossless, so the
-    closed-form RMS holds for ANY deterministic signal — constants keep
-    the float math exact (amp/32768 is a power-of-two division)."""
-    import numpy as np
-    import pyarrow as pa
-    import ray.data
-
-    from cardinalityestimation_ray.stages.flac import encode_flac
-    from cardinalityestimation_ray.stages.multimodal import (
-        DEFAULT_MEDIA_BATCH_SIZE,
-        AudioFrameSampleStage,
-    )
-
-    N_SAMPLES, RATE = 1600, 16000
-
-    def synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        amps = ((ids * 53 + 29) % 32768).astype(np.int16)
-        payloads = [
-            encode_flac(np.full(N_SAMPLES, a, dtype=np.int16), RATE)
-            for a in amps
-        ]
-        return pa.table({
-            "media_id": pa.array(ids.astype("U")),
-            "payload": pa.array(payloads, type=pa.binary()),
-        })
-
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
-    media = docs.map_batches(synth, batch_format="pyarrow")
-    frames = media.map_batches(
-        AudioFrameSampleStage,
-        fn_constructor_kwargs={"decoder": "flac", "n_frames": 16},
-        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
-        batch_format="pyarrow")
-
-    def project(batch: pa.Table) -> pa.Table:
-        col = batch["frame_energy"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mat = col.flatten().to_numpy(zero_copy_only=False) \
-            .reshape(len(batch), 16)
-        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
-        return pa.table({
-            "doc_id": pa.array(ids),
-            "rms": pa.array(mat.mean(axis=1).astype(np.float64)),
-        })
-
-    out = frames.map_batches(project, batch_format="pyarrow")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    """LOSSLESS-compressed-audio oracle through the real Rice-coded FLAC
+    bitstream (stages/flac.py)."""
+    return _audio_rms_energy(sf_dir, codec="flac", mul=53, add=29)
 
 
 def _q_mjpeg_frame_features(sf_dir: str):

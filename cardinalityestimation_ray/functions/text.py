@@ -321,9 +321,10 @@ def chunk_passages(batch: pa.Table, *, window: int, stride: int,
     spaces — exactly DuckDB's ``array_to_string(t[i:j], ' ')``, so the
     operator is fully SQL-oracle-checkable. A document shorter than
     ``window`` yields one passage (its whole token stream); otherwise
-    passages start at 0, stride, 2*stride, ... and the FINAL start is the
-    last offset with a full window (tail tokens are covered by the overlap
-    rule, matching the common fixed-stride chunkers).
+    passages start at 0, stride, 2*stride, ... for every start inside the
+    document — the final passage may be PARTIAL (fewer than ``window``
+    tokens), matching common fixed-stride chunkers. ``stride > window``
+    gives gapped sampling: non-adjacent windows, one per stride offset.
 
     Vectorized: one split per batch, passage boundaries by arithmetic over
     the list offsets, and one ``pa.ListArray`` take + binary-join for the
@@ -345,10 +346,14 @@ def chunk_passages(batch: pa.Table, *, window: int, stride: int,
     counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
     doc_starts = np.r_[0, counts.cumsum()[:-1]]
 
-    # passages per doc: 1 + max(0, ceil((n - window) / stride)) for n>0,
-    # and exactly 1 for n==0 (empty passage keeps every doc represented)
+    # passages per doc: 1 + ceil(max(n - window, 0) / stride), capped at
+    # one passage per stride offset INSIDE the doc (the cap is what keeps
+    # stride > window from emitting starts past the end — review fix: the
+    # uncapped count produced negative lengths there); n==0 still yields
+    # one empty passage so every doc stays represented
     extra = np.maximum(counts - window, 0)
-    n_pass = 1 + (extra + stride - 1) // stride
+    n_pass = np.minimum(1 + (extra + stride - 1) // stride,
+                        1 + np.maximum(counts - 1, 0) // stride)
     pass_doc = np.repeat(np.arange(n_rows, dtype=np.int64), n_pass)
     pass_idx = (np.arange(len(pass_doc), dtype=np.int64)
                 - np.repeat(np.r_[0, n_pass.cumsum()[:-1]], n_pass))
@@ -357,7 +362,6 @@ def chunk_passages(batch: pa.Table, *, window: int, stride: int,
     abs_start = doc_starts[pass_doc] + starts
 
     # one gather builds every passage's token list
-    gather_idx = []
     offsets = np.zeros(len(pass_doc) + 1, dtype=np.int64)
     offsets[1:] = lens.cumsum()
     total = int(offsets[-1])
@@ -365,7 +369,6 @@ def chunk_passages(batch: pa.Table, *, window: int, stride: int,
     for i in range(len(pass_doc)):  # builds INDICES only; O(total tokens)
         gidx[offsets[i]:offsets[i + 1]] = np.arange(
             abs_start[i], abs_start[i] + lens[i])
-    del gather_idx
     passage_tokens = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()),
         flat.take(pa.array(gidx)))

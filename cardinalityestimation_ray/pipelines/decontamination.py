@@ -42,6 +42,17 @@ def _distinct_grams_per_doc(text: pa.Array, n: int, hash_name: str
     return gs[first], ps[first]
 
 
+def _gram_membership(sorted_grams: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """Boolean membership of each gram hash in the SORTED broadcast set
+    (searchsorted + sentinel-clamped equality — shared by the report and
+    the filtering pass so the idiom lives once)."""
+    if len(g) == 0 or len(sorted_grams) == 0:
+        return np.zeros(len(g), dtype=bool)
+    pos = np.searchsorted(sorted_grams, g)
+    pos[pos == len(sorted_grams)] = 0
+    return sorted_grams[pos] == g
+
+
 def eval_gram_set(eval_texts, n: int = 13, *,
                   hash_name: str = hashing.DEFAULT_HASH) -> np.ndarray:
     """Distinct word-n-gram hash set of the eval texts (sorted uint64).
@@ -85,11 +96,8 @@ def decontaminate(corpus_ds, eval_texts, *, n: int = 13,
             n_matched = np.zeros(n_rows, dtype=np.int64)
             if len(g):
                 np.add.at(n_grams, par, 1)
-                if len(self.grams):
-                    pos = np.searchsorted(self.grams, g)
-                    pos[pos == len(self.grams)] = 0
-                    hit = self.grams[pos] == g
-                    np.add.at(n_matched, par[hit], 1)
+                hit = _gram_membership(self.grams, g)
+                np.add.at(n_matched, par[hit], 1)
             return pa.table({
                 id_column: batch[id_column],
                 "n_grams": pa.array(n_grams),
@@ -113,18 +121,20 @@ def decontaminated_corpus(corpus_ds, eval_texts, *, n: int = 13,
     grams = eval_gram_set(eval_texts, n, hash_name=hash_name)
     grams_ref = ray.put(grams)
 
-    def keep_clean(batch: pa.Table) -> pa.Table:
-        g_set = ray.get(grams_ref)
-        text = batch[text_column]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        g, par = _distinct_grams_per_doc(text, n, hash_name)
-        bad = np.zeros(len(batch), dtype=bool)
-        if len(g) and len(g_set):
-            pos = np.searchsorted(g_set, g)
-            pos[pos == len(g_set)] = 0
-            hit = g_set[pos] == g
-            bad[np.unique(par[hit])] = True
-        return batch.filter(pa.array(~bad))
+    class KeepClean:
+        def __init__(self):
+            self.grams = ray.get(grams_ref)  # fetched once per actor
 
-    return corpus_ds.map_batches(keep_clean, batch_format="pyarrow")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            text = batch[text_column]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            g, par = _distinct_grams_per_doc(text, n, hash_name)
+            bad = np.zeros(len(batch), dtype=bool)
+            hit = _gram_membership(self.grams, g)
+            if hit.any():
+                bad[np.unique(par[hit])] = True
+            return batch.filter(pa.array(~bad))
+
+    return corpus_ds.map_batches(KeepClean, batch_format="pyarrow",
+                                 concurrency=(1, 8))

@@ -87,13 +87,21 @@ def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
     Assumptions: ids are unique within a key (ties would make the scan
     order — and therefore cum_prev — ambiguous, exactly as in SQL); null
     values count as 0 in the running sums (SQL window-SUM semantics) but
-    pass through unchanged in the value column.
+    pass through unchanged in the value column. Rows with a NULL key or
+    NULL id are DROPPED (the keyed sketch stages' convention — review
+    fix: pandas' phase-2 groupby silently dropped null keys while Ray's
+    phase-3 groupby delivered them, so the offset lookup KeyError'd).
     """
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for col in (key_column, id_column):
+            if batch[col].null_count:
+                batch = batch.filter(pc.is_valid(batch[col]))
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         if len(ids) and not np.issubdtype(ids.dtype, np.integer):
             raise TypeError(

@@ -346,10 +346,14 @@ def decode_png(data: bytes) -> np.ndarray:
     chans = _PNG_CHANNELS[colortype]
     expect = h * (1 + w * chans)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bound the inflate at expect+1 bytes: a crafted high-ratio DEFLATE
+        # stream with a huge IHDR must not allocate gigabytes before the
+        # size check (the module's validate-before-trusting DoS rule)
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expect + 1)
     except zlib.error as e:
         raise ValueError(f"invalid PNG: corrupt IDAT ({e})") from None
-    if len(raw) != expect:
+    if len(raw) != expect or not dobj.eof or dobj.unconsumed_tail:
         raise ValueError(
             f"invalid PNG: inflated {len(raw)} bytes, expected {expect}")
     flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * chans)
@@ -475,6 +479,8 @@ def decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("invalid WAV: ADPCM fmt chunk too small")
             fmt = struct.unpack_from("<HHIIHHHH", data, pos)
         elif chunk_id == b"fact":
+            if chunk_size < 4:
+                raise ValueError("invalid WAV: fact chunk too small")
             (n_samples_fact,) = struct.unpack_from("<I", data, pos)
         elif chunk_id == b"data":
             payload = data[pos:pos + chunk_size]

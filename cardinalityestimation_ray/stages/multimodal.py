@@ -101,6 +101,8 @@ class ImageDecodeStage:
                 img = decode_jpeg(payload)
             if img.ndim == 2:  # gray -> 3-channel for the fixed stage schema
                 img = np.repeat(img[:, :, None], 3, axis=2)
+            elif img.shape[2] == 2:  # gray+alpha (PNG colortype 4)
+                img = np.repeat(img[:, :, :1], 3, axis=2)
             elif img.shape[2] == 4:  # drop alpha
                 img = img[:, :, :3]
             return resize_nearest(img, self.out_size, self.out_size)

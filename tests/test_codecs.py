@@ -606,3 +606,63 @@ def test_all_decoders_fuzz_raise_valueerror_only():
                 dec(bytes(m))
             except ValueError:
                 pass  # the only acceptable failure mode
+
+
+def test_png_gray_alpha_through_stage():
+    """Colortype-4 (gray+alpha) PNGs must normalize to the stage's fixed
+    3-channel schema instead of crashing the actor (review fix)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.stages.codecs import encode_png
+    from cardinalityestimation_ray.stages.multimodal import ImageDecodeStage
+
+    rng = np.random.default_rng(2)
+    ga = rng.integers(0, 256, size=(16, 16, 2)).astype(np.uint8)
+    # no gray+alpha encoder path: craft via the RGBA encoder? colortype 4
+    # isn't emitted by encode_png, so build it from a decoded-gray check:
+    # decode-side normalization is what matters — feed a (H, W, 2) image
+    # through _decode_one's shape handling via a hand-built PNG.
+    import struct
+    import zlib
+
+    h, w = 16, 16
+    raw = np.empty((h, 1 + w * 2), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = ga.reshape(h, w * 2)
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload)))
+
+    png = (b"\x89PNG\r\n\x1a\n" +
+           chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)) +
+           chunk(b"IDAT", zlib.compress(raw.tobytes())) +
+           chunk(b"IEND", b""))
+    batch = pa.table({
+        "media_id": pa.array(["x"]),
+        "payload": pa.array([png], type=pa.binary()),
+        "width": pa.array([16], type=pa.int32()),
+        "height": pa.array([16], type=pa.int32()),
+    })
+    out = ImageDecodeStage(decoder="png", out_size=16)(batch)
+    img = out["image"].combine_chunks().values.to_numpy(
+        zero_copy_only=False).reshape(16, 16, 3)
+    assert (img[:, :, 0] == ga[:, :, 0]).all()  # luma channel replicated
+    assert (img[:, :, 1] == img[:, :, 0]).all()
+
+
+def test_adpcm_short_fact_chunk_rejected():
+    import numpy as np
+    import pytest
+
+    from cardinalityestimation_ray.stages.codecs import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    good = bytearray(encode_wav_adpcm(np.zeros(100, dtype=np.int16), 8000))
+    i = bytes(good).find(b"fact")
+    truncated = bytes(good[:i]) + b"fact" + (0).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(truncated)

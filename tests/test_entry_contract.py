@@ -151,6 +151,14 @@ def test_chunk_passages_edges(ray_session):
     assert [r["passage"] for r in by_doc[3]] == ["short one"]
     # doc4 empty: one empty passage keeps the doc represented
     assert [r["n_tokens"] for r in by_doc[4]] == [0]
+
+    # stride > window (gapped sampling): every start is a stride offset
+    # INSIDE the doc; no start past the end (review fix: the uncapped
+    # passage count produced negative lengths here)
+    gap = chunk_passages(t, window=2, stride=9).to_pylist()
+    g1 = [r for r in gap if r["doc_id"] == 1]  # n=10: starts 0, 9
+    assert [(r["passage_id"], r["n_tokens"], r["passage"]) for r in g1] == \
+        [(0, 2, "t0 t1"), (1, 1, "t9")]
     import pytest
 
     with pytest.raises(ValueError):

@@ -147,3 +147,22 @@ def test_prefix_sums_property(ray_session, n, n_keys, bucket_width,
     ref = df.sort_values(["source", "doc_id"]).reset_index(drop=True)
     ref["cum_prev"] = ref.groupby("source")["n_tok"].cumsum() - ref["n_tok"]
     assert (out["cum_prev"].to_numpy() == ref["cum_prev"].to_numpy()).all()
+
+
+def test_prefix_sums_null_keys_dropped(ray_session):
+    """Null key/id rows drop (keyed-stage convention) instead of
+    KeyError-ing the offset lookup (review fix)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.packing import keyed_prefix_sums
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, None, 4], dtype="Int64"),
+        "n_tok": [10, 20, 30, 40],
+        "source": ["a", None, "a", "a"],
+    })
+    out = keyed_prefix_sums(ray.data.from_pandas(df), key_column="source",
+                            id_column="doc_id", value_column="n_tok") \
+        .to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 4]
+    assert out["cum_prev"].tolist() == [0, 10]
