@@ -163,3 +163,49 @@ def test_chunk_passages_edges(ray_session):
 
     with pytest.raises(ValueError):
         chunk_passages(t, window=0, stride=1)
+
+
+def test_chunk_passages_property(ray_session):
+    """Property vs a straight-line reference: for random docs and any
+    (window, stride) — including stride > window — passages enumerate
+    exactly the in-doc stride offsets with min(window, n-start) tokens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.functions.text import chunk_passages
+
+    @settings(max_examples=40, deadline=None)
+    @given(window=st.integers(1, 12), stride=st.integers(1, 15),
+           seed=st.integers(0, 10_000))
+    def check(window, stride, seed):
+        rng = np.random.default_rng(seed)
+        docs = []
+        for d in range(5):
+            n = int(rng.integers(0, 30))
+            docs.append(" ".join(f"w{d}_{i}" for i in range(n)))
+        t = pa.table({"doc_id": list(range(5)), "text": docs})
+        out = chunk_passages(t, window=window, stride=stride).to_pylist()
+        got = {}
+        for r in out:
+            got.setdefault(r["doc_id"], []).append(r)
+        for d, text in enumerate(docs):
+            toks = text.split()
+            n = len(toks)
+            # reference rule: start at stride offsets inside the doc,
+            # stopping once the previous passage already reached the end
+            starts = [0]
+            s = stride
+            while s < n and starts[-1] + window < n:
+                starts.append(s)
+                s += stride
+            rows = got[d]
+            assert len(rows) == len(starts), (d, n, window, stride)
+            for pid, (row, s) in enumerate(zip(rows, starts)):
+                want = toks[s:s + window]
+                assert row["passage_id"] == pid
+                assert row["n_tokens"] == len(want)
+                assert row["passage"] == " ".join(want)
+
+    check()
