@@ -969,6 +969,27 @@ def _q_chunk_passages(sf_dir: str):
     return out.sort_values(["doc_id", "passage_id"]).reset_index(drop=True)
 
 
+def _q_doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per-document most-frequent-bigram coverage and duplicated-bigram
+    fraction — the standard web-crawl boilerplate filter, computed with one
+    split + dictionary-encode + lexsort per batch (no per-row Python)."""
+    import ray.data
+
+    from cardinalityestimation_ray.functions.repetition import (
+        repetition_features,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = docs.map_batches(repetition_features, batch_format="pyarrow")
+    df = out.select_columns(
+        ["doc_id", "n_bigrams", "top_bigram", "top_bigram_count",
+         "top_bigram_char_frac", "dup_bigram_frac"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_quality_scores(sf_dir: str):
     import ray.data
 
@@ -1565,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": _q_doc_length_stats,
         "doc_quality_scores": _q_doc_quality_scores,
         "doc_quality_counts": _q_doc_quality_counts,
+        "doc_repetition_stats": _q_doc_repetition_stats,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1865,6 +1887,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct({_TOK})) AS BIGINT)
                        AS n_distinct_tokens
             FROM documents
+        """,
+        "doc_repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+                   FROM t, UNNEST(range(1, len(toks))) AS s(i)),
+            cnts AS (SELECT doc_id, a, b, count(*) AS cnt
+                     FROM bg GROUP BY doc_id, a, b),
+            per AS (SELECT doc_id, sum(cnt) AS n_bigrams, count(*) AS n_uniq
+                    FROM cnts GROUP BY doc_id),
+            top AS (SELECT doc_id, a, b, cnt FROM (
+                      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, a ASC, b ASC) AS rn
+                      FROM cnts)
+                    WHERE rn = 1)
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   coalesce(t2.a || ' ' || t2.b, '') AS top_bigram,
+                   coalesce(t2.cnt, 0) AS top_bigram_count,
+                   coalesce(t2.cnt * (length(t2.a) + 1 + length(t2.b)), 0)
+                     / greatest(length(d.text), 1)::DOUBLE
+                     AS top_bigram_char_frac,
+                   coalesce((p.n_bigrams - p.n_uniq)
+                     / greatest(p.n_bigrams, 1)::DOUBLE, 0.0)
+                     AS dup_bigram_frac
+            FROM documents d
+            LEFT JOIN per p USING (doc_id)
+            LEFT JOIN top t2 USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "exact_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
