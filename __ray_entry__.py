@@ -990,6 +990,27 @@ def _q_doc_repetition_stats(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_in_length_band(sf_dir: str):
+    """Quantile-band corpus filter (drop the shortest 10% / longest 10% of
+    documents by n_chars): exact distributed quantile_disc thresholds from
+    the value-count aggregate, then a stateless streaming filter — the
+    standard pretraining length filter, oracle-checked zero-tolerance."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.filtering import (
+        filter_by_column_quantile,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    kept = filter_by_column_quantile(docs, "n_chars", q_low=0.10,
+                                     q_high=0.90)
+    df = kept.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_quality_scores(sf_dir: str):
     import ray.data
 
@@ -1587,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": _q_doc_quality_scores,
         "doc_quality_counts": _q_doc_quality_counts,
         "doc_repetition_stats": _q_doc_repetition_stats,
+        "docs_in_length_band": _q_docs_in_length_band,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1915,6 +1937,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN per p USING (doc_id)
             LEFT JOIN top t2 USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "docs_in_length_band": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.10)
+                              FROM documents)
+              AND n_chars <= (SELECT quantile_disc(n_chars, 0.90)
+                              FROM documents)
+            ORDER BY doc_id
         """,
         "exact_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
