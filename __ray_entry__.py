@@ -990,6 +990,22 @@ def _q_doc_repetition_stats(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_unigram_nll(sf_dir: str):
+    """CCNet-style LM quality scoring with the corpus' own unigram model:
+    pass 1 trains the token-frequency table (vocab-sized groupby), pass 2
+    broadcasts log-probs and folds per-document average NLL — two
+    streaming passes, no shuffle of the corpus."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.lm_score import doc_unigram_nll
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    df = doc_unigram_nll(docs).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_in_length_band(sf_dir: str):
     """Quantile-band corpus filter (drop the shortest 10% / longest 10% of
     documents by n_chars): exact distributed quantile_disc thresholds from
@@ -1609,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_counts": _q_doc_quality_counts,
         "doc_repetition_stats": _q_doc_repetition_stats,
         "docs_in_length_band": _q_docs_in_length_band,
+        "doc_unigram_nll": _q_doc_unigram_nll,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1937,6 +1954,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN per p USING (doc_id)
             LEFT JOIN top t2 USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "doc_unigram_nll": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   -avg(ln(c / (SELECT n FROM tot))) AS avg_nll
+            FROM tok JOIN cnt USING (t)
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "docs_in_length_band": """
             SELECT doc_id, n_chars FROM documents
