@@ -1006,6 +1006,22 @@ def _q_doc_unigram_nll(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_top_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (search/keyword prep): DF pass ->
+    broadcast DF table -> per-batch dictionary-encode + lexsort scoring.
+    Ranking on the quantized score floor(tfidf*1e9) with term tie-break
+    makes the selection SQL-reproducible."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.tfidf import top_tfidf_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    df = top_tfidf_terms(docs, k=3).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def _q_docs_in_length_band(sf_dir: str):
     """Quantile-band corpus filter (drop the shortest 10% / longest 10% of
     documents by n_chars): exact distributed quantile_disc thresholds from
@@ -1626,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": _q_doc_repetition_stats,
         "docs_in_length_band": _q_docs_in_length_band,
         "doc_unigram_nll": _q_doc_unigram_nll,
+        "top_tfidf_terms": _q_top_tfidf_terms,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1965,6 +1982,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tok JOIN cnt USING (t)
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "top_tfidf_terms": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tf AS (SELECT doc_id, t, count(*) AS tf
+                   FROM tok GROUP BY doc_id, t),
+            df AS (SELECT t, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY t),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT doc_id, t AS term, tf, df AS df_docs,
+                   tf * ln((SELECT n FROM n) / df) AS tfidf
+            FROM (
+              SELECT tf.doc_id, tf.t, tf.tf, df.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(floor(tf.tf
+                                * ln((SELECT n FROM n) / df.df) * 1e9)
+                                AS BIGINT) DESC,
+                                tf.t ASC) AS rn
+              FROM tf JOIN df ON tf.t = df.t)
+            WHERE rn <= 3
+            ORDER BY doc_id, term
         """,
         "docs_in_length_band": """
             SELECT doc_id, n_chars FROM documents
