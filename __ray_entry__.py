@@ -790,6 +790,66 @@ def _q_mjpeg_frame_features(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_mp4_frame_features(sf_dir: str):
+    """ISO-BMFF MP4 container oracle: per document an MP4 ('jpeg' video
+    track, real baseline-JPEG samples, multi-sample stsc/stco chunks) of
+    uniform even-valued frames, frame-sampled through the actor-pool video
+    stage with sample-table random access. Frame count varies by doc_id
+    (5..9) so chunk boundaries and partial last chunks are exercised;
+    uniform even values are DC-exact under JPEG, so round(feature*255)
+    reproduces the pixel value exactly — closed-form SQL arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.stages.mp4 import encode_mp4_mjpeg
+    from cardinalityestimation_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        VideoFrameSampleStage,
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            v = int((i * 2) % 256)
+            n_frames = 5 + int(i) % 5
+            frames = np.full((n_frames, 16, 16, 3), v, dtype=np.uint8)
+            payloads.append(encode_mp4_mjpeg(frames, fps=4))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids.astype("U")),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "duration_ms": pa.array(np.full(n, 2000, np.int32)),
+        })
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    sampled = media.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"decoder": "mp4", "n_frames": 4,
+                               "feature_dim": 12},
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch["frame_features"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), -1)
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pixel_value": pa.array(
+                np.round(mat.mean(axis=1) * 255.0).astype(np.int64)),
+        })
+
+    out = sampled.map_batches(project, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
     """Distinct users per event type through the GENERIC mergeable-UDAF
     surface: partial theta sketches per batch, merged by Ray's native
@@ -1628,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_rms_energy": _q_wav_rms_energy,
         "adpcm_rms_energy": _q_adpcm_rms_energy,
         "mjpeg_frame_features": _q_mjpeg_frame_features,
+        "mp4_frame_features": _q_mp4_frame_features,
         "flac_rms_energy": _q_flac_rms_energy,
         "event_counts_by_type": _q_event_counts_by_type,
         "ntok_stats_by_source": _q_ntok_stats_by_source,
@@ -1772,6 +1833,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "mjpeg_frame_features": """
+            SELECT doc_id, CAST((doc_id * 2) % 256 AS BIGINT) AS pixel_value
+            FROM documents
+        """,
+        "mp4_frame_features": """
             SELECT doc_id, CAST((doc_id * 2) % 256 AS BIGINT) AS pixel_value
             FROM documents
         """,

@@ -211,8 +211,9 @@ def decode_bmpseq_frame(data: bytes, index: int) -> np.ndarray:
 # using only stdlib zlib + numpy (RFC 2083): chunk stream with CRC
 # validation, zlib-inflated scanlines, all five defilter types. This
 # upgrades the multimodal image stage from "compressed formats stubbed" to
-# a real DEFLATE-compressed path; JPEG/FLAC/MP4 (entropy coders and DSP
-# well beyond a from-scratch port) remain behind NotImplementedError.
+# a real DEFLATE-compressed path; JPEG (stages/jpeg.py), FLAC
+# (stages/flac.py) and the MP4 container (stages/mp4.py) are real too —
+# only H.264 (motion-compensated entropy decoding) stays out of scope.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel

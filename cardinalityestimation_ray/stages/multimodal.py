@@ -15,9 +15,15 @@ Decoder backends:
 - ``"fake"`` (default) — deterministic stand-in keeping the Ray plumbing
   (schema, batch sizing, actor signature, output layout) testable with
   arbitrary payload bytes.
-- ``"soundfile"``/``"pyav"`` — compressed AUDIO/VIDEO (FLAC/H.264) need
-  external DSP libs absent from this container; they raise
-  NotImplementedError and are the only line to swap on a real deployment.
+- ``"flac"`` / ``"adpcm"`` / ``"mjpeg"`` / ``"mp4"`` — REAL compressed
+  audio/video: RFC 9639 Rice-coded FLAC (stages/flac.py), IMA ADPCM 4:1
+  (codecs.py), Motion-JPEG in a RIFF/AVI container (codecs.py) and in an
+  ISO-BMFF MP4 container with full stsd/stts/stsc/stsz/stco sample tables
+  (stages/mp4.py).
+- ``"soundfile"``/``"pyav"`` — OGG/Vorbis and H.264 need external DSP
+  libs absent from this container (motion-compensated entropy decoding is
+  beyond a from-scratch port); they raise NotImplementedError and are the
+  only line to swap on a real deployment.
 
 Memory rule for media: batches of large binary payloads must be SMALL —
 ``media_batch_size`` defaults to 32 rows so batch x concurrency stays within
@@ -230,18 +236,21 @@ class VideoFrameSampleStage:
         if decoder == "pyav":
             raise NotImplementedError(
                 "PyAV is not available in this container (needed for "
-                "H.264/MP4); use decoder='mjpeg' (real COMPRESSED Motion-"
-                "JPEG AVI decode — RIFF container + the baseline JPEG "
-                "codec), decoder='bmpseq' (uncompressed BMP-sequence "
-                "container) or 'fake'")
-        if decoder not in ("fake", "bmpseq", "mjpeg"):
+                "H.264 — a motion-compensated entropy decoder is out of "
+                "from-scratch scope); use decoder='mp4' (real ISO-BMFF "
+                "MP4 container + 'jpeg' track, stages/mp4.py), "
+                "decoder='mjpeg' (real COMPRESSED Motion-JPEG AVI decode "
+                "— RIFF container + the baseline JPEG codec), "
+                "decoder='bmpseq' (uncompressed BMP-sequence container) "
+                "or 'fake'")
+        if decoder not in ("fake", "bmpseq", "mjpeg", "mp4"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.n_frames = n_frames
         self.feature_dim = feature_dim
 
     def _sample_one(self, payload: bytes, dur: int):
-        if self.decoder in ("bmpseq", "mjpeg"):
+        if self.decoder in ("bmpseq", "mjpeg", "mp4"):
             from .codecs import (
                 avi_mjpeg_info,
                 bmpseq_info,
@@ -250,11 +259,19 @@ class VideoFrameSampleStage:
             )
 
             # parse the container header ONCE; sampled frames decode from
-            # offset slices directly (both containers index random access)
+            # offset slices directly (all three containers index random
+            # access: idx1 for AVI, stsc/stco/stsz for MP4)
             if self.decoder == "mjpeg":
                 from .jpeg import decode_jpeg
 
                 total, fps, offsets, sizes, _ = avi_mjpeg_info(payload)
+                ends = offsets + sizes
+                decode = decode_jpeg
+            elif self.decoder == "mp4":
+                from .jpeg import decode_jpeg
+                from .mp4 import mp4_mjpeg_info
+
+                total, fps, offsets, sizes = mp4_mjpeg_info(payload)
                 ends = offsets + sizes
                 decode = decode_jpeg
             else:
