@@ -1082,6 +1082,24 @@ def _q_top_tfidf_terms(sf_dir: str):
     return df.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def _q_deterministic_shuffle(sf_dir: str):
+    """Seeded reproducible epoch shuffle + round-robin sharding: rank under
+    ORDER BY knuth_hash(id, seed) via the distributed range-bucketed
+    prefix count (no global sort, no random state) — SQL window oracle."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.shuffle import (
+        deterministic_shuffle,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    df = deterministic_shuffle(docs, seed=7, n_shards=8).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_in_length_band(sf_dir: str):
     """Quantile-band corpus filter (drop the shortest 10% / longest 10% of
     documents by n_chars): exact distributed quantile_disc thresholds from
@@ -1704,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_in_length_band": _q_docs_in_length_band,
         "doc_unigram_nll": _q_doc_unigram_nll,
         "top_tfidf_terms": _q_top_tfidf_terms,
+        "deterministic_shuffle": _q_deterministic_shuffle,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -2068,6 +2087,17 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df ON tf.t = df.t)
             WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "deterministic_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY ((doc_id + 7) * 2654435761) % 2147483648,
+                              doc_id) - 1 AS shuffle_pos,
+                   (row_number() OVER (
+                     ORDER BY ((doc_id + 7) * 2654435761) % 2147483648,
+                              doc_id) - 1) % 8 AS shard
+            FROM documents
+            ORDER BY doc_id
         """,
         "docs_in_length_band": """
             SELECT doc_id, n_chars FROM documents
