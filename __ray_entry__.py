@@ -1100,6 +1100,33 @@ def _q_deterministic_shuffle(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pmi_top_pairs(sf_dir: str):
+    """Collocation mining: top-20 bigrams by PMI (min joint count 5) from
+    two vocabulary-bounded aggregates; quantized deterministic ranking."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.association import (
+        pmi_top_pairs,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return pmi_top_pairs(docs, k=20, min_count=5)
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    """Exact fixed-width histogram (24 bins over n_chars in [0, 600)):
+    per-batch bincount combiner -> small groupby-sum; edge binning uses the
+    identical float64 expression as the SQL oracle."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.stats import column_histogram
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["n_chars"])
+    return column_histogram(docs, "n_chars", lo=0.0, hi=600.0, n_bins=24)
+
+
 def _q_docs_in_length_band(sf_dir: str):
     """Quantile-band corpus filter (drop the shortest 10% / longest 10% of
     documents by n_chars): exact distributed quantile_disc thresholds from
@@ -1723,6 +1750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_nll": _q_doc_unigram_nll,
         "top_tfidf_terms": _q_top_tfidf_terms,
         "deterministic_shuffle": _q_deterministic_shuffle,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "pmi_top_pairs": _q_pmi_top_pairs,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -2087,6 +2116,44 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df ON tf.t = df.t)
             WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "pmi_top_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            uni AS (SELECT tok, count(*) AS c FROM
+                      (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+            nu AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+            bg AS (SELECT toks[i] AS a, toks[i + 1] AS b
+                   FROM t, UNNEST(range(1, len(toks))) AS s(i)),
+            bgc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+            nb AS (SELECT count(*)::DOUBLE AS n FROM bg),
+            scored AS (
+              SELECT a, b, cab, ua.c AS c_a, ub.c AS c_b,
+                     ln((cab / (SELECT n FROM nb))
+                        / ((ua.c / (SELECT n FROM nu))
+                           * (ub.c / (SELECT n FROM nu)))) AS pmi
+              FROM bgc
+              JOIN uni ua ON bgc.a = ua.tok
+              JOIN uni ub ON bgc.b = ub.tok
+              WHERE cab >= 5)
+            SELECT a, b, cab AS c_ab, c_a, c_b, pmi
+            FROM (SELECT *, row_number() OVER (
+                    ORDER BY CAST(floor(pmi * 1e9) AS BIGINT) DESC,
+                             a ASC, b ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 20
+            ORDER BY a, b
+        """,
+        "doc_length_histogram": """
+            SELECT bin,
+                   0.0 + bin * ((600.0 - 0.0) / 24) AS bin_lo,
+                   count(*) AS cnt
+            FROM (SELECT CAST(least(greatest(
+                         floor((n_chars - 0.0) / ((600.0 - 0.0) / 24)),
+                         0), 24 - 1) AS BIGINT) AS bin
+                  FROM documents
+                  WHERE n_chars IS NOT NULL)
+            GROUP BY bin
+            ORDER BY bin
         """,
         "deterministic_shuffle": """
             SELECT doc_id,

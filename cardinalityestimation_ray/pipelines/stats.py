@@ -27,3 +27,57 @@ def ntok_stats_by_source(tokens_ds) -> pd.DataFrame:
             "max_tokens": pd.Series([], dtype="int64"),
         })
     return df.sort_values("source").reset_index(drop=True)
+
+
+def column_histogram(ds, column: str, *, lo: float, hi: float,
+                     n_bins: int) -> pd.DataFrame:
+    """Exact fixed-width histogram of a numeric column, distributed.
+
+    Per-batch ``np.bincount`` combiner emits at most ``n_bins`` (bin, cnt)
+    rows per batch; one small ``groupby(bin).sum`` reduces them — the
+    all-to-all moves bins-per-batch rows, never the data. Out-of-range
+    values clamp into the edge bins and nulls are dropped (SQL WHERE
+    semantics).
+
+    Returns (bin, bin_lo, cnt) for NON-EMPTY bins, matching the SQL
+    group-by shape::
+
+        SELECT least(greatest(floor((v - lo) / ((hi - lo) / n)), 0), n-1)
+               AS bin, count(*) FROM t WHERE v IS NOT NULL GROUP BY bin
+
+    Bin edges are computed with the identical float64 expression on both
+    sides, so edge-value binning is bit-reproducible.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+
+    def batch_bins(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if col.null_count:
+            col = col.drop_null()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.clip(np.floor((v - lo) / width), 0, n_bins - 1)
+        cnt = np.bincount(bins.astype(np.int64), minlength=n_bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    out = (ds.map_batches(batch_bins, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    if "cnt" not in out.columns:  # empty input
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "bin_lo": pd.Series([], dtype="float64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    out["bin"] = out["bin"].astype("int64")
+    out["bin_lo"] = lo + out["bin"].to_numpy(dtype="float64") * width
+    return (out[["bin", "bin_lo", "cnt"]]
+            .sort_values("bin").reset_index(drop=True))
