@@ -1114,6 +1114,34 @@ def _q_pmi_top_pairs(sf_dir: str):
     return pmi_top_pairs(docs, k=20, min_count=5)
 
 
+def _q_embedding_label_centroids(sf_dir: str):
+    """Class-prototype vectors: per-label mean embedding as (label, dim,
+    centroid, n) rows — labels x dims partials tree-reduced, float64
+    accumulation for SQL avg() parity."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.embeddings import (
+        label_centroids,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"])
+    return label_centroids(emb)
+
+
+def _q_embedding_norm_stats(sf_dir: str):
+    """Embedding-health check: per-label L2-norm count/avg/min/max."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.embeddings import (
+        norm_stats_by_label,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"])
+    return norm_stats_by_label(emb)
+
+
 def _q_doc_length_histogram(sf_dir: str):
     """Exact fixed-width histogram (24 bins over n_chars in [0, 600)):
     per-batch bincount combiner -> small groupby-sum; edge binning uses the
@@ -1752,6 +1780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "doc_length_histogram": _q_doc_length_histogram,
         "pmi_top_pairs": _q_pmi_top_pairs,
+        "embedding_label_centroids": _q_embedding_label_centroids,
+        "embedding_norm_stats": _q_embedding_norm_stats,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -2116,6 +2146,25 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df ON tf.t = df.t)
             WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "embedding_label_centroids": """
+            SELECT label, i AS dim,
+                   avg(CAST(embedding[i] AS DOUBLE)) AS centroid,
+                   count(*) AS n
+            FROM embeddings, UNNEST(range(1, 65)) AS s(i)
+            GROUP BY label, i
+            ORDER BY label, dim
+        """,
+        "embedding_norm_stats": """
+            WITH norms AS (
+              SELECT label,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       AS norm
+              FROM embeddings)
+            SELECT label, count(*) AS n, avg(norm) AS avg_norm,
+                   min(norm) AS min_norm, max(norm) AS max_norm
+            FROM norms GROUP BY label ORDER BY label
         """,
         "pmi_top_pairs": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),

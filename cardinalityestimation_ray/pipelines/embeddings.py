@@ -1,0 +1,123 @@
+"""Embedding-column analytics: per-label centroids and norm statistics —
+the standard class-prototype / embedding-health checks run over a vector
+column before clustering or nearest-centroid labeling.
+
+Ray-Data shape: one ``map_batches`` pass folds each batch to per-label
+(sum-vector, count) partials — emitted as (label, dim, s, cnt) rows so
+Ray's native ``groupby().sum`` tree-reduces them — and only the
+labels x dims table reaches the driver. Accumulation is float64
+regardless of the stored float32 values (parity with SQL ``avg``).
+
+The vector column is ``list<float>``; every row must have the same
+length (validated loudly — a ragged embedding column is a data bug, not
+a case to paper over).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(col, vector_column: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column; raises on ragged
+    or null rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(f"null {vector_column} row in embeddings batch")
+    offsets = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if len(offsets) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    d = int(offsets[0])
+    if not np.all(offsets == d):
+        raise ValueError(
+            f"ragged {vector_column} column: lengths "
+            f"{np.unique(offsets).tolist()[:5]}")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, d).astype(np.float64)
+
+
+def label_centroids(ds, *, vector_column: str = "embedding",
+                    label_column: str = "label") -> pd.DataFrame:
+    """Per-label mean vector, as (label, dim, centroid, n) rows.
+
+    ``dim`` is 1-based (matching SQL list indexing, so the oracle is
+    ``avg(embedding[dim]) ... GROUP BY label, dim``).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch[vector_column], vector_column)
+        labels = batch[label_column].to_numpy(zero_copy_only=False)
+        if mat.shape[0] == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, codes = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), mat.shape[1]
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), k)),
+            "s": pa.array(sums.reshape(-1)),
+            "cnt": pa.array(np.repeat(cnt, d)),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("cnt", alias_name="n"))
+           .to_pandas())
+    if "s" not in agg.columns:  # empty input
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "dim": pd.Series([], dtype="int64"),
+                             "centroid": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    agg["centroid"] = agg["s"] / agg["n"]
+    agg["label"] = agg["label"].astype("int64")
+    agg["dim"] = agg["dim"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["label", "dim", "centroid", "n"]]
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+def norm_stats_by_label(ds, *, vector_column: str = "embedding",
+                        label_column: str = "label") -> pd.DataFrame:
+    """Per-label embedding-norm health stats: (label, n, avg_norm,
+    min_norm, max_norm) over L2 norms."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def norms(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch[vector_column], vector_column)
+        n = np.sqrt((mat * mat).sum(axis=1)) if mat.size else \
+            np.zeros(mat.shape[0])
+        labels = batch[label_column].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": pa.array(labels.astype(np.int64)),
+            "norm": pa.array(n.astype(np.float64)),
+            "one": pa.array(np.ones(len(labels), dtype=np.int64)),
+        })
+
+    agg = (ds.map_batches(norms, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("one", alias_name="n"),
+                      Sum("norm", alias_name="norm_sum"),
+                      Min("norm", alias_name="min_norm"),
+                      Max("norm", alias_name="max_norm"))
+           .to_pandas())
+    if "n" not in agg.columns:
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "avg_norm": pd.Series([], dtype="float64"),
+                             "min_norm": pd.Series([], dtype="float64"),
+                             "max_norm": pd.Series([], dtype="float64")})
+    agg["avg_norm"] = agg["norm_sum"] / agg["n"]
+    agg["label"] = agg["label"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["label", "n", "avg_norm", "min_norm", "max_norm"]]
+            .sort_values("label").reset_index(drop=True))

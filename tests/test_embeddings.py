@@ -1,0 +1,82 @@
+"""Embedding analytics: centroid/norm parity with numpy references across
+block layouts; ragged and null vectors rejected loudly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cardinalityestimation_ray.pipelines.embeddings import (
+    label_centroids,
+    norm_stats_by_label,
+)
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return ray_session
+
+
+def _ds(vectors, labels, n_blocks=1):
+    import ray.data
+
+    df = pd.DataFrame({"embedding": [list(map(float, v)) for v in vectors],
+                       "label": labels})
+    ds = ray.data.from_pandas(df)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_centroids_match_numpy(_ray, n_blocks):
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(200, 8)).astype(np.float32)
+    labels = rng.integers(0, 3, 200)
+    got = label_centroids(_ds(mat, labels, n_blocks))
+    for lab in range(3):
+        want = mat[labels == lab].astype(np.float64).mean(axis=0)
+        sub = got[got["label"] == lab].sort_values("dim")
+        assert sub["n"].eq((labels == lab).sum()).all()
+        np.testing.assert_allclose(sub["centroid"], want, rtol=1e-9)
+    assert got["dim"].min() == 1 and got["dim"].max() == 8
+
+
+def test_norm_stats_match_numpy(_ray):
+    rng = np.random.default_rng(6)
+    mat = rng.normal(size=(100, 16)).astype(np.float32)
+    labels = rng.integers(0, 2, 100)
+    got = norm_stats_by_label(_ds(mat, labels, 3))
+    norms = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1))
+    for lab in range(2):
+        sub = got[got["label"] == lab].iloc[0]
+        sel = norms[labels == lab]
+        assert sub["n"] == len(sel)
+        assert sub["avg_norm"] == pytest.approx(sel.mean())
+        assert sub["min_norm"] == pytest.approx(sel.min())
+        assert sub["max_norm"] == pytest.approx(sel.max())
+
+
+def test_ragged_vectors_raise(_ray):
+    ds = _ds([[1.0, 2.0], [1.0, 2.0, 3.0]], [0, 0])
+    with pytest.raises(Exception, match="ragged"):
+        label_centroids(ds)
+
+
+def test_null_vectors_raise(_ray):
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table({
+        "embedding": pa.array([[1.0, 2.0], None],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 1], pa.int32()),
+    })
+    with pytest.raises(Exception, match="null"):
+        norm_stats_by_label(ray.data.from_arrow(tbl))
+
+
+def test_empty(_ray):
+    got = label_centroids(_ds([], []))
+    assert len(got) == 0
+    got = norm_stats_by_label(_ds([], []))
+    assert len(got) == 0
