@@ -10,7 +10,8 @@ regardless of the stored float32 values (parity with SQL ``avg``).
 
 The vector column is ``list<float>``; every row must have the same
 length (validated loudly — a ragged embedding column is a data bug, not
-a case to paper over).
+a case to paper over). Rows with a NULL label are dropped (the keyed
+stages' convention); NULL vectors raise.
 """
 
 from __future__ import annotations
@@ -49,6 +50,11 @@ def label_centroids(ds, *, vector_column: str = "embedding",
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
+        lab_col = batch[label_column]
+        if lab_col.null_count:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.is_valid(lab_col))
         mat = _batch_matrix(batch[vector_column], vector_column)
         labels = batch[label_column].to_numpy(zero_copy_only=False)
         if mat.shape[0] == 0:
@@ -93,6 +99,11 @@ def norm_stats_by_label(ds, *, vector_column: str = "embedding",
     from ray.data.aggregate import Max, Min, Sum
 
     def norms(batch: pa.Table) -> pa.Table:
+        lab_col = batch[label_column]
+        if lab_col.null_count:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.is_valid(lab_col))
         mat = _batch_matrix(batch[vector_column], vector_column)
         n = np.sqrt((mat * mat).sum(axis=1)) if mat.size else \
             np.zeros(mat.shape[0])

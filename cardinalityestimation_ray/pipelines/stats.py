@@ -64,6 +64,7 @@ def column_histogram(ds, column: str, *, lo: float, hi: float,
         if col.null_count:
             col = col.drop_null()
         v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]  # NaN floats bin nowhere (like SQL NULLs)
         bins = np.clip(np.floor((v - lo) / width), 0, n_bins - 1)
         cnt = np.bincount(bins.astype(np.int64), minlength=n_bins)
         nz = np.flatnonzero(cnt)

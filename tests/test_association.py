@@ -113,3 +113,13 @@ def test_histogram_null_and_empty(_ray):
         column_histogram(ds, "v", lo=0.0, hi=0.0, n_bins=4)
     with pytest.raises(ValueError):
         column_histogram(ds, "v", lo=0.0, hi=1.0, n_bins=0)
+
+
+def test_histogram_nan_values_dropped(_ray):
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array([1.0, float("nan"), 50.0], pa.float64())}))
+    got = column_histogram(ds, "v", lo=0.0, hi=100.0, n_bins=4)
+    assert got["cnt"].sum() == 2

@@ -80,3 +80,19 @@ def test_empty(_ray):
     assert len(got) == 0
     got = norm_stats_by_label(_ds([], []))
     assert len(got) == 0
+
+
+def test_null_labels_dropped(_ray):
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table({
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [3.0, 4.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, None, 0], pa.int32()),
+    })
+    got = label_centroids(ray.data.from_arrow(tbl))
+    assert set(got["label"]) == {0}
+    assert got[got["dim"] == 1]["centroid"].iloc[0] == pytest.approx(2.0)
+    norms = norm_stats_by_label(ray.data.from_arrow(tbl))
+    assert norms["n"].tolist() == [2]
