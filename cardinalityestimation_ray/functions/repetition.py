@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .text import _as_array
+from .text import _as_array, doc_bigram_codes, flat_tokens
 
 
 def repetition_features(batch: pa.Table, text_column: str = "text") -> pa.Table:
@@ -46,20 +46,8 @@ def repetition_features(batch: pa.Table, text_column: str = "text") -> pa.Table:
         text = pc.fill_null(text, "")
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
 
-    toks = pc.split_pattern_regex(text, r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    flat = _as_array(flat.filter(keep))
-    parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
-
-    # bigram (a, b) exists at flat positions (i, i+1) within one document
-    same_doc = parents[1:] == parents[:-1] if len(parents) else np.zeros(0, bool)
-    dict_arr = flat.dictionary_encode()
-    codes = np.asarray(dict_arr.indices)
-    a = codes[:-1][same_doc]
-    b = codes[1:][same_doc]
-    d = parents[:-1][same_doc]
+    flat, parents = flat_tokens(text)
+    _codes, a, b, d, vocab = doc_bigram_codes(flat, parents)
 
     n_bigrams = np.zeros(n, dtype=np.int64)
     np.add.at(n_bigrams, d, 1)
@@ -83,7 +71,6 @@ def repetition_features(batch: pa.Table, text_column: str = "text") -> pa.Table:
 
         # only ties for the per-doc max need string comparison
         cand = cnts == top_count[udoc]
-        vocab = dict_arr.dictionary
         a_str = vocab.take(pa.array(ua[cand])).to_pylist()
         b_str = vocab.take(pa.array(ub[cand])).to_pylist()
         pick = (pd.DataFrame({"doc": udoc[cand], "a": a_str, "b": b_str})

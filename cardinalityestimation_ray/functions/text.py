@@ -43,6 +43,44 @@ def _as_array(col) -> pa.Array:
     return col
 
 
+def flat_tokens(text, *, lowered: bool = False
+                ) -> tuple[pa.Array, np.ndarray]:
+    """(flat token strings, parent row indices) for a text column — THE
+    whitespace-split / non-empty-filter token contract shared with the SQL
+    ``_TOK`` oracle expression (``list_filter(regexp_split_to_array(text,
+    '\\s+'), x -> x <> '')``). Null rows tokenize as empty. Every operator
+    that must agree with the oracle tokenization routes through here
+    (review rule: one copy of the contract)."""
+    text = _as_array(text)
+    if text.null_count:
+        text = pc.fill_null(text, "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = _as_array(flat.filter(keep))
+    parents = _as_array(parents.filter(keep))
+    if lowered:
+        flat = _as_array(pc.utf8_lower(flat))
+    return flat, parents.to_numpy(zero_copy_only=False)
+
+
+def doc_bigram_codes(flat: pa.Array, parents: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray, pa.Array]:
+    """Dictionary-encoded tokens and within-document bigrams:
+    (codes, a_codes, b_codes, doc_idx, dictionary) where (a, b) are
+    adjacent tokens of the same parent row. ONE dictionary encode serves
+    both the unigram and bigram views. Shared by the repetition signals
+    and the PMI/bigram aggregates."""
+    dict_arr = flat.dictionary_encode()
+    codes = np.asarray(dict_arr.indices, dtype=np.int64)
+    same_doc = parents[1:] == parents[:-1] if len(parents) else \
+        np.zeros(0, dtype=bool)
+    return (codes, codes[:-1][same_doc], codes[1:][same_doc],
+            parents[:-1][same_doc], dict_arr.dictionary)
+
+
 def token_count_whitespace(text: pa.Array) -> pa.Array:
     """Number of whitespace-delimited tokens per string (empties dropped)."""
     toks = pc.split_pattern_regex(_as_array(text), r"\s+")

@@ -2,11 +2,11 @@
 collocation / phrase-mining signal ("new york" scores high because its
 joint count dwarfs what its unigram frequencies predict).
 
-Ray-Data shape: two vocabulary-bounded aggregations (unigram counts via
-:func:`.lm_score.unigram_counts`; bigram counts via a per-batch
-dictionary-encode + pack-to-int64 combiner, then one
-``groupby(a, b).sum``), joined and scored on the driver where both tables
-are already aggregate-sized. ``min_count`` prunes the long tail before
+Ray-Data shape: ONE streaming pass tokenizes each batch once and emits
+both unigram and bigram count partials as a tagged union table (one
+dictionary encode serves both views), reduced by a single
+``groupby(is_bigram, a, b).sum``; the two vocabulary-bounded tables are
+split, joined and scored on the driver where they are aggregate-sized. ``min_count`` prunes the long tail before
 scoring (PMI is noise below a handful of observations — standard
 practice, and it bounds the driver table).
 
@@ -25,39 +25,61 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .lm_score import _flat_tokens, unigram_counts
+from ..functions.text import doc_bigram_codes, flat_tokens
+
+
+def _tagged_counts(docs_ds, *, text_column: str):
+    """ONE streaming pass emitting both unigram and bigram count partials
+    as a tagged union table (is_bigram, a, b, cnt) reduced by a single
+    groupby — the corpus is read and tokenized once, not once per
+    aggregate (review fix)."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"is_bigram": pa.array([], pa.int8()),
+                          "a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        flat, parents = flat_tokens(batch[text_column])
+        if len(parents) == 0:
+            return empty
+        codes, a, b, _d, vocab = doc_bigram_codes(flat, parents)
+        u_uniq, u_cnt = np.unique(codes, return_counts=True)
+        packed = (a << np.int64(32)) | b
+        b_uniq, b_cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "is_bigram": pa.array(np.r_[np.zeros(len(u_uniq), np.int8),
+                                        np.ones(len(b_uniq), np.int8)]),
+            "a": pa.concat_arrays([
+                vocab.take(pa.array(u_uniq)).cast(pa.string()),
+                vocab.take(pa.array(b_uniq >> np.int64(32)))
+                     .cast(pa.string())]),
+            "b": pa.concat_arrays([
+                pa.array([""] * len(u_uniq), pa.string()),
+                vocab.take(pa.array(b_uniq & np.int64(0xFFFFFFFF)))
+                     .cast(pa.string())]),
+            "cnt": pa.array(np.r_[u_cnt, b_cnt].astype(np.int64)),
+        })
+
+    out = (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
+           .groupby(["is_bigram", "a", "b"])
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    if "cnt" not in out.columns:  # empty corpus
+        out = pd.DataFrame({"is_bigram": pd.Series([], dtype="int8"),
+                            "a": pd.Series([], dtype="object"),
+                            "b": pd.Series([], dtype="object"),
+                            "cnt": pd.Series([], dtype="int64")})
+    uni = (out[out["is_bigram"] == 0][["a", "cnt"]]
+           .rename(columns={"a": "token"}).reset_index(drop=True))
+    bg = out[out["is_bigram"] == 1][["a", "b", "cnt"]].reset_index(drop=True)
+    return uni, bg
 
 
 def bigram_counts(docs_ds, *, text_column: str = "text") -> pd.DataFrame:
     """(a, b, cnt) exact bigram counts — combiner + one small groupby."""
-    from ray.data.aggregate import Sum
-
-    def batch_counts(batch: pa.Table) -> pa.Table:
-        flat, parents = _flat_tokens(batch[text_column])
-        if len(parents) == 0:
-            return pa.table({"a": pa.array([], pa.string()),
-                             "b": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        dict_arr = flat.dictionary_encode()
-        codes = np.asarray(dict_arr.indices, dtype=np.int64)
-        same_doc = parents[1:] == parents[:-1]
-        packed = (codes[:-1][same_doc] << np.int64(32)) | codes[1:][same_doc]
-        uniq, cnt = np.unique(packed, return_counts=True)
-        vocab = dict_arr.dictionary
-        return pa.table({
-            "a": vocab.take(pa.array(uniq >> np.int64(32))),
-            "b": vocab.take(pa.array(uniq & np.int64(0xFFFFFFFF))),
-            "cnt": pa.array(cnt.astype(np.int64)),
-        })
-
-    out = (docs_ds.map_batches(batch_counts, batch_format="pyarrow")
-           .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="cnt"))
-           .to_pandas())
-    if "cnt" not in out.columns:  # empty corpus
-        return pd.DataFrame({"a": pd.Series([], dtype="object"),
-                             "b": pd.Series([], dtype="object"),
-                             "cnt": pd.Series([], dtype="int64")})
-    return out
+    _, bg = _tagged_counts(docs_ds, text_column=text_column)
+    return bg
 
 
 def pmi_top_pairs(docs_ds, k: int = 20, *, min_count: int = 5,
@@ -67,8 +89,7 @@ def pmi_top_pairs(docs_ds, k: int = 20, *, min_count: int = 5,
     Returns (a, b, c_ab, c_a, c_b, pmi) with
     ``pmi = ln((c_ab / N_bigrams) / ((c_a / N_tokens) * (c_b / N_tokens)))``.
     """
-    uni = unigram_counts(docs_ds, text_column=text_column)
-    bg = bigram_counts(docs_ds, text_column=text_column)
+    uni, bg = _tagged_counts(docs_ds, text_column=text_column)
     if len(bg) == 0 or len(uni) == 0:
         return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in [
             ("a", "object"), ("b", "object"), ("c_ab", "int64"),

@@ -28,32 +28,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
+from ..functions.text import flat_tokens
 from ..sketches import hashing
 
 
-def _flat_tokens(text, *, lowered: bool = False):
-    """(flat token strings, parent row indices) for a batch text column —
-    the same whitespace-split/non-empty-filter contract as the SQL ``_TOK``
-    oracle expression."""
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    if text.null_count:
-        text = pc.fill_null(text, "")
-    toks = pc.split_pattern_regex(text, r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    flat = flat.filter(keep)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    parents = parents.filter(keep)
-    if isinstance(parents, pa.ChunkedArray):
-        parents = parents.combine_chunks()
-    if lowered:
-        flat = pc.utf8_lower(flat)
-    return flat, parents.to_numpy(zero_copy_only=False)
+# the single shared tokenize contract lives in functions/text.py
+# (review rule: one copy); keep the old private name importable for the
+# sibling pipelines that use it
+_flat_tokens = flat_tokens
 
 
 def unigram_counts(docs_ds, *, text_column: str = "text") -> pd.DataFrame:

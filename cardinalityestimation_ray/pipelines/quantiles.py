@@ -62,7 +62,14 @@ def exact_quantiles_by_key(ds, column: str, key_column: str | None = None,
     group_cols = ([key_column] if key_column else []) + [column]
 
     def value_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         tbl = pa.table({c: batch[c] for c in group_cols})
+        # null values never rank (SQL quantile_disc ignores NULLs; Arrow's
+        # group_by would otherwise keep a null-key group whose NaN value
+        # could be SELECTED as a threshold — review fix)
+        if tbl[column].null_count:
+            tbl = tbl.filter(pc.is_valid(tbl[column]))
         return (tbl.group_by(group_cols)
                 .aggregate([([], "count_all")])
                 .rename_columns(group_cols + ["cnt"]))

@@ -144,6 +144,17 @@ def _child(data: bytes, start: int, end: int, typ: bytes) -> tuple[int, int]:
     raise ValueError(f"invalid MP4: missing {typ!r} box")
 
 
+def _need(box_typ: bytes, payload_start: int, payload_end: int,
+          offset: int, nbytes: int) -> None:
+    """Require ``nbytes`` at ``offset`` to lie inside THIS box's payload —
+    a short-but-well-sized box must raise, not silently parse the
+    neighboring box's bytes as field values (review fix)."""
+    if offset + nbytes > payload_end:
+        raise ValueError(
+            f"invalid MP4: {box_typ.decode('latin1')} box too short for "
+            f"its declared fields")
+
+
 def mp4_mjpeg_info(data: bytes
                    ) -> tuple[int, int, np.ndarray, np.ndarray]:
     """(n_frames, fps, sample_offsets, sample_sizes) for the first video
@@ -170,23 +181,29 @@ def _mp4_mjpeg_info(data: bytes):
             continue
         mdia_s, mdia_e = _child(data, ts, te, b"mdia")
         hdlr_s, hdlr_e = _child(data, mdia_s, mdia_e, b"hdlr")
+        _need(b"hdlr", hdlr_s, hdlr_e, hdlr_s + 8, 4)
         if data[hdlr_s + 8:hdlr_s + 12] != b"vide":
             continue
-        mdhd_s, _ = _child(data, mdia_s, mdia_e, b"mdhd")
+        mdhd_s, mdhd_e = _child(data, mdia_s, mdia_e, b"mdhd")
+        _need(b"mdhd", mdhd_s, mdhd_e, mdhd_s, 4)
         version = data[mdhd_s]
         if version == 0:
+            _need(b"mdhd", mdhd_s, mdhd_e, mdhd_s + 12, 4)
             (timescale,) = struct.unpack_from(">I", data, mdhd_s + 12)
         elif version == 1:
+            _need(b"mdhd", mdhd_s, mdhd_e, mdhd_s + 20, 4)
             (timescale,) = struct.unpack_from(">I", data, mdhd_s + 20)
         else:
             raise ValueError(f"invalid MP4: mdhd version {version}")
         minf_s, minf_e = _child(data, mdia_s, mdia_e, b"minf")
         stbl_s, stbl_e = _child(data, minf_s, minf_e, b"stbl")
 
-        stsd_s, _ = _child(data, stbl_s, stbl_e, b"stsd")
+        stsd_s, stsd_e = _child(data, stbl_s, stbl_e, b"stsd")
+        _need(b"stsd", stsd_s, stsd_e, stsd_s + 4, 4)
         (n_entries,) = struct.unpack_from(">I", data, stsd_s + 4)
         if n_entries < 1:
             raise ValueError("invalid MP4: empty stsd")
+        _need(b"stsd", stsd_s, stsd_e, stsd_s + 12, 4)
         fmt = data[stsd_s + 12:stsd_s + 16]
         if fmt != b"jpeg":
             raise ValueError(
@@ -194,14 +211,17 @@ def _mp4_mjpeg_info(data: bytes):
                 f"VisualSampleEntry is implemented; 'avc1'/H.264 needs a "
                 f"motion-compensated entropy decoder — out of scope)")
 
-        stts_s, _ = _child(data, stbl_s, stbl_e, b"stts")
+        stts_s, stts_e = _child(data, stbl_s, stbl_e, b"stts")
+        _need(b"stts", stts_s, stts_e, stts_s + 4, 4)
         (stts_n,) = struct.unpack_from(">I", data, stts_s + 4)
         if stts_n < 1:
             raise ValueError("invalid MP4: empty stts")
+        _need(b"stts", stts_s, stts_e, stts_s + 8, 8)
         _, delta = struct.unpack_from(">II", data, stts_s + 8)
         fps = max(timescale // max(delta, 1), 1)
 
         stsz_s, stsz_e = _child(data, stbl_s, stbl_e, b"stsz")
+        _need(b"stsz", stsz_s, stsz_e, stsz_s + 4, 8)
         uniform, n_samples = struct.unpack_from(">II", data, stsz_s + 4)
         if n_samples == 0:
             raise ValueError("invalid MP4: zero samples")
@@ -214,6 +234,7 @@ def _mp4_mjpeg_info(data: bytes):
                                   offset=stsz_s + 12).astype(np.int64)
 
         stsc_s, stsc_e = _child(data, stbl_s, stbl_e, b"stsc")
+        _need(b"stsc", stsc_s, stsc_e, stsc_s + 4, 4)
         (stsc_n,) = struct.unpack_from(">I", data, stsc_s + 4)
         if stsc_s + 8 + 12 * stsc_n > stsc_e or stsc_n < 1:
             raise ValueError("invalid MP4: stsc table truncated or empty")
@@ -221,6 +242,7 @@ def _mp4_mjpeg_info(data: bytes):
                 for i in range(stsc_n)]
 
         stco_s, stco_e = _child(data, stbl_s, stbl_e, b"stco")
+        _need(b"stco", stco_s, stco_e, stco_s + 4, 4)
         (n_chunks,) = struct.unpack_from(">I", data, stco_s + 4)
         if stco_s + 8 + 4 * n_chunks > stco_e or n_chunks < 1:
             raise ValueError("invalid MP4: stco table truncated or empty")

@@ -66,6 +66,21 @@ def test_nulls_never_pass(_ray):
     assert len(kept) == 3
 
 
+def test_nulls_do_not_inflate_thresholds(_ray):
+    # review fix: Arrow's group_by kept nulls as a value group, so rank
+    # ceil(q*n) counted null rows and NaN could be picked as the threshold
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table({"v": pa.array([1, None, 2, None, 3], type=pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    low, high = column_quantile_band(ds, "v", q_low=0.5, q_high=0.9)
+    assert (low, high) == (2, 3)  # quantile_disc over {1,2,3}, nulls ignored
+    kept = filter_by_column_quantile(ds, "v", q_low=0.5,
+                                     q_high=0.9).to_pandas()
+    assert sorted(kept["v"]) == [2, 3]
+
+
 def test_empty_dataset(_ray):
     import pyarrow as pa
     import ray.data

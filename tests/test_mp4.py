@@ -80,6 +80,21 @@ def test_largesize_and_nonjpeg_track_rejected_with_reason():
         mp4_mjpeg_info(bytes(blob))
 
 
+def test_short_leaf_box_raises_not_misparses():
+    # review fix: a well-sized but too-short leaf box must raise instead of
+    # silently reading the neighboring box's bytes as field values
+    from cardinalityestimation_ray.stages.mp4 import _box, _full
+
+    mdhd = _full(b"mdhd", 0, 0, b"")  # declared size 12: no timescale field
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"X\x00")
+    mdia = _box(b"mdia", mdhd + hdlr)
+    moov = _box(b"moov", _box(b"trak", mdia))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    with pytest.raises(ValueError, match="mdhd box too short"):
+        mp4_mjpeg_info(ftyp + moov)
+
+
 def test_fuzz_never_escapes_valueerror():
     blob = encode_mp4_mjpeg(_uniform_video(5), fps=4)
     rng = random.Random(7)
