@@ -1142,6 +1142,44 @@ def _q_embedding_norm_stats(sf_dir: str):
     return norm_stats_by_label(emb)
 
 
+def _q_doc_chars_cume_dist(sf_dir: str):
+    """Percentile normalization: per-document empirical CDF of n_chars
+    (SQL cume_dist parity — exact integer ratio, bit-reproducible) via the
+    broadcast value-count table + one searchsorted pass."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.quantiles import (
+        percentile_ranks,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    df = percentile_ranks(docs, "n_chars", id_column="doc_id").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_embedding_nearest_centroid(sf_dir: str):
+    """Nearest-centroid labeling end-to-end: per-label centroids from the
+    distributed aggregate, broadcast, then one vectorized (n, k) distance
+    pass per batch; quantized-distance ranking for SQL reproducibility."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.embeddings import (
+        assign_nearest_centroid,
+        label_centroids,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+    cents = label_centroids(emb)
+    df = assign_nearest_centroid(emb, cents).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["nearest_label"] = df["nearest_label"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_doc_length_histogram(sf_dir: str):
     """Exact fixed-width histogram (24 bins over n_chars in [0, 600)):
     per-batch bincount combiner -> small groupby-sum; edge binning uses the
@@ -1782,6 +1820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_pairs": _q_pmi_top_pairs,
         "embedding_label_centroids": _q_embedding_label_centroids,
         "embedding_norm_stats": _q_embedding_norm_stats,
+        "embedding_nearest_centroid": _q_embedding_nearest_centroid,
+        "doc_chars_cume_dist": _q_doc_chars_cume_dist,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -2146,6 +2186,32 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df ON tf.t = df.t)
             WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "doc_chars_cume_dist": """
+            SELECT doc_id, n_chars,
+                   cume_dist() OVER (ORDER BY n_chars) AS cume_dist
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "embedding_nearest_centroid": f"""
+            WITH cent AS (
+              SELECT label,
+                     [{', '.join(f'avg(CAST(embedding[{i}] AS DOUBLE))'
+                                 for i in range(1, 65))}] AS c
+              FROM embeddings GROUP BY label),
+            d AS (
+              SELECT e.vec_id, c.label,
+                     list_distance(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE)), c.c) AS dist
+              FROM embeddings e CROSS JOIN cent c)
+            SELECT vec_id, label AS nearest_label, dist
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY CAST(floor(dist * 1e9) AS BIGINT) ASC,
+                             label ASC) AS rn
+                  FROM d)
+            WHERE rn = 1
+            ORDER BY vec_id
         """,
         "embedding_label_centroids": """
             SELECT label, i AS dim,

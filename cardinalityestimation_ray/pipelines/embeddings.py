@@ -132,3 +132,67 @@ def norm_stats_by_label(ds, *, vector_column: str = "embedding",
     agg["n"] = agg["n"].astype("int64")
     return (agg[["label", "n", "avg_norm", "min_norm", "max_norm"]]
             .sort_values("label").reset_index(drop=True))
+
+
+def assign_nearest_centroid(ds, centroids: pd.DataFrame, *,
+                            vector_column: str = "embedding",
+                            id_column: str = "vec_id"):
+    """Nearest-centroid labeling: each vector gets the label of the
+    closest centroid by Euclidean distance — the classify half of
+    centroid-based clustering / label propagation.
+
+    ``centroids`` is the (label, dim, centroid) long-form frame
+    :func:`label_centroids` returns (1-based dims). The centroid matrix
+    broadcasts once via ``ray.put``; each batch computes its (n, k)
+    distance matrix with one vectorized pass. Selection uses the
+    QUANTIZED distance ``floor(dist * 1e9)`` with the label as tie-break,
+    so it is deterministic and SQL-reproducible (``list_distance`` +
+    ``row_number``). Distances use the direct ``sqrt(sum((x - c)^2))``
+    form for float parity with SQL ``list_distance``.
+
+    Returns a Dataset of (id, nearest_label, dist).
+    """
+    import ray
+
+    wide = centroids.pivot(index="label", columns="dim", values="centroid")
+    wide = wide.sort_index()
+    labels_arr = wide.index.to_numpy(np.int64)
+    cmat = wide.to_numpy(np.float64)  # (k, d), dims 1..d in column order
+    if np.isnan(cmat).any():
+        raise ValueError("centroid table has missing (label, dim) cells")
+    table_ref = ray.put((labels_arr, cmat))
+
+    class Assign:
+        def __init__(self):
+            self.labels, self.cmat = ray.get(table_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _batch_matrix(batch[vector_column], vector_column)
+            n = mat.shape[0]
+            if n == 0:
+                return pa.table({
+                    id_column: batch[id_column],
+                    "nearest_label": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                })
+            if mat.shape[1] != self.cmat.shape[1]:
+                raise ValueError(
+                    f"vector dim {mat.shape[1]} != centroid dim "
+                    f"{self.cmat.shape[1]}")
+            # direct (x - c)^2 per pair: (n, k, d) reduced over d — same
+            # arithmetic as SQL list_distance (no |x|^2+|c|^2-2xc trick,
+            # which differs in the last ulp)
+            diff = mat[:, None, :] - self.cmat[None, :, :]
+            dist = np.sqrt((diff * diff).sum(axis=2))
+            qd = np.floor(dist * 1e9).astype(np.int64)
+            best = np.argmin(qd, axis=1)  # argmin takes the FIRST minimum;
+            # labels are sorted ascending, so ties pick the smallest label
+            rows = np.arange(n)
+            return pa.table({
+                id_column: batch[id_column],
+                "nearest_label": pa.array(self.labels[best]),
+                "dist": pa.array(dist[rows, best]),
+            })
+
+    return ds.map_batches(Assign, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -127,3 +127,81 @@ def column_quantiles_by_key(ds, column: str, key_column: str, *,
             rows.append({key_column: key, "q": q,
                          "value": sk.quantile(float(q)), "n": n})
     return pd.DataFrame(rows)
+
+
+def percentile_ranks(ds, column: str, *, id_column: str):
+    """Per-row empirical CDF value (SQL ``cume_dist() OVER (ORDER BY
+    column)``): the standard percentile-normalization step for a quality
+    signal before thresholding.
+
+    Distributed shape: the VALUE-COUNT table (same combiner as
+    :func:`exact_quantiles_by_key` — bounded by distinct values, with the
+    same null-value drop) is cumulated on the driver and broadcast via
+    ``ray.put`` as (sorted values, cumulative counts); a second stateless
+    pass maps each row with one ``searchsorted``. ``cume_dist = (# rows
+    with value <= v) / n`` is an exact integer ratio, so the result is
+    bit-reproducible against SQL. Null values are dropped (SQL window
+    functions rank them separately; callers with nulls should filter
+    first — documented contract).
+
+    Returns a Dataset of (id, value, cume_dist).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[column]
+        if col.null_count:
+            col = col.drop_null()
+        tbl = pa.table({column: col})
+        return (tbl.group_by([column])
+                .aggregate([([], "count_all")])
+                .rename_columns([column, "cnt"]))
+
+    vc = (ds.map_batches(value_counts, batch_format="pyarrow")
+          .groupby(column).aggregate(Sum("cnt", alias_name="cnt"))
+          .to_pandas())
+    if "cnt" not in vc.columns or len(vc) == 0:
+        values = np.array([], dtype=np.float64)
+        cum = np.array([], dtype=np.int64)
+        n = 0
+    else:
+        vc = vc.sort_values(column)
+        values = vc[column].to_numpy()
+        cum = vc["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+    table_ref = ray.put((values, cum, n))
+
+    class Rank:
+        def __init__(self):
+            self.values, self.cum, self.n = ray.get(table_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            col = batch[column]
+            if col.null_count:
+                batch = batch.filter(pc.is_valid(col))
+                col = batch[column]
+            v = col.to_numpy(zero_copy_only=False)
+            if self.n == 0 or len(v) == 0:
+                le = np.zeros(len(v), dtype=np.int64)
+                cd = np.zeros(len(v), dtype=np.float64)
+            else:
+                pos = np.searchsorted(self.values, v, side="right")
+                # pos == 0 would mean a value smaller than every counted
+                # value — impossible when ranking the counted dataset
+                if np.any(pos == 0):
+                    raise ValueError(
+                        "value below the broadcast CDF table — rank the "
+                        "same dataset the table was built from")
+                cd = self.cum[pos - 1] / self.n
+            return pa.table({
+                id_column: batch[id_column],
+                column: col,
+                "cume_dist": pa.array(cd.astype(np.float64)),
+            })
+
+    return ds.map_batches(Rank, batch_format="pyarrow", concurrency=(1, 8))

@@ -96,3 +96,39 @@ def test_null_labels_dropped(_ray):
     assert got[got["dim"] == 1]["centroid"].iloc[0] == pytest.approx(2.0)
     norms = norm_stats_by_label(ray.data.from_arrow(tbl))
     assert norms["n"].tolist() == [2]
+
+
+def test_nearest_centroid_matches_numpy(_ray):
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 6)).astype(np.float32)
+    labels = rng.integers(0, 4, 120)
+    ds = _ds(mat, labels, 3)
+
+    from cardinalityestimation_ray.pipelines.embeddings import (
+        assign_nearest_centroid,
+    )
+
+    cents = label_centroids(ds)
+    got = (assign_nearest_centroid(ds, cents, id_column="label")
+           .to_pandas())
+    # reference: centroid matrix + brute-force argmin with label tiebreak
+    cmat = np.stack([mat[labels == k].astype(np.float64).mean(axis=0)
+                     for k in range(4)])
+    d = np.sqrt(((mat.astype(np.float64)[:, None, :] - cmat[None]) ** 2)
+                .sum(axis=2))
+    want = np.argmin(np.floor(d * 1e9).astype(np.int64), axis=1)
+    # rows come back in pipeline order; compare multisets per assignment
+    assert sorted(got["nearest_label"]) == sorted(want.tolist())
+    np.testing.assert_allclose(sorted(got["dist"]),
+                               sorted(d[np.arange(120), want]), rtol=1e-9)
+
+
+def test_nearest_centroid_dim_mismatch(_ray):
+    from cardinalityestimation_ray.pipelines.embeddings import (
+        assign_nearest_centroid,
+    )
+
+    ds = _ds(np.ones((4, 3), np.float32), [0, 0, 1, 1], 1)
+    cents = label_centroids(_ds(np.ones((4, 5), np.float32), [0, 0, 1, 1]))
+    with pytest.raises(Exception, match="dim"):
+        assign_nearest_centroid(ds, cents, id_column="label").to_pandas()

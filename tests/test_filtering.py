@@ -88,3 +88,29 @@ def test_empty_dataset(_ray):
     ds = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.int64())}))
     kept = filter_by_column_quantile(ds, "v", q_low=0.2).to_pandas()
     assert len(kept) == 0
+
+
+def test_percentile_ranks_match_cume_dist(_ray):
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.quantiles import (
+        percentile_ranks,
+    )
+
+    vals = [5, 1, 3, 3, 9, 1, 7]
+    ds = ray.data.from_arrow(pa.table({
+        "id": list(range(len(vals))),
+        "v": pa.array(vals, pa.int64()),
+    }))
+    got = (percentile_ranks(ds, "v", id_column="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    n = len(vals)
+    want = [sum(1 for w in vals if w <= v) / n for v in vals]
+    assert got["cume_dist"].tolist() == want
+
+    with_null = ray.data.from_arrow(pa.table({
+        "id": [0, 1, 2], "v": pa.array([1, None, 2], pa.int64())}))
+    out = percentile_ranks(with_null, "v", id_column="id").to_pandas()
+    assert sorted(out["id"]) == [0, 2]
+    assert out["cume_dist"].max() == 1.0
