@@ -1180,6 +1180,36 @@ def _q_embedding_nearest_centroid(sf_dir: str):
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_curated_corpus(sf_dir: str):
+    """END-TO-END curation capstone: exact dedup -> length quantile-band
+    filter (thresholds on the deduped corpus) -> eval-set trigram
+    decontamination (every 50th doc plays the eval set) -> seeded
+    deterministic shuffle + sharding. One CTE per stage in the oracle, so
+    the whole composed chain is SQL-checked, not just each operator."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.curation import curate_corpus
+
+    def docs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "n_chars"])
+
+    def eval_mask(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    eval_rows = docs().map_batches(
+        eval_mask, batch_format="pyarrow").take_all()
+    eval_texts = [r["text"] for r in eval_rows]
+    df = curate_corpus(docs, eval_texts, q_low=0.05, q_high=0.95,
+                       ngram=3, seed=7, n_shards=8).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_length_histogram(sf_dir: str):
     """Exact fixed-width histogram (24 bins over n_chars in [0, 600)):
     per-batch bincount combiner -> small groupby-sum; edge binning uses the
@@ -1822,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_stats": _q_embedding_norm_stats,
         "embedding_nearest_centroid": _q_embedding_nearest_centroid,
         "doc_chars_cume_dist": _q_doc_chars_cume_dist,
+        "curated_corpus": _q_curated_corpus,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -2186,6 +2217,54 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df ON tf.t = df.t)
             WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "curated_corpus": f"""
+            WITH dedup AS (
+              SELECT doc_id, text, n_chars FROM (
+                SELECT doc_id, text, n_chars,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            band AS (
+              SELECT * FROM dedup
+              WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.05)
+                                FROM dedup)
+                AND n_chars <= (SELECT quantile_disc(n_chars, 0.95)
+                                FROM dedup)),
+            tok AS (SELECT doc_id, {_TOK} AS t FROM band),
+            idx AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM tok),
+            grams AS (SELECT DISTINCT doc_id,
+                             array_to_string(
+                                 t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                 ' ') AS gram
+                      FROM idx),
+            ev_tok AS (SELECT doc_id, {_TOK} AS t FROM documents
+                       WHERE doc_id % 50 = 0),
+            ev_idx AS (SELECT doc_id, t,
+                              unnest(generate_series(1, len(t) - 2)) AS i
+                       FROM ev_tok),
+            eval_grams AS (SELECT DISTINCT
+                               array_to_string(
+                                   t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                   ' ') AS gram
+                           FROM ev_idx),
+            clean AS (
+              SELECT b.doc_id FROM band b
+              WHERE NOT EXISTS (
+                SELECT 1 FROM grams g
+                WHERE g.doc_id = b.doc_id
+                  AND g.gram IN (SELECT gram FROM eval_grams)))
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY ((doc_id + 7) * 2654435761) % 2147483648,
+                              doc_id) - 1 AS shuffle_pos,
+                   (row_number() OVER (
+                     ORDER BY ((doc_id + 7) * 2654435761) % 2147483648,
+                              doc_id) - 1) % 8 AS shard
+            FROM clean
+            ORDER BY doc_id
         """,
         "doc_chars_cume_dist": """
             SELECT doc_id, n_chars,

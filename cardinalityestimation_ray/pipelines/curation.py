@@ -1,0 +1,50 @@
+"""End-to-end corpus curation: the canonical pretraining data-prep chain
+composed from this repo's operators —
+
+    exact dedup (keep min-id per identical text)
+      -> length quantile-band filter (thresholds on the DEDUPED corpus)
+      -> eval-set n-gram decontamination (broadcast gram set)
+      -> seeded deterministic epoch shuffle + round-robin sharding
+
+Every stage is one of the already-oracle-checked operators, so the whole
+chain stays SQL-reproducible end-to-end (the driver oracle is one CTE per
+stage). The composition itself is what this module pins down: stage ORDER
+matters (band thresholds must be computed on the deduped corpus; the
+shuffle ranks only survivors) and the oracle catches any drift.
+
+Scale note: each stage is lazy, so a stage that re-consumes its input
+(the band filter's two passes) re-executes the upstream lineage. At test
+scale that is the right trade; at 100 TB you checkpoint between stages by
+writing the survivor id set (or the full rows) to partitioned parquet —
+``sources/io.write_partitioned`` — and resuming from it, exactly like the
+resumable-jobs path. Documented contract, not an accident.
+"""
+
+from __future__ import annotations
+
+from .decontamination import decontaminated_corpus
+from .dedup import exact_dedup
+from .filtering import filter_by_column_quantile
+from .shuffle import deterministic_shuffle
+
+
+def curate_corpus(make_docs_ds, eval_texts, *,
+                  q_low: float = 0.05, q_high: float = 0.95,
+                  ngram: int = 3, seed: int = 0, n_shards: int = 8,
+                  text_column: str = "text", id_column: str = "doc_id",
+                  length_column: str = "n_chars"):
+    """Run the full curation chain; returns a Dataset of
+    (id, shuffle_pos, shard) for the surviving documents.
+
+    ``make_docs_ds`` is a zero-arg factory returning the documents Dataset
+    (the heavy-hitters convention — multi-pass stages need a fresh lazy
+    dataset per pass rather than a consumed one).
+    """
+    deduped = exact_dedup(make_docs_ds(), text_column=text_column,
+                          id_column=id_column)
+    banded = filter_by_column_quantile(deduped, length_column,
+                                       q_low=q_low, q_high=q_high)
+    clean = decontaminated_corpus(banded, eval_texts, n=ngram,
+                                  text_column=text_column)
+    return deterministic_shuffle(clean, id_column=id_column, seed=seed,
+                                 n_shards=n_shards)

@@ -1,0 +1,77 @@
+"""End-to-end curation chain: planted duplicates deduped, eval docs and
+their near-matches decontaminated, band filter applied on the DEDUPED
+corpus, survivors get a valid shuffle permutation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cardinalityestimation_ray.pipelines.curation import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return ray_session
+
+
+def _make_docs():
+    # 40 docs: ids 0..39. Pairs (i, i+20) for i in 0..4 share identical
+    # text (dedup must keep the smaller id). Doc 10 IS the eval text.
+    # Doc 11 shares a trigram with it (contaminated). Docs 30..34 are
+    # one-word docs (very short -> below the length band).
+    texts = {}
+    for i in range(40):
+        texts[i] = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+    for i in range(5):
+        texts[20 + i] = texts[i]
+    texts[10] = "secret eval trigram here now please keep away"
+    texts[11] = "prefix words then secret eval trigram tail tokens"
+    for i in range(30, 35):
+        texts[i] = "tiny"
+    return texts
+
+
+def test_curation_chain(_ray):
+    import ray.data
+
+    texts = _make_docs()
+    df = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [texts[i] for i in range(40)],
+        "n_chars": [len(texts[i]) for i in range(40)],
+    })
+
+    def docs():
+        return ray.data.from_pandas(df).repartition(3)
+
+    out = (curate_corpus(docs, eval_texts=[texts[10]], q_low=0.2,
+                         q_high=1.0, ngram=3, seed=3, n_shards=4)
+           .to_pandas().sort_values("doc_id"))
+    kept = set(out["doc_id"])
+
+    assert not kept & {20, 21, 22, 23, 24}  # duplicate pair: larger id out
+    assert {0, 1, 2, 3, 4} <= kept          # ...smaller id survives
+    assert 10 not in kept                   # eval doc itself dropped
+    assert 11 not in kept                   # shared-trigram doc dropped
+    assert not kept & set(range(30, 35))    # short docs below the band
+    assert sorted(out["shuffle_pos"]) == list(range(len(out)))
+    assert set(out["shard"]) <= {0, 1, 2, 3}
+
+
+def test_curation_empty_eval_set(_ray):
+    import ray.data
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6),
+        "text": [f"w{i} x{i} y{i} z{i}" for i in range(6)],
+        "n_chars": [15] * 6,
+    })
+
+    def docs():
+        return ray.data.from_pandas(df)
+
+    out = curate_corpus(docs, eval_texts=[], q_low=0.0, q_high=1.0,
+                        seed=0).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(6))
