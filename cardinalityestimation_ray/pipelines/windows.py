@@ -5,10 +5,11 @@ expressed as (SURVEY.md §2.7 / ray guide "streaming-shaped workloads"):
 
 - tumbling windows: a vectorized bucket column + grouped aggregate — the
   shuffle moves per-batch pre-aggregated (key, bucket) partials only;
-- session windows: ``groupby(key).map_groups`` over ts-sorted groups
-  (ordering assumption: all events of one key fit one group — they are
-  co-partitioned by the groupby; skewed users would need a two-level
-  day-split first).
+- session windows: keys hash-partition into a bounded number of buckets
+  and each bucket runs ONE vectorized lexsort + np.diff segmented scan
+  (round-2 VERDICT fix — no per-key map_groups dispatch; ordering
+  assumption: all events of one key land in one bucket, which the hash
+  partitioning guarantees).
 """
 
 from __future__ import annotations
