@@ -1664,6 +1664,33 @@ def _q_bloom_semi_join_orders(sf_dir: str):
     return out.to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _q_bloom_anti_join_customers(sf_dir: str):
+    """Broadcast ANTI-join (negate=True): customers with NO urgent order —
+    exercises the SQL NOT IN path incl. the null-probe-key drop (advice
+    fix), grouped by market segment."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        broadcast_semi_join,
+    )
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderpriority"])
+    keys = (orders.filter(expr="o_orderpriority == '1-URGENT'")
+            .to_pandas()["o_custkey"].unique())
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    loners = broadcast_semi_join(cust, keys, "c_custkey", negate=True)
+    out = loners.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers")).to_pandas()
+    if "c_mktsegment" not in out.columns:  # empty anti set
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "n_customers": pd.Series([], dtype="int64")})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def _q_stratified_sample_by_source(sf_dir: str):
     """Stratified (per-source) uniform sampling via keyed mergeable
     reservoirs. The returned columns are the DETERMINISTIC projections of
@@ -1879,6 +1906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_windows": _q_sliding_event_windows,
         "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "bloom_anti_join_customers": _q_bloom_anti_join_customers,
         "reservoir_sample_ntok": _q_reservoir_sample_ntok,
         "stratified_sample_by_source": _q_stratified_sample_by_source,
         "incremental_distinct_docs": _q_incremental_distinct_docs,
@@ -2574,6 +2602,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "bloom_anti_join_customers": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "bloom_semi_join_orders": """
             SELECT o_orderstatus, count(*) AS n_orders
