@@ -48,3 +48,26 @@ def curate_corpus(make_docs_ds, eval_texts, *,
                                   text_column=text_column)
     return deterministic_shuffle(clean, id_column=id_column, seed=seed,
                                  n_shards=n_shards)
+
+
+def curate_and_write(make_docs_ds, eval_texts, out_dir: str, **kwargs):
+    """Run :func:`curate_corpus` and persist the shard assignment as
+    hive-partitioned parquet (``shard=N/`` directories) with a manifest —
+    the resumable-output layout: a rerun sees the manifest and skips the
+    whole job (`sources/io.is_complete_output`), and each ``shard=N``
+    directory is an independently consumable, equal-sized uniform sample
+    of the curated corpus.
+
+    Returns the manifest dict (or the existing one when output is already
+    complete).
+    """
+    import json
+    import os
+
+    from ..sources.io import is_complete_output, write_partitioned
+
+    if is_complete_output(out_dir):
+        with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+            return json.load(f)
+    curated = curate_corpus(make_docs_ds, eval_texts, **kwargs)
+    return write_partitioned(curated, out_dir, partition_cols=["shard"])

@@ -75,3 +75,40 @@ def test_curation_empty_eval_set(_ray):
     out = curate_corpus(docs, eval_texts=[], q_low=0.0, q_high=1.0,
                         seed=0).to_pandas()
     assert sorted(out["doc_id"]) == list(range(6))
+
+
+def test_curate_and_write_resumable(_ray, tmp_path):
+    import os
+
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.curation import (
+        curate_and_write,
+    )
+
+    texts = _make_docs()
+    df = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [texts[i] for i in range(40)],
+        "n_chars": [len(texts[i]) for i in range(40)],
+    })
+
+    def docs():
+        return ray.data.from_pandas(df)
+
+    out = str(tmp_path / "curated")
+    manifest = curate_and_write(docs, [texts[10]], out, q_low=0.2,
+                                q_high=1.0, ngram=3, seed=3, n_shards=4)
+    assert manifest["n_files"] >= 1
+    shards = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert shards  # hive-style shard directories
+    back = ray.data.read_parquet(out).to_pandas()
+    want = (curate_corpus(docs, [texts[10]], q_low=0.2, q_high=1.0,
+                          ngram=3, seed=3, n_shards=4)
+            .to_pandas())
+    assert sorted(back["doc_id"]) == sorted(want["doc_id"])
+
+    # rerun: complete output is skipped (manifest returned unchanged)
+    again = curate_and_write(docs, [texts[10]], out, q_low=0.2,
+                             q_high=1.0, ngram=3, seed=3, n_shards=4)
+    assert again == manifest
