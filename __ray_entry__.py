@@ -1691,6 +1691,43 @@ def _q_bloom_anti_join_customers(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _q_event_transition_counts(sf_dir: str):
+    """User-journey transition matrix: consecutive event_type pairs per
+    user ordered by (ts, event_id) — bucketed segmented scan, |types|^2
+    partials, SQL lag() window oracle."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sequences import (
+        event_transition_counts,
+    )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return event_transition_counts(ev)
+
+
+def _q_rolling_event_value_mean(sf_dir: str):
+    """Trailing-window feature engineering: each event's mean of its own +
+    3 preceding values per user (SQL ROWS 3 PRECEDING frame), via the
+    bucketed segmented scan with direct shifted adds."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sequences import (
+        rolling_mean_by_key,
+    )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    df = rolling_mean_by_key(ev, window=4).to_pandas()
+    if "_bucket" in df.columns:
+        df = df.drop(columns=["_bucket"])
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_stratified_sample_by_source(sf_dir: str):
     """Stratified (per-source) uniform sampling via keyed mergeable
     reservoirs. The returned columns are the DETERMINISTIC projections of
@@ -1907,6 +1944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_distinct_docs_by_source": _q_salted_distinct_docs_by_source,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "bloom_anti_join_customers": _q_bloom_anti_join_customers,
+        "event_transition_counts": _q_event_transition_counts,
+        "rolling_event_value_mean": _q_rolling_event_value_mean,
         "reservoir_sample_ntok": _q_reservoir_sample_ntok,
         "stratified_sample_by_source": _q_stratified_sample_by_source,
         "incremental_distinct_docs": _q_incremental_distinct_docs,
@@ -2602,6 +2641,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "event_transition_counts": """
+            SELECT from_type, to_type, count(*) AS cnt FROM (
+              SELECT event_type AS to_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS from_type
+              FROM events)
+            WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+            ORDER BY from_type, to_type
+        """,
+        "rolling_event_value_mean": """
+            SELECT event_id, user_id,
+                   avg(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 3 PRECEDING
+                                         AND CURRENT ROW) AS rolling_mean
+            FROM events
+            ORDER BY event_id
         """,
         "bloom_anti_join_customers": """
             SELECT c_mktsegment, count(*) AS n_customers
