@@ -1203,7 +1203,7 @@ def _q_curated_corpus(sf_dir: str):
     eval_rows = docs().map_batches(
         eval_mask, batch_format="pyarrow").take_all()
     eval_texts = [r["text"] for r in eval_rows]
-    df = curate_corpus(docs, eval_texts, q_low=0.05, q_high=0.95,
+    df = curate_corpus(docs(), eval_texts, q_low=0.05, q_high=0.95,
                        ngram=3, seed=7, n_shards=8).to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
@@ -1678,8 +1678,11 @@ def _q_bloom_anti_join_customers(sf_dir: str):
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_orderpriority"])
+    # dropna: SQL NOT IN against a build side containing NULL returns
+    # ZERO rows (three-valued logic); the operator's contract is "NOT IN
+    # the NON-NULL build keys" — state it by dropping nulls here
     keys = (orders.filter(expr="o_orderpriority == '1-URGENT'")
-            .to_pandas()["o_custkey"].unique())
+            .to_pandas()["o_custkey"].dropna().unique())
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     loners = broadcast_semi_join(cust, keys, "c_custkey", negate=True)
@@ -2648,7 +2651,8 @@ def oracle_sql() -> dict[str, str]:
                      lag(event_type) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id)
                        AS from_type
-              FROM events)
+              FROM events
+              WHERE event_type IS NOT NULL)
             WHERE from_type IS NOT NULL
             GROUP BY from_type, to_type
             ORDER BY from_type, to_type

@@ -28,7 +28,7 @@ from .filtering import filter_by_column_quantile
 from .shuffle import deterministic_shuffle
 
 
-def curate_corpus(make_docs_ds, eval_texts, *,
+def curate_corpus(docs_ds, eval_texts, *,
                   q_low: float = 0.05, q_high: float = 0.95,
                   ngram: int = 3, seed: int = 0, n_shards: int = 8,
                   text_column: str = "text", id_column: str = "doc_id",
@@ -36,11 +36,11 @@ def curate_corpus(make_docs_ds, eval_texts, *,
     """Run the full curation chain; returns a Dataset of
     (id, shuffle_pos, shard) for the surviving documents.
 
-    ``make_docs_ds`` is a zero-arg factory returning the documents Dataset
-    (the heavy-hitters convention — multi-pass stages need a fresh lazy
-    dataset per pass rather than a consumed one).
+    ``docs_ds`` is a lazy documents Dataset; the one multi-pass stage
+    (the band filter's threshold pass) re-executes its upstream lineage,
+    which Ray Datasets support natively — no factory ceremony needed.
     """
-    deduped = exact_dedup(make_docs_ds(), text_column=text_column,
+    deduped = exact_dedup(docs_ds, text_column=text_column,
                           id_column=id_column)
     banded = filter_by_column_quantile(deduped, length_column,
                                        q_low=q_low, q_high=q_high)
@@ -50,7 +50,7 @@ def curate_corpus(make_docs_ds, eval_texts, *,
                                  n_shards=n_shards)
 
 
-def curate_and_write(make_docs_ds, eval_texts, out_dir: str, **kwargs):
+def curate_and_write(docs_ds, eval_texts, out_dir: str, **kwargs):
     """Run :func:`curate_corpus` and persist the shard assignment as
     hive-partitioned parquet (``shard=N/`` directories) with a manifest —
     the resumable-output layout: a rerun sees the manifest and skips the
@@ -69,5 +69,5 @@ def curate_and_write(make_docs_ds, eval_texts, out_dir: str, **kwargs):
     if is_complete_output(out_dir):
         with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
             return json.load(f)
-    curated = curate_corpus(make_docs_ds, eval_texts, **kwargs)
+    curated = curate_corpus(docs_ds, eval_texts, **kwargs)
     return write_partitioned(curated, out_dir, partition_cols=["shard"])

@@ -109,6 +109,13 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
     import ray
 
     keys = np.unique(np.asarray(build_keys))
+    if np.issubdtype(keys.dtype, np.floating):
+        # a null build key can never match any probe; strip NaN so a
+        # nullable-int build side (pandas promotes to float + NaN) still
+        # behaves as "IN the non-null keys". (SQL NOT IN with a NULL
+        # build key returns zero rows — callers wanting 3-valued-logic
+        # parity must not pass nulls; documented contract.)
+        keys = keys[~np.isnan(keys)]
     # canonicalize width: the hash identity is the byte image, so an int32
     # build side probed against an int64 column would never match. Both
     # sides normalize to 8-byte images (int64/float64) before hashing.

@@ -150,8 +150,6 @@ def percentile_ranks(ds, column: str, *, id_column: str):
     from ray.data.aggregate import Sum
 
     def value_counts(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         col = batch[column]
         if col.null_count:
             col = col.drop_null()
@@ -187,7 +185,6 @@ def percentile_ranks(ds, column: str, *, id_column: str):
                 col = batch[column]
             v = col.to_numpy(zero_copy_only=False)
             if self.n == 0 or len(v) == 0:
-                le = np.zeros(len(v), dtype=np.int64)
                 cd = np.zeros(len(v), dtype=np.float64)
             else:
                 pos = np.searchsorted(self.values, v, side="right")

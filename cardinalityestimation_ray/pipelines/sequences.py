@@ -13,8 +13,11 @@ number of buckets and each bucket runs ONE vectorized lexsort + segmented
 scan — no per-key Python dispatch, per-task work bounded by bucket size.
 The scan orders by (key, ts, event_id) — a TOTAL order, so results are
 deterministic and SQL-window-reproducible even with tied timestamps.
-Null keys and null timestamps are dropped (SQL GROUP BY / window
-semantics, matching the keyed sketch stages).
+Null keys, null timestamps, and (for the transition matrix) null event
+types are dropped before the scan — the keyed-stage convention, stated
+in each oracle (review fix: pandas' groupby silently dropped null-type
+PAIRS while the lag() oracle kept (type, NULL) rows; filtering null
+types up front makes both sides agree by construction).
 """
 
 from __future__ import annotations
@@ -28,11 +31,17 @@ from .windows import _drop_null_ts, _key_bucket, _ts_micros
 
 
 def _bucketed(events_ds, columns: dict, *, key_column: str,
-              ts_column: str, id_column: str, num_buckets: int):
-    """Project to (key, _ts_us, id, *columns) with a hash-bucket column."""
+              ts_column: str, id_column: str, num_buckets: int,
+              drop_null_columns: tuple = ()):
+    """Project to (key, _ts_us, id, *columns) with a hash-bucket column;
+    rows with a null key / ts / any ``drop_null_columns`` value drop."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         batch = _drop_null_ts(batch, ts_column)
+        for col_name in drop_null_columns:
+            col = batch[col_name]
+            if col.null_count:
+                batch = batch.filter(pc.is_valid(col))
         keys = batch[key_column]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -64,21 +73,32 @@ def event_transition_counts(events_ds, *, key_column: str = "user_id",
     """Global (from_type, to_type, cnt) over consecutive events of each
     key ordered by (ts, id) — the user-journey transition matrix.
 
-    Per-bucket segmented scan emits per-bucket partial counts; one small
-    ``groupby(from, to).sum`` reduces them (transition matrix is
-    |types|^2-bounded, never row-scale).
+    Rows with a null event type are dropped BEFORE pairing (so a
+    [a, NULL, b] stream yields the a->b transition; the SQL oracle
+    filters null types identically). Per-bucket segmented scan emits
+    per-bucket partial counts; one small ``groupby(from, to).sum``
+    reduces them (transition matrix is |types|^2-bounded, never
+    row-scale).
     """
     from ray.data.aggregate import Sum
 
     bucketed = _bucketed(events_ds, {type_column: None},
                          key_column=key_column, ts_column=ts_column,
-                         id_column=id_column, num_buckets=num_buckets)
+                         id_column=id_column, num_buckets=num_buckets,
+                         drop_null_columns=(type_column,))
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0:
-            return pd.DataFrame({"from_type": pd.Series([], dtype="object"),
-                                 "to_type": pd.Series([], dtype="object"),
+        def empty() -> pd.DataFrame:
+            # sentinel dtypes follow the input column so every bucket
+            # emits the same schema (review fix: a hardcoded object dtype
+            # mismatched int-typed event columns across blocks)
+            tdt = group[type_column].dtype if len(group.columns) else "object"
+            return pd.DataFrame({"from_type": pd.Series([], dtype=tdt),
+                                 "to_type": pd.Series([], dtype=tdt),
                                  "cnt": pd.Series([], dtype="int64")})
+
+        if len(group) == 0:
+            return empty()
         codes, _ = pd.factorize(group[key_column].to_numpy())
         ts = group["_ts_us"].to_numpy()
         ids = group[id_column].to_numpy()
@@ -89,9 +109,7 @@ def event_transition_counts(events_ds, *, key_column: str = "user_id",
         frm = types[:-1][same]
         to = types[1:][same]
         if len(frm) == 0:
-            return pd.DataFrame({"from_type": pd.Series([], dtype="object"),
-                                 "to_type": pd.Series([], dtype="object"),
-                                 "cnt": pd.Series([], dtype="int64")})
+            return empty()
         out = (pd.DataFrame({"from_type": frm, "to_type": to})
                .groupby(["from_type", "to_type"], sort=False)
                .size().rename("cnt").reset_index())
@@ -124,9 +142,11 @@ def rolling_mean_by_key(events_ds, *, value_column: str = "value",
                          ROWS window-1 PRECEDING)
 
     Returns a Dataset of (id, key, rolling_mean). Null values propagate
-    as SQL avg does (nulls excluded from numerator AND denominator) —
-    implemented with a paired cumsum over (value-as-0, is-valid) so one
-    segmented pass handles nulls exactly.
+    as SQL avg does (nulls excluded from numerator AND denominator) via
+    paired (value-as-0, is-valid) window sums. Sums are DIRECT shifted
+    adds, O(window * n) vectorized — deliberately NOT a cumsum-difference
+    scheme, which leaks prefix-magnitude rounding error into near-zero
+    window sums. Meant for small feature windows (k <= ~64).
     """
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")

@@ -46,7 +46,7 @@ def test_curation_chain(_ray):
     def docs():
         return ray.data.from_pandas(df).repartition(3)
 
-    out = (curate_corpus(docs, eval_texts=[texts[10]], q_low=0.2,
+    out = (curate_corpus(docs(), eval_texts=[texts[10]], q_low=0.2,
                          q_high=1.0, ngram=3, seed=3, n_shards=4)
            .to_pandas().sort_values("doc_id"))
     kept = set(out["doc_id"])
@@ -72,7 +72,7 @@ def test_curation_empty_eval_set(_ray):
     def docs():
         return ray.data.from_pandas(df)
 
-    out = curate_corpus(docs, eval_texts=[], q_low=0.0, q_high=1.0,
+    out = curate_corpus(docs(), eval_texts=[], q_low=0.0, q_high=1.0,
                         seed=0).to_pandas()
     assert sorted(out["doc_id"]) == list(range(6))
 
@@ -97,18 +97,18 @@ def test_curate_and_write_resumable(_ray, tmp_path):
         return ray.data.from_pandas(df)
 
     out = str(tmp_path / "curated")
-    manifest = curate_and_write(docs, [texts[10]], out, q_low=0.2,
+    manifest = curate_and_write(docs(), [texts[10]], out, q_low=0.2,
                                 q_high=1.0, ngram=3, seed=3, n_shards=4)
     assert manifest["n_files"] >= 1
     shards = {d for d in os.listdir(out) if d.startswith("shard=")}
     assert shards  # hive-style shard directories
     back = ray.data.read_parquet(out).to_pandas()
-    want = (curate_corpus(docs, [texts[10]], q_low=0.2, q_high=1.0,
+    want = (curate_corpus(docs(), [texts[10]], q_low=0.2, q_high=1.0,
                           ngram=3, seed=3, n_shards=4)
             .to_pandas())
     assert sorted(back["doc_id"]) == sorted(want["doc_id"])
 
     # rerun: complete output is skipped (manifest returned unchanged)
-    again = curate_and_write(docs, [texts[10]], out, q_low=0.2,
+    again = curate_and_write(docs(), [texts[10]], out, q_low=0.2,
                              q_high=1.0, ngram=3, seed=3, n_shards=4)
     assert again == manifest

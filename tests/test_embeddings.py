@@ -99,28 +99,36 @@ def test_null_labels_dropped(_ray):
 
 
 def test_nearest_centroid_matches_numpy(_ray):
+    import ray.data
+
     rng = np.random.default_rng(11)
     mat = rng.normal(size=(120, 6)).astype(np.float32)
     labels = rng.integers(0, 4, 120)
-    ds = _ds(mat, labels, 3)
+    df = pd.DataFrame({
+        "vec_id": np.arange(120),
+        "embedding": [list(map(float, v)) for v in mat],
+        "label": labels,
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
 
     from cardinalityestimation_ray.pipelines.embeddings import (
         assign_nearest_centroid,
     )
 
     cents = label_centroids(ds)
-    got = (assign_nearest_centroid(ds, cents, id_column="label")
-           .to_pandas())
-    # reference: centroid matrix + brute-force argmin with label tiebreak
+    got = (assign_nearest_centroid(ds, cents).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    # reference: centroid matrix + brute-force argmin with label tiebreak,
+    # compared PER ROW via vec_id (a label permutation must fail)
     cmat = np.stack([mat[labels == k].astype(np.float64).mean(axis=0)
                      for k in range(4)])
     d = np.sqrt(((mat.astype(np.float64)[:, None, :] - cmat[None]) ** 2)
                 .sum(axis=2))
     want = np.argmin(np.floor(d * 1e9).astype(np.int64), axis=1)
-    # rows come back in pipeline order; compare multisets per assignment
-    assert sorted(got["nearest_label"]) == sorted(want.tolist())
-    np.testing.assert_allclose(sorted(got["dist"]),
-                               sorted(d[np.arange(120), want]), rtol=1e-9)
+    assert got["vec_id"].tolist() == list(range(120))
+    assert got["nearest_label"].tolist() == want.tolist()
+    np.testing.assert_allclose(got["dist"],
+                               d[np.arange(120), want], rtol=1e-9)
 
 
 def test_nearest_centroid_dim_mismatch(_ray):

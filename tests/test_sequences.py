@@ -83,6 +83,27 @@ def test_single_event_users_and_empty(_ray):
     assert len(event_transition_counts(_ds(empty, 1))) == 0
 
 
+def test_null_event_types_dropped_before_pairing(_ray):
+    # review fix: [a, NULL, b] must yield the a->b transition (null-type
+    # rows drop BEFORE pairing, same as the oracle's WHERE filter) —
+    # pandas' groupby used to silently drop (a, NULL) pairs instead
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["a", None, "b"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+    })
+    got = event_transition_counts(ray.data.from_arrow(tbl))
+    assert len(got) == 1
+    assert (got.iloc[0]["from_type"], got.iloc[0]["to_type"],
+            got.iloc[0]["cnt"]) == ("a", "b", 1)
+
+
 def test_null_keys_dropped(_ray):
     import pyarrow as pa
     import ray.data
