@@ -1843,6 +1843,17 @@ def _q_theta_token_set_ops(sf_dir: str):
                                 k=4096)
 
 
+def _q_source_overlap_matrix(sf_dir: str):
+    """Pairwise source-similarity matrix: every source pair's token-set
+    intersection/jaccard read directly off keyed theta sketches from ONE
+    scan — exact at sf0.01 (per-source vocab << k)."""
+    from cardinalityestimation_ray.pipelines.distinct import (
+        pairwise_overlap_matrix,
+    )
+
+    return pairwise_overlap_matrix(_tokens(sf_dir), "source", k=4096)
+
+
 def _q_clean_doc_texts(sf_dir: str):
     """Text cleaning/redaction (URL/email -> placeholders, whitespace
     normalization) — RE2 kernels on both sides make DuckDB an exact oracle."""
@@ -1956,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_counts": _q_token_bigram_counts,
         "clean_doc_texts": _q_clean_doc_texts,
         "theta_token_set_ops": _q_theta_token_set_ops,
+        "source_overlap_matrix": _q_source_overlap_matrix,
         "weighted_sample_nchars": _q_weighted_sample_nchars,
         "bigram_heavy_hitters": _q_bigram_heavy_hitters,
     }
@@ -2335,6 +2347,27 @@ def oracle_sql() -> dict[str, str]:
                               doc_id) - 1) % 8 AS shard
             FROM clean
             ORDER BY doc_id
+        """,
+        "source_overlap_matrix": f"""
+            WITH toks AS (SELECT DISTINCT source, t FROM
+                            (SELECT source, unnest({_TOK}) AS t
+                             FROM documents)),
+            counts AS (SELECT source, count(*) AS c FROM toks
+                       GROUP BY source),
+            inter AS (SELECT a.source AS sa, b.source AS sb,
+                             count(*) AS ci
+                      FROM toks a JOIN toks b
+                        ON a.t = b.t AND a.source < b.source
+                      GROUP BY a.source, b.source)
+            SELECT x.source AS key_a, y.source AS key_b,
+                   x.c AS n_a, y.c AS n_b,
+                   coalesce(i.ci, 0) AS n_intersection,
+                   coalesce(i.ci, 0)
+                     / (x.c + y.c - coalesce(i.ci, 0))::DOUBLE AS jaccard
+            FROM counts x
+            JOIN counts y ON x.source < y.source
+            LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
+            ORDER BY key_a, key_b
         """,
         "doc_chars_cume_dist": """
             SELECT doc_id, n_chars,

@@ -246,3 +246,55 @@ def theta_set_ops_tokens(tokens_ds, key_column: str, key_a: str, key_b: str,
         "n_intersection": [ThetaSketch.intersection_estimate(sk_a, sk_b)],
         "n_a_minus_b": [ThetaSketch.difference_estimate(sk_a, sk_b)],
     })
+
+
+def pairwise_overlap_matrix(tokens_ds, key_column: str, *, k: int = 4096,
+                            token_column: str = "tokens") -> pd.DataFrame:
+    """Pairwise token-set overlap between ALL keys (source-similarity
+    matrix): one scan builds a keyed theta sketch per key, the driver
+    reads off every pair's intersection/jaccard DIRECTLY from the hash
+    samples — |keys| x k driver state, no pairwise corpus scans, no
+    shuffle beyond the <=k-hash partial rows.
+
+    Exact while each key's distinct-token count stays under k (theta=1);
+    above k the estimates carry the ~1/sqrt(k) KMV error. Returns
+    (key_a, key_b, n_a, n_b, n_intersection, jaccard) for key_a < key_b.
+    """
+    from ..sketches.theta import ThetaSketch
+    from ..stages.sketch_stages import (
+        GenericSketchPartials,
+        tree_merge_keyed_partials_generic,
+    )
+
+    partials = tokens_ds.map_batches(
+        GenericSketchPartials("theta", {"k": k}, token_column,
+                              explode_list=True, key_column=key_column),
+        batch_format="pyarrow")
+    merged = tree_merge_keyed_partials_generic(partials, key_column, "theta")
+    keys = sorted(merged)
+    rows = []
+    for i, ka in enumerate(keys):
+        sk_a = merged[ka][0]
+        n_a = sk_a.estimate()
+        for kb in keys[i + 1:]:
+            sk_b = merged[kb][0]
+            n_b = sk_b.estimate()
+            inter = ThetaSketch.intersection_estimate(sk_a, sk_b)
+            union = ThetaSketch.union_estimate(sk_a, sk_b)
+            rows.append({
+                "key_a": ka, "key_b": kb,
+                "n_a": int(n_a), "n_b": int(n_b),
+                "n_intersection": int(inter),
+                "jaccard": float(inter) / union if union else 0.0,
+            })
+    if not rows:
+        return pd.DataFrame({
+            "key_a": pd.Series([], dtype="object"),
+            "key_b": pd.Series([], dtype="object"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "n_intersection": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+    return (pd.DataFrame(rows).sort_values(["key_a", "key_b"])
+            .reset_index(drop=True))

@@ -187,3 +187,42 @@ class TestHashTagging:
             getattr(ThetaSketch, op)(a, b_hash)
         with pytest.raises(ValueError, match="different k"):
             getattr(ThetaSketch, op)(a, b_k)
+
+
+def test_pairwise_overlap_matrix_exact_regime(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        pairwise_overlap_matrix,
+    )
+
+    # three keys with known overlaps: A={0..49}, B={25..74}, C={100..119}
+    rows = []
+    for key, lo, hi in (("A", 0, 50), ("B", 25, 75), ("C", 100, 120)):
+        for v in range(lo, hi):
+            rows.append({"source": key, "tokens": [f"t{v}"]})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    got = pairwise_overlap_matrix(ds, "source", k=4096)
+    m = {(a, b): (na, nb, ni, j) for a, b, na, nb, ni, j in zip(
+        got["key_a"], got["key_b"], got["n_a"], got["n_b"],
+        got["n_intersection"], got["jaccard"])}
+    assert m[("A", "B")][:3] == (50, 50, 25)
+    assert m[("A", "B")][3] == 25 / 75
+    assert m[("A", "C")][:3] == (50, 20, 0)
+    assert m[("A", "C")][3] == 0.0
+    assert m[("B", "C")][:3] == (50, 20, 0)
+    assert len(got) == 3
+
+
+def test_pairwise_overlap_matrix_empty(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        pairwise_overlap_matrix,
+    )
+
+    ds = ray.data.from_pandas(pd.DataFrame({"source": [], "tokens": []}))
+    assert len(pairwise_overlap_matrix(ds, "source")) == 0
