@@ -44,7 +44,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="cardinalityestimation_ray")
     p.add_argument("command", choices=[
         "distinct", "distinct-by-source", "topk", "quantiles", "dedup-stats",
-        "resumable", "bench-corpus"])
+        "resumable", "bench-corpus", "curate"])
     p.add_argument("--input", help="sf dir with documents.parquet")
     p.add_argument("--input-glob", help="glob of tokens parquet files")
     p.add_argument("--checkpoint", help="checkpoint dir (resumable)")
@@ -52,6 +52,11 @@ def main(argv=None):
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--output", help="write result parquet/json here")
+    p.add_argument("--eval-input",
+                   help="curate: parquet file with a text column (the eval "
+                        "set to decontaminate against); omit to skip")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shards", type=int, default=8)
     args = p.parse_args(argv)
 
     _ensure_ray(args.num_cpus)
@@ -92,6 +97,23 @@ def main(argv=None):
         files = sorted(glob.glob(args.input_glob))
         res = resumable_distinct_tokens(files, args.checkpoint, b=args.b)
         result = {k: v for k, v in res.items() if k != "sketch"}
+    elif args.command == "curate":
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from .pipelines.curation import curate_and_write
+
+        docs = ray.data.read_parquet(
+            f"{args.input}/documents.parquet",
+            columns=["doc_id", "text", "n_chars"])
+        eval_texts = []
+        if args.eval_input:
+            eval_texts = (pq.read_table(args.eval_input, columns=["text"])
+                          ["text"].to_pylist())
+        manifest = curate_and_write(docs, eval_texts, args.output,
+                                    seed=args.seed, n_shards=args.shards)
+        result = {"out_dir": args.output, "n_files": manifest["n_files"]}
+        args.output = None  # manifest prints; the directory IS the output
     elif args.command == "bench-corpus":
         from .sources.corpus import write_synthetic_corpus
 
