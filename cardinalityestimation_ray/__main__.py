@@ -57,7 +57,12 @@ def main(argv=None):
                         "set to decontaminate against); omit to skip")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--ngram", type=int, default=13,
+                   help="curate: decontamination word-n-gram size "
+                        "(13 = the GPT-3/PaLM standard)")
     args = p.parse_args(argv)
+    if args.command == "curate" and not args.output:
+        p.error("curate requires --output (the shard-partitioned out dir)")
 
     _ensure_ray(args.num_cpus)
     import ray
@@ -111,7 +116,8 @@ def main(argv=None):
             eval_texts = (pq.read_table(args.eval_input, columns=["text"])
                           ["text"].to_pylist())
         manifest = curate_and_write(docs, eval_texts, args.output,
-                                    seed=args.seed, n_shards=args.shards)
+                                    ngram=args.ngram, seed=args.seed,
+                                    n_shards=args.shards)
         result = {"out_dir": args.output, "n_files": manifest["n_files"]}
         args.output = None  # manifest prints; the directory IS the output
     elif args.command == "bench-corpus":

@@ -30,7 +30,7 @@ from .shuffle import deterministic_shuffle
 
 def curate_corpus(docs_ds, eval_texts, *,
                   q_low: float = 0.05, q_high: float = 0.95,
-                  ngram: int = 3, seed: int = 0, n_shards: int = 8,
+                  ngram: int = 13, seed: int = 0, n_shards: int = 8,
                   text_column: str = "text", id_column: str = "doc_id",
                   length_column: str = "n_chars"):
     """Run the full curation chain; returns a Dataset of
@@ -39,6 +39,9 @@ def curate_corpus(docs_ds, eval_texts, *,
     ``docs_ds`` is a lazy documents Dataset; the one multi-pass stage
     (the band filter's threshold pass) re-executes its upstream lineage,
     which Ray Datasets support natively — no factory ceremony needed.
+    ``ngram`` defaults to 13 — the GPT-3/PaLM decontamination standard
+    (short n like 3 flags any document sharing a common trigram and is
+    only sensible for tiny test corpora).
     """
     deduped = exact_dedup(docs_ds, text_column=text_column,
                           id_column=id_column)
@@ -50,13 +53,27 @@ def curate_corpus(docs_ds, eval_texts, *,
                                  n_shards=n_shards)
 
 
+def _curation_params_fingerprint(eval_texts, kwargs: dict) -> dict:
+    """The parameter record stored next to the manifest: every knob that
+    changes the output, including a content hash of the eval set."""
+    from ..sketches import hashing
+
+    ev = hashing.fnv1a64_mix("\x00".join(sorted(map(str, eval_texts)))
+                             .encode()) if len(eval_texts) else 0
+    rec = {k: kwargs[k] for k in sorted(kwargs)}
+    rec["eval_set_hash"] = f"{ev:016x}"
+    rec["n_eval_texts"] = len(eval_texts)
+    return rec
+
+
 def curate_and_write(docs_ds, eval_texts, out_dir: str, **kwargs):
     """Run :func:`curate_corpus` and persist the shard assignment as
     hive-partitioned parquet (``shard=N/`` directories) with a manifest —
-    the resumable-output layout: a rerun sees the manifest and skips the
-    whole job (`sources/io.is_complete_output`), and each ``shard=N``
-    directory is an independently consumable, equal-sized uniform sample
-    of the curated corpus.
+    the resumable-output layout: a rerun with the SAME parameters sees the
+    manifest and skips the whole job; a rerun with DIFFERENT parameters
+    (including a different eval set) raises instead of silently returning
+    stale output (review fix — the parameter record lives in
+    ``_PARAMS.json`` next to the manifest).
 
     Returns the manifest dict (or the existing one when output is already
     complete).
@@ -66,8 +83,25 @@ def curate_and_write(docs_ds, eval_texts, out_dir: str, **kwargs):
 
     from ..sources.io import is_complete_output, write_partitioned
 
+    params = _curation_params_fingerprint(eval_texts, kwargs)
+    params_path = os.path.join(out_dir, "_PARAMS.json")
     if is_complete_output(out_dir):
+        recorded = None
+        if os.path.exists(params_path):
+            with open(params_path) as f:
+                recorded = json.load(f)
+        if recorded != params:
+            raise ValueError(
+                f"{out_dir} holds complete output for DIFFERENT curation "
+                f"parameters ({recorded} != {params}); write to a new "
+                f"directory or delete the old output")
         with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
             return json.load(f)
+    # params land BEFORE the manifest (the manifest is the completion
+    # marker, so a crash in between can never leave a complete-looking
+    # directory without its parameter record)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(params_path, "w") as f:
+        json.dump(params, f)
     curated = curate_corpus(docs_ds, eval_texts, **kwargs)
     return write_partitioned(curated, out_dir, partition_cols=["shard"])

@@ -272,20 +272,22 @@ def pairwise_overlap_matrix(tokens_ds, key_column: str, *, k: int = 4096,
         batch_format="pyarrow")
     merged = tree_merge_keyed_partials_generic(partials, key_column, "theta")
     keys = sorted(merged)
+    estimates = {k: int(merged[k][0].estimate()) for k in keys}
     rows = []
     for i, ka in enumerate(keys):
         sk_a = merged[ka][0]
-        n_a = sk_a.estimate()
         for kb in keys[i + 1:]:
             sk_b = merged[kb][0]
-            n_b = sk_b.estimate()
             inter = ThetaSketch.intersection_estimate(sk_a, sk_b)
-            union = ThetaSketch.union_estimate(sk_a, sk_b)
+            # the direct sample-ratio estimator (theta.py) — consistent
+            # with the sketch layer and cheaper than a per-pair
+            # union-merge; identical to inter/union in the exact regime
+            jac = ThetaSketch.jaccard_estimate(sk_a, sk_b)
             rows.append({
                 "key_a": ka, "key_b": kb,
-                "n_a": int(n_a), "n_b": int(n_b),
+                "n_a": estimates[ka], "n_b": estimates[kb],
                 "n_intersection": int(inter),
-                "jaccard": float(inter) / union if union else 0.0,
+                "jaccard": float(jac),
             })
     if not rows:
         return pd.DataFrame({
@@ -296,5 +298,5 @@ def pairwise_overlap_matrix(tokens_ds, key_column: str, *, k: int = 4096,
             "n_intersection": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64"),
         })
-    return (pd.DataFrame(rows).sort_values(["key_a", "key_b"])
-            .reset_index(drop=True))
+    # rows are generated in sorted (key_a, key_b) order from sorted(merged)
+    return pd.DataFrame(rows)

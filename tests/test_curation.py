@@ -112,3 +112,36 @@ def test_curate_and_write_resumable(_ray, tmp_path):
     again = curate_and_write(docs(), [texts[10]], out, q_low=0.2,
                              q_high=1.0, ngram=3, seed=3, n_shards=4)
     assert again == manifest
+
+
+def test_curate_and_write_param_mismatch_raises(_ray, tmp_path):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.curation import (
+        curate_and_write,
+    )
+
+    texts = _make_docs()
+    df = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [texts[i] for i in range(40)],
+        "n_chars": [len(texts[i]) for i in range(40)],
+    })
+
+    def docs():
+        return ray.data.from_pandas(df)
+
+    out = str(tmp_path / "curated2")
+    curate_and_write(docs(), [], out, q_low=0.0, q_high=1.0, ngram=3,
+                     seed=3, n_shards=4)
+    # same params -> skip (no error)
+    curate_and_write(docs(), [], out, q_low=0.0, q_high=1.0, ngram=3,
+                     seed=3, n_shards=4)
+    # changed seed -> loud refusal, not stale reuse (review fix)
+    with pytest.raises(ValueError, match="DIFFERENT curation parameters"):
+        curate_and_write(docs(), [], out, q_low=0.0, q_high=1.0, ngram=3,
+                         seed=4, n_shards=4)
+    # changed eval set -> same refusal
+    with pytest.raises(ValueError, match="DIFFERENT curation parameters"):
+        curate_and_write(docs(), [texts[10]], out, q_low=0.0, q_high=1.0,
+                         ngram=3, seed=3, n_shards=4)
