@@ -1210,6 +1210,30 @@ def _q_curated_corpus(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curation_funnel(sf_dir: str):
+    """Curation observability: per-stage survivor counts (input -> dedup
+    -> length band -> decontaminated) — one CTE per stage in the oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.curation import curation_funnel
+
+    def docs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "n_chars"])
+
+    def eval_mask(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    eval_rows = docs().map_batches(
+        eval_mask, batch_format="pyarrow").take_all()
+    eval_texts = [r["text"] for r in eval_rows]
+    return curation_funnel(docs(), eval_texts, q_low=0.05, q_high=0.95,
+                           ngram=3)
+
+
 def _q_doc_length_histogram(sf_dir: str):
     """Exact fixed-width histogram (24 bins over n_chars in [0, 600)):
     per-batch bincount combiner -> small groupby-sum; edge binning uses the
@@ -1931,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_nearest_centroid": _q_embedding_nearest_centroid,
         "doc_chars_cume_dist": _q_doc_chars_cume_dist,
         "curated_corpus": _q_curated_corpus,
+        "curation_funnel": _q_curation_funnel,
         "chunk_passages": _q_chunk_passages,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -2299,6 +2324,52 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df ON tf.t = df.t)
             WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "curation_funnel": f"""
+            WITH dedup AS (
+              SELECT doc_id, text, n_chars FROM (
+                SELECT doc_id, text, n_chars,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            band AS (
+              SELECT * FROM dedup
+              WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.05)
+                                FROM dedup)
+                AND n_chars <= (SELECT quantile_disc(n_chars, 0.95)
+                                FROM dedup)),
+            tok AS (SELECT doc_id, {_TOK} AS t FROM band),
+            idx AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM tok),
+            grams AS (SELECT DISTINCT doc_id,
+                             array_to_string(
+                                 t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                 ' ') AS gram
+                      FROM idx),
+            ev_tok AS (SELECT doc_id, {_TOK} AS t FROM documents
+                       WHERE doc_id % 50 = 0),
+            ev_idx AS (SELECT doc_id, t,
+                              unnest(generate_series(1, len(t) - 2)) AS i
+                       FROM ev_tok),
+            eval_grams AS (SELECT DISTINCT
+                               array_to_string(
+                                   t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                   ' ') AS gram
+                           FROM ev_idx),
+            clean AS (
+              SELECT b.doc_id FROM band b
+              WHERE NOT EXISTS (
+                SELECT 1 FROM grams g
+                WHERE g.doc_id = b.doc_id
+                  AND g.gram IN (SELECT gram FROM eval_grams)))
+            SELECT 'input' AS stage, count(*) AS n_docs FROM documents
+            UNION ALL
+            SELECT 'dedup', count(*) FROM dedup
+            UNION ALL
+            SELECT 'length_band', count(*) FROM band
+            UNION ALL
+            SELECT 'decontaminated', count(*) FROM clean
         """,
         "curated_corpus": f"""
             WITH dedup AS (

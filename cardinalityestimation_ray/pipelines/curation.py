@@ -105,3 +105,29 @@ def curate_and_write(docs_ds, eval_texts, out_dir: str, **kwargs):
         json.dump(params, f)
     curated = curate_corpus(docs_ds, eval_texts, **kwargs)
     return write_partitioned(curated, out_dir, partition_cols=["shard"])
+
+
+def curation_funnel(docs_ds, eval_texts, *,
+                    q_low: float = 0.05, q_high: float = 0.95,
+                    ngram: int = 13, text_column: str = "text",
+                    id_column: str = "doc_id",
+                    length_column: str = "n_chars"):
+    """Observability for the curation chain: how many documents survive
+    each stage — (stage, n_docs) rows in pipeline order. Each count is a
+    streaming ``Dataset.count()`` over the corresponding lazy stage (the
+    upstream lineage re-executes per count; run it at sample scale or
+    accept pass-per-stage cost — this is the audit tool, not the job).
+    """
+    import pandas as pd
+
+    deduped = exact_dedup(docs_ds, text_column=text_column,
+                          id_column=id_column)
+    banded = filter_by_column_quantile(deduped, length_column,
+                                       q_low=q_low, q_high=q_high)
+    clean = decontaminated_corpus(banded, eval_texts, n=ngram,
+                                  text_column=text_column)
+    return pd.DataFrame({
+        "stage": ["input", "dedup", "length_band", "decontaminated"],
+        "n_docs": [int(docs_ds.count()), int(deduped.count()),
+                   int(banded.count()), int(clean.count())],
+    })

@@ -145,3 +145,27 @@ def test_curate_and_write_param_mismatch_raises(_ray, tmp_path):
     with pytest.raises(ValueError, match="DIFFERENT curation parameters"):
         curate_and_write(docs(), [texts[10]], out, q_low=0.0, q_high=1.0,
                          ngram=3, seed=3, n_shards=4)
+
+
+def test_curation_funnel_counts(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.curation import curation_funnel
+
+    texts = _make_docs()
+    df = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [texts[i] for i in range(40)],
+        "n_chars": [len(texts[i]) for i in range(40)],
+    })
+    got = curation_funnel(ray.data.from_pandas(df), [texts[10]],
+                          q_low=0.2, q_high=1.0, ngram=3)
+    counts = dict(zip(got["stage"], got["n_docs"]))
+    assert counts["input"] == 40
+    # 5 planted duplicate pairs + the five identical "tiny" docs (4 extra
+    # copies) collapse: 40 - 5 - 4 = 31
+    assert counts["dedup"] == 31
+    assert counts["length_band"] < counts["dedup"]  # short docs cut
+    assert counts["decontaminated"] == counts["length_band"] - 2  # 10, 11
+    assert got["stage"].tolist() == ["input", "dedup", "length_band",
+                                     "decontaminated"]
