@@ -1247,6 +1247,20 @@ def _q_doc_length_histogram(sf_dir: str):
     return column_histogram(docs, "n_chars", lo=0.0, hi=600.0, n_bins=24)
 
 
+def _q_doc_length_histogram_by_source(sf_dir: str):
+    """Per-source exact histogram (grouped combiner; keys x bins partials)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.stats import (
+        column_histogram_by_key,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"])
+    return column_histogram_by_key(docs, "n_chars", "source",
+                                   lo=0.0, hi=600.0, n_bins=12)
+
+
 def _q_docs_in_length_band(sf_dir: str):
     """Quantile-band corpus filter (drop the shortest 10% / longest 10% of
     documents by n_chars): exact distributed quantile_disc thresholds from
@@ -1949,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tfidf_terms": _q_top_tfidf_terms,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "doc_length_histogram": _q_doc_length_histogram,
+        "doc_length_histogram_by_source": _q_doc_length_histogram_by_source,
         "pmi_top_pairs": _q_pmi_top_pairs,
         "embedding_label_centroids": _q_embedding_label_centroids,
         "embedding_norm_stats": _q_embedding_norm_stats,
@@ -2510,6 +2525,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rn <= 20
             ORDER BY a, b
+        """,
+        "doc_length_histogram_by_source": """
+            SELECT source, bin,
+                   0.0 + bin * ((600.0 - 0.0) / 12) AS bin_lo,
+                   count(*) AS cnt
+            FROM (SELECT source,
+                         CAST(least(greatest(
+                             floor((n_chars - 0.0) / ((600.0 - 0.0) / 12)),
+                             0), 12 - 1) AS BIGINT) AS bin
+                  FROM documents
+                  WHERE n_chars IS NOT NULL AND source IS NOT NULL)
+            GROUP BY source, bin
+            ORDER BY source, bin
         """,
         "doc_length_histogram": """
             SELECT bin,

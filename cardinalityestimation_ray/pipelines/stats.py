@@ -82,3 +82,57 @@ def column_histogram(ds, column: str, *, lo: float, hi: float,
     out["bin_lo"] = lo + out["bin"].to_numpy(dtype="float64") * width
     return (out[["bin", "bin_lo", "cnt"]]
             .sort_values("bin").reset_index(drop=True))
+
+
+def column_histogram_by_key(ds, column: str, key_column: str, *,
+                            lo: float, hi: float,
+                            n_bins: int) -> pd.DataFrame:
+    """Per-key exact fixed-width histogram: same combiner shape as
+    :func:`column_histogram` but grouped — at most keys x n_bins rows per
+    batch enter the single small groupby. Returns (key, bin, bin_lo, cnt)
+    for non-empty (key, bin) cells, null keys and NaN values dropped."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+
+    def batch_bins(batch: pa.Table) -> pa.Table:
+        for c in (key_column, column):
+            col = batch[c]
+            if col.null_count:
+                batch = batch.filter(pc.is_valid(col))
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        v = v[keep]
+        keys = batch[key_column].to_numpy(zero_copy_only=False)[keep]
+        bins = np.clip(np.floor((v - lo) / width), 0, n_bins - 1) \
+            .astype(np.int64)
+        uk, codes = np.unique(keys, return_inverse=True)
+        cnt = np.bincount(codes * n_bins + bins,
+                          minlength=len(uk) * n_bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            key_column: pa.array(uk[nz // n_bins]),
+            "bin": pa.array((nz % n_bins).astype(np.int64)),
+            "cnt": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    out = (ds.map_batches(batch_bins, batch_format="pyarrow")
+           .groupby([key_column, "bin"])
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    if "cnt" not in out.columns:
+        return pd.DataFrame({key_column: pd.Series([], dtype="object"),
+                             "bin": pd.Series([], dtype="int64"),
+                             "bin_lo": pd.Series([], dtype="float64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    out["bin"] = out["bin"].astype("int64")
+    out["bin_lo"] = lo + out["bin"].to_numpy(dtype="float64") * width
+    return (out[[key_column, "bin", "bin_lo", "cnt"]]
+            .sort_values([key_column, "bin"]).reset_index(drop=True))

@@ -123,3 +123,25 @@ def test_histogram_nan_values_dropped(_ray):
         {"v": pa.array([1.0, float("nan"), 50.0], pa.float64())}))
     got = column_histogram(ds, "v", lo=0.0, hi=100.0, n_bins=4)
     assert got["cnt"].sum() == 2
+
+
+def test_grouped_histogram_matches_numpy(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.stats import (
+        column_histogram_by_key,
+    )
+
+    rng = np.random.default_rng(9)
+    v = rng.uniform(-5, 105, 3000)
+    k = rng.choice(["a", "b", "c"], 3000)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": k, "v": v})).repartition(4)
+    got = column_histogram_by_key(ds, "v", "k", lo=0.0, hi=100.0, n_bins=5)
+    assert got["cnt"].sum() == 3000
+    bins = np.clip(np.floor(v / 20.0), 0, 4).astype(int)
+    for key in "abc":
+        want = np.bincount(bins[k == key], minlength=5)
+        sub = got[got["k"] == key]
+        for b, c in zip(sub["bin"], sub["cnt"]):
+            assert want[b] == c
+        assert sub["cnt"].sum() == want.sum()
