@@ -119,3 +119,35 @@ def test_null_keys_dropped(_ray):
     got = event_transition_counts(ray.data.from_arrow(tbl))
     assert got["cnt"].sum() == 1  # only a->c within user 7
     assert got.iloc[0]["from_type"] == "a" and got.iloc[0]["to_type"] == "c"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 6), st.integers(1, 4), st.integers(10, 60),
+       st.integers(0, 10))
+def test_rolling_mean_property(_ray, window, n_users, n_events, seed):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n_events),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 8, n_events), unit="m"),
+        "user_id": rng.integers(0, n_users, n_events),
+        "value": np.where(rng.random(n_events) < 0.2, np.nan,
+                          rng.uniform(-50, 50, n_events)),
+    })
+    got = (rolling_mean_by_key(_ds(df, 2), window=window).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    want = (s.groupby("user_id")["value"]
+            .transform(lambda v: v.rolling(window, min_periods=1).mean()))
+    want_by_id = dict(zip(s["event_id"], want))
+    assert len(got) == n_events
+    for eid, rm in zip(got["event_id"], got["rolling_mean"]):
+        w = want_by_id[eid]
+        if np.isnan(w):
+            assert np.isnan(rm), (eid, rm, w)
+        else:
+            assert rm == pytest.approx(w, rel=1e-12), (eid, rm, w)
