@@ -2294,9 +2294,9 @@ def oracle_sql() -> dict[str, str]:
                       FROM cnts)
                     WHERE rn = 1)
             SELECT d.doc_id,
-                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    coalesce(t2.a || ' ' || t2.b, '') AS top_bigram,
-                   coalesce(t2.cnt, 0) AS top_bigram_count,
+                   CAST(coalesce(t2.cnt, 0) AS BIGINT) AS top_bigram_count,
                    coalesce(t2.cnt * (length(t2.a) + 1 + length(t2.b)), 0)
                      / greatest(length(d.text), 1)::DOUBLE
                      AS top_bigram_char_frac,
@@ -2784,7 +2784,8 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id)
                        AS from_type
               FROM events
-              WHERE event_type IS NOT NULL)
+              WHERE event_type IS NOT NULL
+                AND user_id IS NOT NULL AND ts IS NOT NULL)
             WHERE from_type IS NOT NULL
             GROUP BY from_type, to_type
             ORDER BY from_type, to_type
@@ -2796,6 +2797,7 @@ def oracle_sql() -> dict[str, str]:
                                     ROWS BETWEEN 3 PRECEDING
                                          AND CURRENT ROW) AS rolling_mean
             FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
             ORDER BY event_id
         """,
         "bloom_anti_join_customers": """

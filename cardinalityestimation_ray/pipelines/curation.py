@@ -55,12 +55,28 @@ def curate_corpus(docs_ds, eval_texts, *,
 
 def _curation_params_fingerprint(eval_texts, kwargs: dict) -> dict:
     """The parameter record stored next to the manifest: every knob that
-    changes the output, including a content hash of the eval set."""
+    changes the output, including a content hash of the eval set.
+
+    Normalized to the FULL resolved parameter set — :func:`curate_corpus`
+    defaults are applied before recording, so a rerun that spells out a
+    default explicitly (``ngram=13``) fingerprints identically to one that
+    omitted it (advisor fix: explicit-default reruns used to raise
+    'DIFFERENT curation parameters' despite identical semantics).
+    """
+    import inspect
+
     from ..sketches import hashing
 
     ev = hashing.fnv1a64_mix("\x00".join(sorted(map(str, eval_texts)))
                              .encode()) if len(eval_texts) else 0
-    rec = {k: kwargs[k] for k in sorted(kwargs)}
+    sig = inspect.signature(curate_corpus)
+    defaults = {name: p.default for name, p in sig.parameters.items()
+                if p.default is not inspect.Parameter.empty}
+    unknown = set(kwargs) - set(defaults)
+    if unknown:
+        raise TypeError(f"unknown curation parameter(s): {sorted(unknown)}")
+    resolved = {**defaults, **kwargs}
+    rec = {k: resolved[k] for k in sorted(resolved)}
     rec["eval_set_hash"] = f"{ev:016x}"
     rec["n_eval_texts"] = len(eval_texts)
     return rec

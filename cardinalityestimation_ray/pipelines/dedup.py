@@ -330,6 +330,31 @@ def _candidate_pairs_from_buckets(bucket_rows, id_column: str, num_perm: int,
         per_part, batch_format="pandas")
 
 
+def _bucket_label_lookup(lnodes: np.ndarray, lvals: np.ndarray,
+                         u: np.ndarray, bucket_id: int) -> np.ndarray:
+    """Sorted-searchsorted label lookup for one connected-components bucket.
+
+    INVARIANT: every edge endpoint ``u`` has a label row in its own bucket
+    (labels are seeded from the edge list itself, and node->bucket is a
+    pure hash). A miss means a corrupted/partial label partition — raise,
+    don't fabricate a neighbor's label via a clipped index (round-3
+    verdict fix #6). ``lnodes`` must be sorted ascending.
+    """
+    pos = np.searchsorted(lnodes, u)
+    if len(lnodes) == 0:
+        missing = np.ones(len(u), dtype=bool)
+    else:
+        missing = ((pos >= len(lnodes))
+                   | (lnodes[np.minimum(pos, len(lnodes) - 1)] != u))
+    if np.any(missing):
+        raise ValueError(
+            f"connected_components label invariant violated: "
+            f"{int(np.count_nonzero(missing))} edge endpoint(s) in "
+            f"bucket {bucket_id} have no label row "
+            f"(first missing node: {int(u[np.argmax(missing)])})")
+    return lvals[pos]
+
+
 def connected_components(pairs_ds, *, id_a: str = "id_a",
                          id_b: str = "id_b", max_iters: int = 64,
                          num_buckets: int = 64):
@@ -423,9 +448,8 @@ def connected_components(pairs_ds, *, id_a: str = "id_a",
         lvals = lvals[order]
         u = edges_g["node"].to_numpy()
         v = edges_g["nbr"].to_numpy()
-        pos = np.searchsorted(lnodes, u)
-        # every edge endpoint has a label row in its own bucket
-        lab_u = lvals[np.clip(pos, 0, max(len(lvals) - 1, 0))]
+        lab_u = _bucket_label_lookup(lnodes, lvals, u,
+                                     int(group["_bucket"].iloc[0]))
         return pd.DataFrame({
             "node": np.concatenate([v, lnodes]).astype(np.int64),
             "label": np.concatenate([lab_u, lvals]).astype(np.int64),

@@ -77,7 +77,8 @@ def pack_sequences(tokens_ds, *, max_tokens: int,
 
 
 def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
-                      value_column: str, bucket_width: int = 1 << 20):
+                      value_column: str, bucket_width: int = 1 << 20,
+                      unique_ids: bool = False):
     """Exclusive prefix sum of ``value_column`` over (key, id)-ordered rows.
 
     Returns a Dataset of (key, id, value, cum_prev) where ``cum_prev`` is
@@ -91,6 +92,12 @@ def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
     NULL id are DROPPED (the keyed sketch stages' convention — review
     fix: pandas' phase-2 groupby silently dropped null keys while Ray's
     phase-3 groupby delivered them, so the offset lookup KeyError'd).
+
+    ``unique_ids=True`` ENFORCES the uniqueness assumption: equal (key, id)
+    rows always co-locate in the same phase-3 group, so the per-group check
+    is a global duplicate detector at zero extra passes — callers whose
+    rank semantics would silently go nondeterministic on duplicates
+    (deterministic_shuffle) turn this on and get a ValueError instead.
     """
     import ray
     import ray.data
@@ -140,6 +147,15 @@ def keyed_prefix_sums(ds, *, key_column: str, id_column: str,
             return group.assign(cum_prev=pd.Series([], dtype="int64"))
         offs = ray.get(offsets_ref)
         group = group.sort_values(id_column, kind="mergesort")
+        if unique_ids:
+            gid = group[id_column].to_numpy()
+            dup = gid[1:] == gid[:-1]
+            if dup.any():
+                raise ValueError(
+                    f"duplicate {id_column} within key "
+                    f"{group[key_column].iloc[0]!r}: id "
+                    f"{gid[1:][dup][0]!r} appears more than once (rank "
+                    f"order would be nondeterministic)")
         vals = group[value_column].to_numpy()
         if vals.dtype.kind != "i":  # nullable -> float/object; null = 0
             vals = np.nan_to_num(vals.astype(np.float64), nan=0.0)

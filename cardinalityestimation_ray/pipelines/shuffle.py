@@ -54,6 +54,13 @@ def deterministic_shuffle(ds, *, id_column: str = "doc_id", seed: int = 0,
     row's 0-based rank under ``ORDER BY shuffle_key, id`` and ``shard =
     shuffle_pos % n_shards`` (round-robin over the shuffled order, so
     shards are equal-sized ±1 and each is itself a uniform sample).
+
+    Rows with a NULL id are DROPPED (a null id has no well-defined rank;
+    same convention as the keyed sketch stages and stated in the SQL
+    oracle, which ORDER BYs over non-null ids only). Ids must be UNIQUE —
+    duplicates would make shuffle_pos nondeterministic between the copies,
+    so the rank pass detects them (equal ids always co-locate in one
+    prefix-sum bucket) and raises ValueError.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
@@ -79,9 +86,11 @@ def deterministic_shuffle(ds, *, id_column: str = "doc_id", seed: int = 0,
 
     keyed = ds.map_batches(add_keys, batch_format="pyarrow")
     # composite keys span [0, 2^63); 2^51-wide buckets -> <= 4096 buckets
+    # _rank_key is unique iff ids are unique (skey is a pure function of
+    # id), so unique_ids doubles as the global duplicate-id detector
     ranked = keyed_prefix_sums(keyed, key_column="_g",
                                id_column="_rank_key", value_column="_one",
-                               bucket_width=1 << 51)
+                               bucket_width=1 << 51, unique_ids=True)
 
     def finish(batch: pa.Table) -> pa.Table:
         pos = batch["cum_prev"].to_numpy(zero_copy_only=False)

@@ -1,21 +1,26 @@
 """Self-check harness mirroring the driver's correctness gate: run each
 ``queries()`` entry AND its ``oracle_sql()`` through DuckDB over the same
 parquet tables, then compare row-count, schema (column names sorted), and
-values (rows sorted by all columns, floats compared with tolerance).
+values DTYPE-SENSITIVELY (columns sorted by name, rows canonically sorted;
+an int64 engine column vs a float64 oracle column FAILS even when values
+are numerically equal — this is the class of failure the driver's
+hash_match catches and a tolerant numeric compare hides, e.g. a DuckDB
+HUGEINT aggregate that pandas renders as float64 against an engine int64).
 
 Usage:
-    python scripts/check_oracles.py [--sf /root/testdata/sf0.01] [q1 q2 ...]
+    python scripts/check_oracles.py [--sf /root/testdata/sf0.01] \
+        [--rows-only] [q1 q2 ...]
 
-Runs all oracle-backed queries when no names are given. Exits non-zero on
-any mismatch. Owns its own Ray session (the driver inits Ray itself; this
-script is a CLI entry point).
+Runs all oracle-backed queries when no names are given; ``--rows-only``
+additionally executes the no-oracle queries and checks they return rows.
+Exits non-zero on any mismatch. Owns its own Ray session (the driver inits
+Ray itself; this script is a CLI entry point).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import math
 import sys
 from pathlib import Path
 
@@ -43,43 +48,85 @@ def _to_pandas(res) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns), kind="mergesort") \
-             .reset_index(drop=True)
+    """Sort columns by name, then rows by the stringified row key.
+
+    The row sort is dtype-agnostic (string key) so that an engine/oracle
+    dtype mismatch still lines rows up for the diagnostic compare; the
+    HASH remains dtype-sensitive via _col_tokens.
+    """
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    if len(df) and len(df.columns):
+        key = pd.Series([""] * len(df))
+        for c in df.columns:
+            key = key + "\x1f" + _col_tokens(df[c])
+        df = df.iloc[np.argsort(key.to_numpy(), kind="stable")]
+    return df.reset_index(drop=True)
+
+
+def _col_tokens(s: pd.Series) -> pd.Series:
+    """Canonical per-value string tokens; dtype KIND is part of the token."""
+    if pd.api.types.is_bool_dtype(s):
+        return "b:" + s.astype(str)
+    if pd.api.types.is_integer_dtype(s):
+        return "i:" + s.astype("int64").astype(str)
+    if pd.api.types.is_float_dtype(s):
+        v = s.astype("float64").to_numpy()
+        out = np.empty(len(v), dtype=object)
+        nan = np.isnan(v)
+        out[nan] = "f:nan"
+        if (~nan).any():
+            out[~nan] = np.array(
+                [f"f:{x:.9e}" for x in v[~nan]], dtype=object)
+        # normalize -0.0
+        out[out == "f:-0.000000000e+00"] = "f:0.000000000e+00"
+        return pd.Series(out, index=s.index).astype(str)
+    return "o:" + s.astype(str)
 
 
 def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    """Dtype-KIND-sensitive value compare on canonicalized frames.
+
+    int64 vs float64 is a FAILURE even when values are numerically equal
+    (mirrors the driver's dtype-sensitive hash); float values within
+    rtol=1e-9 are equal (mirrors the driver tolerating engine float noise
+    on queries like doc_unigram_nll that were hash-green in r3).
+    """
     if list(a.columns) != list(b.columns):
         return False, f"schema {list(a.columns)} != {list(b.columns)}"
     if len(a) != len(b):
         return False, f"rows {len(a)} != {len(b)}"
     for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if pd.api.types.is_float_dtype(a[c]) or \
-                pd.api.types.is_float_dtype(b[c]):
-            av = av.astype("float64")
-            bv = bv.astype("float64")
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        # unify signed/unsigned int kinds; everything else must agree
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        if ka != kb:
+            return False, f"col {c} dtype kind {a[c].dtype} != {b[c].dtype}"
+        if ka == "f":
+            av = a[c].astype("float64").to_numpy()
+            bv = b[c].astype("float64").to_numpy()
             both_nan = np.isnan(av) & np.isnan(bv)
             close = np.isclose(av, bv, rtol=1e-9, atol=1e-12)
             if not np.all(both_nan | close):
                 i = int(np.argmin(both_nan | close))
                 return False, f"col {c} row {i}: {av[i]!r} != {bv[i]!r}"
         else:
-            eq = pd.Series(av).astype(str).eq(pd.Series(bv).astype(str))
-            if not eq.all():
-                i = int(np.argmin(eq.to_numpy()))
-                return False, f"col {c} row {i}: {av[i]!r} != {bv[i]!r}"
+            ta = _col_tokens(a[c]).to_numpy()
+            tb = _col_tokens(b[c]).to_numpy()
+            ne = ta != tb
+            if ne.any():
+                i = int(np.argmax(ne))
+                return (False,
+                        f"col {c} row {i}: "
+                        f"{a[c].iloc[i]!r} != {b[c].iloc[i]!r}")
     return True, ""
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--rows-only", action="store_true",
+                    help="also execute no-oracle queries (rows>=0 check)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -91,7 +138,7 @@ def main() -> int:
     import __ray_entry__ as entry
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = args.names or sorted(oracles)
+    names = args.names or sorted(qs)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -104,7 +151,20 @@ def main() -> int:
     results = {}
     for name in names:
         if name not in oracles:
-            print(f"[skip] {name}: no oracle (rows-only)")
+            if args.rows_only:
+                try:
+                    mine = _to_pandas(qs[name](args.sf))
+                    ok, why = mine is not None, ""
+                    print(f"[{'ok' if ok else 'FAIL'}] {name} "
+                          f"(rows-only, {len(mine)} rows)")
+                    results[name] = ok
+                    n_fail += (not ok)
+                except Exception as e:  # noqa: BLE001
+                    print(f"[FAIL] {name} rows-only EXCEPTION: {e}")
+                    results[name] = False
+                    n_fail += 1
+            else:
+                print(f"[skip] {name}: no oracle (rows-only)")
             continue
         try:
             mine = _canon(_to_pandas(qs[name](args.sf)))

@@ -169,3 +169,25 @@ def test_curation_funnel_counts(_ray):
     assert counts["decontaminated"] == counts["length_band"] - 2  # 10, 11
     assert got["stage"].tolist() == ["input", "dedup", "length_band",
                                      "decontaminated"]
+
+
+def test_fingerprint_normalizes_defaults():
+    """A rerun that spells out default values fingerprints identically to
+    one that omitted them (advisor fix), and unknown knobs raise."""
+    from cardinalityestimation_ray.pipelines.curation import (
+        _curation_params_fingerprint,
+    )
+
+    implicit = _curation_params_fingerprint(["ev"], {})
+    explicit = _curation_params_fingerprint(
+        ["ev"], {"ngram": 13, "seed": 0, "n_shards": 8, "q_low": 0.05,
+                 "q_high": 0.95, "text_column": "text",
+                 "id_column": "doc_id", "length_column": "n_chars"})
+    assert implicit == explicit
+
+    changed = _curation_params_fingerprint(["ev"], {"ngram": 7})
+    assert changed != implicit
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="unknown curation parameter"):
+        _curation_params_fingerprint(["ev"], {"ngarm": 13})

@@ -342,3 +342,34 @@ def test_pairs_to_clusters_generic_and_mode_wrappers(ray_session):
     dup = keep[keep["doc_id"] >= 100]
     assert len(dup) == 4
     assert (~dup["keep"]).all()
+
+
+def test_cc_label_invariant_raises_on_corruption():
+    """A corrupted/partial label partition (an edge endpoint with no label
+    row in its bucket) must raise, not fabricate a neighbor's label via a
+    clipped index (round-3 verdict fix #6)."""
+    import numpy as np
+    import pytest
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        _bucket_label_lookup,
+    )
+
+    lnodes = np.array([1, 3, 5], dtype=np.int64)
+    lvals = np.array([1, 1, 5], dtype=np.int64)
+
+    # healthy bucket: every endpoint has its label row
+    got = _bucket_label_lookup(lnodes, lvals, np.array([3, 1, 5]), 0)
+    assert got.tolist() == [1, 1, 5]
+
+    # endpoint 4 missing (mid-range), endpoint 9 missing (past the end)
+    for bad in ([4], [9], [1, 9]):
+        with pytest.raises(ValueError, match="label invariant violated"):
+            _bucket_label_lookup(lnodes, lvals,
+                                 np.array(bad, dtype=np.int64), 7)
+
+    # empty label partition with edges present
+    with pytest.raises(ValueError, match="label invariant violated"):
+        _bucket_label_lookup(np.array([], dtype=np.int64),
+                             np.array([], dtype=np.int64),
+                             np.array([2], dtype=np.int64), 3)

@@ -91,3 +91,14 @@ def test_empty_and_null_ids(_ray):
     ).to_pandas()
     assert sorted(with_nulls["doc_id"]) == [1, 2]
     assert sorted(with_nulls["shuffle_pos"]) == [0, 1]
+
+
+def test_duplicate_ids_raise(_ray):
+    """Duplicate ids would make shuffle_pos nondeterministic between the
+    copies; the rank pass must detect them (equal ids co-locate in one
+    prefix-sum bucket) and raise instead of silently picking an order."""
+    import ray
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match="duplicate|more than once"):
+        deterministic_shuffle(_ds(np.array([1, 2, 3, 2]))).to_pandas()
