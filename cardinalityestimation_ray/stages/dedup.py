@@ -105,6 +105,151 @@ def word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
+#: word-gram fold multiplier (FNV-1a prime) and empty-doc sentinel gram —
+#: two empty/whitespace-only docs must share exactly one gram (the scalar
+#: kernels' whole-text-shingle fallback) and never match a real gram
+#: except by 2^-64 hash chance
+_GRAM_FOLD = _U64(0x100000001B3)
+_EMPTY_GRAM = _U64(0x9E3779B97F4A7C15)
+
+
+def doc_distinct_grams(texts, *, verify: str,
+                       ngram: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT shingle-hash sets as CSR ``(grams, indptr)``.
+
+    Batched replacement for the per-pair scalar kernels
+    (:func:`exact_jaccard_char_ngrams` / :func:`word_ngram_jaccard`) —
+    ``verify`` selects char n-grams of width ``ngram`` or word 3-grams
+    (matching ``_text_sim``'s fixed word n). Shingle identity is a 64-bit
+    hash, so two docs share a gram iff they share the shingle (modulo
+    2^-64 collisions); on ascii text the resulting pairwise Jaccard equals
+    the scalar kernels bit-for-bit (property-tested). Short/empty docs
+    contribute ONE whole-text gram, mirroring the scalar kernels'
+    ``max(1, ...)`` fallback — a short doc can only match another doc with
+    the identical full text.
+
+    ``grams`` is sorted ascending within each doc's ``indptr`` slice.
+    """
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, pa.Array) else pa.array(
+        [str(t) for t in texts], type=pa.string())
+    n_docs = len(arr)
+    if verify == "char_ngram":
+        h, parents = char_ngram_hashes(arr, n=ngram)
+        lens = pc.binary_length(arr).to_numpy(zero_copy_only=False)
+        short = np.flatnonzero(lens < ngram)
+        if len(short):
+            whole = hashing.splitmix64(hashing.hash_arrow_binary(
+                arr.take(pa.array(short)), "fnv1a_mix"))
+            h = np.concatenate([h, whole])
+            parents = np.concatenate([parents, short.astype(np.int64)])
+    elif verify == "word_ngram":
+        n = 3  # _text_sim calls word_ngram_jaccard with its default n
+        toks = pc.ascii_split_whitespace(arr)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        flat = flat.filter(keep)
+        par = par.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        th = hashing.hash_arrow_binary(flat, "fnv1a_mix").astype(np.uint64)
+        pr = par.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.bincount(pr, minlength=n_docs).astype(np.int64) \
+            if len(pr) else np.zeros(n_docs, dtype=np.int64)
+        h_parts: list[np.ndarray] = []
+        p_parts: list[np.ndarray] = []
+        if len(th) >= n:
+            with np.errstate(over="ignore"):
+                g = th[: len(th) - n + 1].copy()
+                for off in range(1, n):
+                    g *= _GRAM_FOLD
+                    g ^= th[off: len(th) - n + 1 + off]
+            same_doc = pr[: len(pr) - n + 1] == pr[n - 1:]
+            h_parts.append(g[same_doc])
+            p_parts.append(pr[: len(pr) - n + 1][same_doc])
+        # short docs: ONE gram folding ALL their tokens (1 <= n_tok < n),
+        # one vectorized fold per length class (n is tiny)
+        tok_start = np.r_[0, np.cumsum(n_tok)[:-1]]
+        for length in range(1, n):
+            docs_l = np.flatnonzero(n_tok == length)
+            if len(docs_l) == 0:
+                continue
+            with np.errstate(over="ignore"):
+                g = th[tok_start[docs_l]].copy()
+                for off in range(1, length):
+                    g *= _GRAM_FOLD
+                    g ^= th[tok_start[docs_l] + off]
+            h_parts.append(g)
+            p_parts.append(docs_l.astype(np.int64))
+        empty = np.flatnonzero(n_tok == 0)
+        if len(empty):
+            h_parts.append(np.full(len(empty), _EMPTY_GRAM))
+            p_parts.append(empty.astype(np.int64))
+        h = (np.concatenate(h_parts) if h_parts
+             else np.empty(0, dtype=np.uint64))
+        parents = (np.concatenate(p_parts) if p_parts
+                   else np.empty(0, dtype=np.int64))
+    else:
+        raise ValueError(f"unknown verify kind {verify!r}")
+
+    if len(h) == 0:
+        return (np.empty(0, dtype=np.uint64),
+                np.zeros(n_docs + 1, dtype=np.int64))
+    order = np.lexsort((h, parents))
+    h = h[order]
+    parents = parents[order]
+    distinct = np.r_[True, (h[1:] != h[:-1]) | (parents[1:] != parents[:-1])]
+    h = h[distinct]
+    parents = parents[distinct]
+    indptr = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(parents, minlength=n_docs), out=indptr[1:])
+    return h, indptr
+
+
+def batched_pair_jaccard(grams: np.ndarray, indptr: np.ndarray,
+                         ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for candidate doc pairs ``(ii[k], jj[k])`` over CSR
+    gram sets from :func:`doc_distinct_grams` — fully vectorized, no
+    per-pair Python (round-3 verdict item #3).
+
+    Shape: gather both sides' gram rows tagged with the pair index, one
+    lexsort, count adjacent (pair, gram) duplicates — each side's grams are
+    distinct within a doc, so a duplicate IS an intersection element. Work
+    and memory are O(sum of pair set sizes), the same total the scalar
+    per-pair loop touched, minus the interpreter.
+    """
+    ii = np.asarray(ii, dtype=np.int64)
+    jj = np.asarray(jj, dtype=np.int64)
+    if len(ii) == 0:
+        return np.empty(0, dtype=np.float64)
+
+    def take(docs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        cnt = indptr[docs + 1] - indptr[docs]
+        tot = int(cnt.sum())
+        idx = (np.arange(tot)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt)
+               + np.repeat(indptr[docs], cnt))
+        pid = np.repeat(np.arange(len(docs), dtype=np.int64), cnt)
+        return grams[idx], pid, cnt
+
+    va, pia, ca = take(ii)
+    vb, pib, cb = take(jj)
+    vals = np.concatenate([va, vb])
+    pids = np.concatenate([pia, pib])
+    order = np.lexsort((vals, pids))
+    v = vals[order]
+    p = pids[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=len(ii)).astype(np.int64)
+    union = ca + cb - inter
+    # every doc holds >= 1 gram (whole-text fallback), so union >= 1
+    return inter / union
+
+
 def simhash64(text: pa.Array, *, ngram: int = 4, chunk: int = 1 << 16) -> np.ndarray:
     """64-bit SimHash per string over char n-gram features.
 

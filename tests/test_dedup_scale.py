@@ -373,3 +373,89 @@ def test_cc_label_invariant_raises_on_corruption():
         _bucket_label_lookup(np.array([], dtype=np.int64),
                              np.array([], dtype=np.int64),
                              np.array([2], dtype=np.int64), 3)
+
+
+def _rand_texts(rng, n, *, vocab=("aa", "bb", "cc", "dd", "word", "x")):
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(0, 12))
+        out.append(" ".join(rng.choice(vocab, size=k)) if k else
+                   ["", "  ", "\t"][int(rng.integers(0, 3))])
+    return out
+
+
+def test_batched_jaccard_matches_scalar_kernels():
+    """doc_distinct_grams + batched_pair_jaccard == the scalar per-pair
+    kernels on ascii text, across char/word modes, including empty,
+    whitespace-only, and shorter-than-shingle docs (the max(1,...) whole-
+    text fallback)."""
+    from cardinalityestimation_ray.pipelines.dedup import _text_sim
+    from cardinalityestimation_ray.stages.dedup import (
+        batched_pair_jaccard,
+        doc_distinct_grams,
+    )
+
+    rng = np.random.default_rng(7)
+    texts = _rand_texts(rng, 40) + [
+        "", " ", "ab", "abcdefgh", "abcdefgh", "one two three four five",
+        "one two three four five", "one two", "one two",
+    ]
+    n = len(texts)
+    ii, jj = np.triu_indices(n, k=1)
+    for verify, ngram in [("char_ngram", 8), ("char_ngram", 3),
+                          ("word_ngram", 8)]:
+        grams, indptr = doc_distinct_grams(texts, verify=verify, ngram=ngram)
+        got = batched_pair_jaccard(grams, indptr, ii, jj)
+        want = np.array([_text_sim(texts[a], texts[b], verify, ngram)
+                         for a, b in zip(ii, jj)])
+        np.testing.assert_allclose(got, want, atol=0, rtol=0,
+                                   err_msg=f"{verify} ngram={ngram}")
+
+
+def test_batched_jaccard_empty_pairs_and_repeated_docs():
+    from cardinalityestimation_ray.stages.dedup import (
+        batched_pair_jaccard,
+        doc_distinct_grams,
+    )
+
+    grams, indptr = doc_distinct_grams(["abcdefghij", "abcdefghij", "zzz"],
+                                       verify="char_ngram", ngram=4)
+    assert len(batched_pair_jaccard(grams, indptr, np.array([], int),
+                                    np.array([], int))) == 0
+    # the same doc appearing in many pairs
+    sim = batched_pair_jaccard(grams, indptr,
+                               np.array([0, 0, 1]), np.array([1, 2, 2]))
+    assert sim[0] == 1.0 and sim[1] == 0.0 and sim[2] == 0.0
+
+
+def test_minhash_verify_stage_is_batched_and_fast():
+    """10^4-candidate bucket: the exact-text verify must run vectorized —
+    a per-pair Python loop at this size takes multiple seconds; the batched
+    kernel should stay well under one (generous bound for the noisy box)."""
+    rng = np.random.default_rng(3)
+    base = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], size=40))
+    n = 144  # ~10^4 candidate pairs after banding collapse
+    texts = np.array([base + f" tail{i % 3}" for i in range(n)], dtype=object)
+    ids = np.arange(n, dtype=np.int64)
+    sigs = np.zeros((n, 16), dtype=np.uint64)
+    sigs[:, 0] = np.arange(n)  # all unique -> C(144,2) ~ 10^4 cross pairs
+    # warm-up: this box page-faults for SECONDS on first large allocations
+    # (NOTES.md environment quirk) — time the second run
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = _verify_minhash_bucket(
+            ids, sigs, texts, threshold=0.5, verify="char_ngram", ngram=8,
+            max_bucket=4096, window=64, identical_cap=4096)
+        dt = time.perf_counter() - t0
+    n_pairs = 144 * 143 // 2
+    assert res is not None and len(res) > 5000
+    # self-calibrated bound (the box throttles erratically): extrapolate
+    # the scalar per-pair loop from a 200-pair slice measured NOW and
+    # require the batched stage to beat it by >= 3x
+    from cardinalityestimation_ray.pipelines.dedup import _text_sim
+    t0 = time.perf_counter()
+    for k in range(200):
+        _text_sim(texts[k % n], texts[(k * 7 + 1) % n], "char_ngram", 8)
+    scalar_est = (time.perf_counter() - t0) / 200 * n_pairs
+    assert dt < max(scalar_est / 3, 0.5), \
+        f"batched verify {dt:.2f}s vs scalar-loop estimate {scalar_est:.2f}s"
