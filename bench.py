@@ -104,13 +104,16 @@ def bench_once() -> dict:
 
     def corpus_ds(columns):
         # prune at the read: the sketch stages only touch these columns.
-        # override_num_blocks = cluster CPU slots: per-task fixed cost
-        # dominates this KB-state pipeline, so one well-sized block per slot
-        # beats the default finer splitting (measured 1.0s -> 0.45s at 32
-        # cpus / 64 files; the same rule holds on a real cluster where
-        # blocks ~= total cores)
+        # override_num_blocks = 2x CPU slots: one block per slot minimizes
+        # per-task fixed cost, but leaves zero work-stealing slack — on this
+        # box, whose per-core speed oscillates ~30x (NOTES.md), the operator
+        # finishes at the SLOWEST of 32 equal tasks (measured 14x task-time
+        # skew, 2.6s wall for 0.83s mean task). Two blocks per slot lets
+        # fast cores absorb straggler work: tokenize-text 3.7 -> 2.0s,
+        # heavy_hitters 9.6 -> 3.3s median (r4 profiling). Same rule on a
+        # real cluster: blocks ~= 2x total cores.
         return ray.data.read_parquet(CORPUS_DIR, columns=columns,
-                                     override_num_blocks=NUM_CPUS)
+                                     override_num_blocks=2 * NUM_CPUS)
 
     # untimed warm-up: spin up the worker pool and import the library in the
     # workers so the timed runs measure steady-state compute, not cold start
@@ -152,7 +155,7 @@ def bench_once() -> dict:
     # sf-dir path: documents -> tokenize -> global distinct
     qdefs.append(("hll_tokens_sf",
                   lambda: global_distinct_tokens(
-                      read_tokens(SF_DIR, parallelism=NUM_CPUS), b=14)))
+                      read_tokens(SF_DIR, parallelism=2 * NUM_CPUS), b=14)))
 
     # exact heavy hitters (count-min candidates + exact verify, two passes)
     from cardinalityestimation_ray.pipelines.frequency import heavy_hitters
@@ -201,8 +204,10 @@ def bench_once() -> dict:
     from cardinalityestimation_ray.sources.corpus import tokenize_documents_batch
 
     def text_pipeline():
+        # 2 blocks per slot: straggler slack under erratic per-core
+        # throttling (see corpus_ds) — measured 3.7 -> 2.0s median here
         ds = ray.data.read_parquet(TEXT_CORPUS_DIR,
-                                   override_num_blocks=NUM_CPUS,
+                                   override_num_blocks=2 * NUM_CPUS,
                                    columns=["doc_id", "text", "source"])
         return global_distinct_tokens(
             ds.map_batches(tokenize_documents_batch, batch_format="pyarrow"),

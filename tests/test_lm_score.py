@@ -82,3 +82,71 @@ def test_empty_and_tokenless_docs_dropped(_ray):
 def test_empty_corpus(_ray):
     got = doc_unigram_nll(_docs_ds([])).to_pandas()
     assert len(got) == 0
+
+
+def test_prune_vocab_bounds_and_mass():
+    from cardinalityestimation_ray.pipelines.lm_score import prune_vocab
+
+    counts = pd.DataFrame({"token": [f"t{i}" for i in range(100)],
+                           "cnt": np.r_[np.full(10, 50),
+                                        np.ones(90, dtype=int)]})
+    kept, dropped = prune_vocab(counts, min_count=2)
+    assert len(kept) == 10 and dropped == 90
+    # hard cap, deterministic tie-break (cnt desc, token asc)
+    kept2, dropped2 = prune_vocab(counts, max_vocab=5)
+    assert list(kept2["token"]) == ["t0", "t1", "t2", "t3", "t4"]
+    assert dropped2 == 5 * 50 + 90
+    # min_count alone bounds size by total/min_count
+    total = counts["cnt"].sum()
+    kept3, _ = prune_vocab(counts, min_count=3)
+    assert len(kept3) <= total // 3
+
+
+def test_nll_bounded_broadcast_high_vocab_corpus(_ray):
+    """Synthetic high-vocab corpus: every doc contributes unique gibberish
+    plus common glue words. min_count prunes the broadcast table to the
+    glue vocabulary (pinned size bound) and the pruned mass becomes the
+    OOV bucket; scores match a per-document Python reference of the SAME
+    folded model."""
+    from cardinalityestimation_ray.pipelines.lm_score import prune_vocab
+
+    rng = np.random.default_rng(5)
+    n_docs = 60
+    texts = []
+    for i in range(n_docs):
+        gib = " ".join(f"xq{i}_{j}" for j in range(int(rng.integers(2, 6))))
+        texts.append(f"the quick {gib} fox")
+    ds = _docs_ds(texts)
+    counts = unigram_counts(ds)
+    min_count = 5
+    kept, dropped = prune_vocab(counts, min_count=min_count)
+    # the size bound the docstring promises
+    assert len(kept) <= counts["cnt"].sum() // min_count
+    assert set(kept["token"]) == {"the", "quick", "fox"}
+
+    got = (doc_unigram_nll(ds, min_count=min_count).to_pandas()
+           .set_index("doc_id"))
+    total = counts["cnt"].sum()
+    lp = {t: math.log(c / total) for t, c in zip(kept["token"], kept["cnt"])}
+    oov = math.log(dropped / total)
+    for i, x in enumerate(texts):
+        toks = x.split()
+        want = -sum(lp.get(t, oov) for t in toks) / len(toks)
+        assert got.loc[i, "avg_nll"] == pytest.approx(want)
+
+
+def test_nll_max_vocab_and_explicit_oov(_ray):
+    ds = _docs_ds(TEXTS)
+    got = (doc_unigram_nll(ds, max_vocab=2, oov_logprob=-10.0)
+           .to_pandas().set_index("doc_id"))
+    counts = unigram_counts(ds)
+    from cardinalityestimation_ray.pipelines.lm_score import prune_vocab
+    kept, _ = prune_vocab(counts, max_vocab=2)
+    total = counts["cnt"].sum()
+    lp = {t: math.log(c / total) for t, c in zip(kept["token"], kept["cnt"])}
+    for i, x in enumerate(TEXTS):
+        toks = x.split()
+        if not toks:
+            continue
+        want = -sum(lp.get(t, -10.0) for t in toks) / len(toks)
+        assert got.loc[i, "avg_nll"] == pytest.approx(want)

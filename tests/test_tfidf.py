@@ -92,3 +92,40 @@ def test_tokenless_docs_emit_nothing(_ray):
 def test_empty_corpus(_ray):
     got = top_tfidf_terms(_docs_ds([]), k=2).to_pandas()
     assert len(got) == 0
+
+
+def test_min_df_prunes_broadcast_and_skips_rare_terms(_ray):
+    """High-vocab corpus: min_df bounds the broadcast DF table and rare
+    terms are simply not keyword candidates (no missing-token raise)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.tfidf import (
+        document_frequencies,
+        top_tfidf_terms,
+    )
+
+    texts = [f"common shared unique{i}a unique{i}b" for i in range(30)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts)), "text": texts}))
+    df_table = document_frequencies(ds)
+    kept = df_table[df_table["df"] >= 2]
+    assert set(kept["token"]) == {"common", "shared"}
+    # broadcast bound: <= total (doc, term) pairs / min_df
+    assert len(kept) <= df_table["df"].sum() // 2
+
+    got = top_tfidf_terms(ds, k=4, min_df=2).to_pandas()
+    assert set(got["term"]) == {"common", "shared"}
+    assert (got.groupby("doc_id").size() == 2).all()
+
+
+def test_max_df_frac_drops_stopwords(_ray):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.tfidf import top_tfidf_terms
+
+    texts = ["the alpha", "the beta", "the gamma", "the delta"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts)), "text": texts}))
+    got = top_tfidf_terms(ds, k=2, max_df_frac=0.5).to_pandas()
+    assert "the" not in set(got["term"])
+    assert set(got["term"]) == {"alpha", "beta", "gamma", "delta"}
