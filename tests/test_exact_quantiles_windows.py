@@ -154,3 +154,34 @@ def test_windowed_distinct_users_hll_kind(_ray):
     for w, exact in expect.items():
         est = int(got.loc[w, "distinct_ids"])
         assert abs(est - exact) <= max(3, 3 * 1.04 / np.sqrt(2 ** 14) * exact)
+
+
+def test_kll_exact_regime_equals_quantile_disc():
+    """With n <= k (no compaction, all weight-1 values) KLL's rank rule —
+    first cumulative weight >= q*n — equals SQL quantile_disc / the
+    rank-ceil(q*n) order statistic exactly. This is the property the
+    ntok_quantiles_by_source oracle twin relies on."""
+    import duckdb
+
+    from cardinalityestimation_ray.sketches.kll import KLLSketch
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        vals = rng.integers(0, 25, n).astype(np.float64)
+        sk = KLLSketch(k=256)
+        # sharded adds + merge, like the combiner tree
+        mid = n // 2
+        other = KLLSketch(k=256)
+        sk.add_values(vals[:mid])
+        other.add_values(vals[mid:])
+        sk.merge(other)
+        s = np.sort(vals)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+            got = sk.quantile(q)
+            rank = max(int(np.ceil(q * n)), 1)
+            assert got == s[rank - 1]
+            want = duckdb.sql(
+                f"SELECT quantile_disc(x, {q}) FROM (SELECT "
+                f"unnest({list(vals)}) AS x)").fetchone()[0]
+            assert got == want
