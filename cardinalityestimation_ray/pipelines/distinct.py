@@ -259,6 +259,15 @@ def pairwise_overlap_matrix(tokens_ds, key_column: str, *, k: int = 4096,
     Exact while each key's distinct-token count stays under k (theta=1);
     above k the estimates carry the ~1/sqrt(k) KMV error. Returns
     (key_a, key_b, n_a, n_b, n_intersection, jaccard) for key_a < key_b.
+
+    **Key-cardinality bound** (documented contract): driver memory is
+    |keys| x k x 8 bytes and the pair loop is O(|keys|^2 x k) driver
+    compute — sized for GROUPING keys (sources, languages, shards:
+    10-10^3 keys -> <=4 GiB and seconds of driver work at k=4096), NOT
+    for per-document keys. Above ~10^4 keys, compute the matrix
+    distributedly instead: emit (key, hash) sample rows from the keyed
+    partials and self-join on hash (a bucketed groupby), which this
+    module deliberately does not do until a real workload needs it.
     """
     from ..sketches.theta import ThetaSketch
     from ..stages.sketch_stages import (
