@@ -132,13 +132,16 @@ def top_tfidf_terms(docs_ds, k: int = 3, *, text_column: str = "text",
             vh = hashing.hash_arrow_binary(vocab, hash_name)
             pos = np.minimum(np.searchsorted(self.sorted_h, vh),
                              max(len(self.sorted_h) - 1, 0))
-            in_table = (self.sorted_h[pos] == vh) \
-                if len(self.sorted_h) else np.zeros(len(vh), dtype=bool)
+            if len(self.sorted_h):
+                in_table = self.sorted_h[pos] == vh
+                df_per_code = np.where(in_table, self.df[pos], 1)
+            else:
+                in_table = np.zeros(len(vh), dtype=bool)
+                df_per_code = np.ones(len(vh), dtype=np.int64)
             if not pruned and not np.all(in_table):
                 raise ValueError(
                     "token missing from the DF table — pass the df_table "
                     "built over the same corpus being scored")
-            df_per_code = np.where(in_table, self.df[pos], 1)
             if pruned:
                 # pruned-out terms are not keyword candidates
                 scored = in_table[ucode]

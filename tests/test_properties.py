@@ -329,3 +329,31 @@ def test_theta_wrs_fuzz(magic, tail):
             cls.from_bytes(magic + tail)
         except ValueError:
             pass
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=126),
+                        max_size=30),
+                min_size=2, max_size=12),
+       st.sampled_from(["char_ngram", "word_ngram"]),
+       st.integers(min_value=2, max_value=9))
+@settings(max_examples=60, deadline=None)
+def test_batched_jaccard_matches_scalar_on_ascii(texts, verify, ngram):
+    """doc_distinct_grams + batched_pair_jaccard == the scalar per-pair
+    kernels on arbitrary printable-ascii text (the hot minhash-verify
+    path's correctness contract)."""
+    import numpy as np
+
+    from cardinalityestimation_ray.pipelines.dedup import _text_sim
+    from cardinalityestimation_ray.stages.dedup import (
+        batched_pair_jaccard,
+        doc_distinct_grams,
+    )
+
+    n = len(texts)
+    ii, jj = np.triu_indices(n, k=1)
+    grams, indptr = doc_distinct_grams(texts, verify=verify, ngram=ngram)
+    got = batched_pair_jaccard(grams, indptr, ii, jj)
+    want = np.array([_text_sim(texts[a], texts[b], verify, ngram)
+                     for a, b in zip(ii, jj)])
+    np.testing.assert_array_equal(got, want)

@@ -129,3 +129,17 @@ def test_max_df_frac_drops_stopwords(_ray):
     got = top_tfidf_terms(ds, k=2, max_df_frac=0.5).to_pandas()
     assert "the" not in set(got["term"])
     assert set(got["term"]) == {"alpha", "beta", "gamma", "delta"}
+
+
+def test_fully_pruned_df_table_yields_empty_result(_ray):
+    """Degenerate bound: pruning that empties the DF table must return an
+    empty result, not crash on the empty broadcast arrays."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.tfidf import top_tfidf_terms
+
+    texts = ["the the", "the cat"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts)), "text": texts}))
+    got = top_tfidf_terms(ds, k=2, min_df=99).to_pandas()
+    assert len(got) == 0
