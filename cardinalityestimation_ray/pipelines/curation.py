@@ -82,6 +82,24 @@ def _curation_params_fingerprint(eval_texts, kwargs: dict) -> dict:
     return rec
 
 
+def _upgrade_recorded_params(recorded: dict) -> dict:
+    """Resolve a pre-normalization ``_PARAMS.json`` record (explicit kwargs
+    only) to the full-default shape so old outputs compare correctly."""
+    import inspect
+
+    meta = {"eval_set_hash", "n_eval_texts"}
+    kw = {k: v for k, v in recorded.items() if k not in meta}
+    sig = inspect.signature(curate_corpus)
+    defaults = {name: p.default for name, p in sig.parameters.items()
+                if p.default is not inspect.Parameter.empty}
+    if set(kw) - set(defaults):
+        return recorded  # not an old-format record; compare as-is
+    resolved = {**defaults, **kw}
+    out = {k: resolved[k] for k in sorted(resolved)}
+    out.update({k: recorded[k] for k in meta if k in recorded})
+    return out
+
+
 def curate_and_write(docs_ds, eval_texts, out_dir: str, **kwargs):
     """Run :func:`curate_corpus` and persist the shard assignment as
     hive-partitioned parquet (``shard=N/`` directories) with a manifest —
@@ -106,6 +124,12 @@ def curate_and_write(docs_ds, eval_texts, out_dir: str, **kwargs):
         if os.path.exists(params_path):
             with open(params_path) as f:
                 recorded = json.load(f)
+        if recorded is not None and recorded != params:
+            # records written before the defaults-normalization change
+            # hold only the EXPLICIT kwargs — upgrade them through the
+            # same resolution before declaring a mismatch, so an
+            # identical rerun against old output still resumes
+            recorded = _upgrade_recorded_params(recorded)
         if recorded != params:
             raise ValueError(
                 f"{out_dir} holds complete output for DIFFERENT curation "

@@ -116,10 +116,14 @@ def doc_unigram_nll(docs_ds, counts: pd.DataFrame | None = None, *,
     word vocabulary is unbounded, so the full log-prob table cannot
     broadcast at 100 TB. ``min_count`` / ``max_vocab`` prune the table via
     :func:`prune_vocab` (size <= min(max_vocab, total/min_count)); the
-    pruned-out probability mass becomes a single OOV bucket whose
-    log-prob is ``ln(dropped_mass / total)`` — a proper unigram model
-    where all rare tokens share one bucket — unless an explicit
-    ``oov_logprob`` overrides it. Defaults (1, None) keep the exact,
+    pruned-out probability mass is split UNIFORMLY over the pruned types —
+    each OOV token scores ``ln(dropped_mass / n_pruned_types / total)``,
+    a proper model where per-type OOV probability stays BELOW every kept
+    token's (folding the whole mass into one bucket would make rare
+    gibberish score as more typical than common words and invert the
+    quality filter). An explicit ``oov_logprob`` overrides it. If pruning
+    is requested but drops nothing, the loud unseen-token contract is
+    preserved unchanged. Defaults (1, None) keep the exact,
     oracle-checkable behavior.
     """
     import ray
@@ -130,15 +134,14 @@ def doc_unigram_nll(docs_ds, counts: pd.DataFrame | None = None, *,
     pruned = min_count > 1 or (max_vocab is not None
                                and len(counts) > max_vocab)
     if pruned:
-        counts, dropped = prune_vocab(counts, min_count=min_count,
-                                      max_vocab=max_vocab)
-        if oov_logprob is None:
-            # all pruned tokens share the folded OOV bucket; -inf when
-            # nothing was dropped (then no token can be OOV when
-            # self-scoring, so the value is never used)
-            with np.errstate(divide="ignore"):
-                oov_logprob = float(np.log(dropped / total)) \
-                    if total else float("-inf")
+        kept, dropped = prune_vocab(counts, min_count=min_count,
+                                    max_vocab=max_vocab)
+        n_pruned = len(counts) - len(kept)
+        counts = kept
+        if oov_logprob is None and n_pruned > 0:
+            oov_logprob = float(np.log(dropped / n_pruned / total))
+        # n_pruned == 0: nothing was dropped, no OOV bucket exists —
+        # oov_logprob stays None and the loud unseen-token raise applies
     tok_arr = pa.array(counts["token"], type=pa.string())
     h = hashing.hash_arrow_binary(tok_arr, hash_name)
     order = np.argsort(h)

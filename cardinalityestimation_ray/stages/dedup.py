@@ -113,6 +113,24 @@ _GRAM_FOLD = _U64(0x100000001B3)
 _EMPTY_GRAM = _U64(0x9E3779B97F4A7C15)
 
 
+def _char_gram_hashes_unicode(text: str, n: int) -> np.ndarray:
+    """CHARACTER n-gram hashes of one non-ascii string, same hash identity
+    as the vectorized byte path: each gram's UTF-8 bytes through the
+    identical polynomial + splitmix64, so an ascii gram shared between an
+    ascii doc (byte path) and a non-ascii doc (this path) still matches.
+    Slow path — called only for the rare non-ascii docs in a bucket."""
+    base = np.uint64(1099511628211)
+    out = np.empty(max(len(text) - n + 1, 0), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(len(out)):
+            b = np.frombuffer(text[i:i + n].encode("utf-8"), dtype=np.uint8)
+            h = np.uint64(0)
+            for byte in b:
+                h = h * base + np.uint64(byte)
+            out[i] = h
+    return hashing.splitmix64(out)
+
+
 def doc_distinct_grams(texts, *, verify: str,
                        ngram: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc DISTINCT shingle-hash sets as CSR ``(grams, indptr)``.
@@ -122,23 +140,57 @@ def doc_distinct_grams(texts, *, verify: str,
     ``verify`` selects char n-grams of width ``ngram`` or word 3-grams
     (matching ``_text_sim``'s fixed word n). Shingle identity is a 64-bit
     hash, so two docs share a gram iff they share the shingle (modulo
-    2^-64 collisions); on ascii text the resulting pairwise Jaccard equals
-    the scalar kernels bit-for-bit (property-tested). Short/empty docs
-    contribute ONE whole-text gram, mirroring the scalar kernels'
-    ``max(1, ...)`` fallback — a short doc can only match another doc with
-    the identical full text.
+    2^-64 collisions); pairwise Jaccard equals the scalar kernels
+    bit-for-bit (property-tested on printable ascii, unit-tested on
+    non-ascii). Char mode counts CHARACTERS like the scalar kernel: ascii
+    docs take the vectorized byte path (bytes == chars), non-ascii docs a
+    per-doc fallback hashing each char-gram's UTF-8 bytes with the same
+    scheme. Word mode splits on Unicode whitespace like ``str.split()``
+    (known divergence: U+001C..001F, which Python treats as whitespace
+    but Unicode does not — not realistic token separators). Short/empty
+    docs contribute ONE whole-text gram, mirroring the scalar kernels'
+    ``max(1, ...)`` fallback — a short doc can only match another doc
+    with the identical full text. Null/None texts raise TypeError (the
+    scalar path raised too; nulls must be handled upstream).
 
     ``grams`` is sorted ascending within each doc's ``indptr`` slice.
     """
     import pyarrow.compute as pc
 
-    arr = texts if isinstance(texts, pa.Array) else pa.array(
-        [str(t) for t in texts], type=pa.string())
+    if not isinstance(texts, pa.Array):
+        texts = list(texts)
+        for t in texts:
+            if t is None or not isinstance(t, str):
+                raise TypeError(
+                    f"text values must be strings, got {type(t).__name__} "
+                    f"(null texts must be filtered upstream)")
+        arr = pa.array(texts, type=pa.string())
+    else:
+        arr = texts
+        if arr.null_count:
+            raise TypeError("null texts must be filtered upstream")
     n_docs = len(arr)
     if verify == "char_ngram":
-        h, parents = char_ngram_hashes(arr, n=ngram)
-        lens = pc.binary_length(arr).to_numpy(zero_copy_only=False)
-        short = np.flatnonzero(lens < ngram)
+        nchars = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+        nbytes = pc.binary_length(arr).to_numpy(zero_copy_only=False)
+        nonascii = nbytes != nchars
+        if nonascii.any():
+            # mask ALL non-ascii docs out of the byte path (blanked to ""
+            # they emit no byte-grams — a short non-ascii doc can still
+            # have nbytes >= ngram); long ones get per-doc char-space grams
+            ascii_arr = pc.if_else(pa.array(~nonascii), arr, pa.scalar(""))
+            h, parents = char_ngram_hashes(ascii_arr, n=ngram)
+            extra_h = []
+            extra_p = []
+            for d in np.flatnonzero(nonascii & (nchars >= ngram)):
+                gh = _char_gram_hashes_unicode(str(arr[d]), ngram)
+                extra_h.append(gh)
+                extra_p.append(np.full(len(gh), d, dtype=np.int64))
+            h = np.concatenate([h] + extra_h)
+            parents = np.concatenate([parents] + extra_p)
+        else:
+            h, parents = char_ngram_hashes(arr, n=ngram)
+        short = np.flatnonzero(nchars < ngram)
         if len(short):
             whole = hashing.splitmix64(hashing.hash_arrow_binary(
                 arr.take(pa.array(short)), "fnv1a_mix"))
@@ -146,7 +198,7 @@ def doc_distinct_grams(texts, *, verify: str,
             parents = np.concatenate([parents, short.astype(np.int64)])
     elif verify == "word_ngram":
         n = 3  # _text_sim calls word_ngram_jaccard with its default n
-        toks = pc.ascii_split_whitespace(arr)
+        toks = pc.utf8_split_whitespace(arr)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)

@@ -191,3 +191,38 @@ def test_fingerprint_normalizes_defaults():
     import pytest as _pytest
     with _pytest.raises(TypeError, match="unknown curation parameter"):
         _curation_params_fingerprint(["ev"], {"ngarm": 13})
+
+
+def test_old_format_params_record_still_resumes(_ray, tmp_path):
+    """_PARAMS.json written before defaults-normalization recorded only the
+    explicit kwargs; an identical rerun must upgrade it, not raise
+    'DIFFERENT curation parameters' (review finding #4)."""
+    import json
+    import os
+
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.curation import curate_and_write
+
+    texts = [f"doc number {i} words here" for i in range(30)]
+    docs = lambda: ray.data.from_pandas(pd.DataFrame({  # noqa: E731
+        "doc_id": np.arange(len(texts)), "text": texts,
+        "n_chars": [len(t) for t in texts]}))
+    out = str(tmp_path / "old_params")
+    curate_and_write(docs(), [], out, ngram=3, n_shards=2)
+    # rewrite _PARAMS.json in the OLD format (explicit kwargs only)
+    p = os.path.join(out, "_PARAMS.json")
+    with open(p) as f:
+        full = json.load(f)
+    old = {"ngram": 3, "n_shards": 2,
+           "eval_set_hash": full["eval_set_hash"],
+           "n_eval_texts": full["n_eval_texts"]}
+    with open(p, "w") as f:
+        json.dump(old, f)
+    # identical rerun (defaults spelled or not) must resume, not raise
+    manifest = curate_and_write(docs(), [], out, ngram=3, n_shards=2)
+    assert manifest is not None
+    # a DIFFERENT parameterization must still raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="DIFFERENT curation"):
+        curate_and_write(docs(), [], out, ngram=5, n_shards=2)

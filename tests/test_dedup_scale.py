@@ -459,3 +459,55 @@ def test_minhash_verify_stage_is_batched_and_fast():
     scalar_est = (time.perf_counter() - t0) / 200 * n_pairs
     assert dt < max(scalar_est / 3, 0.5), \
         f"batched verify {dt:.2f}s vs scalar-loop estimate {scalar_est:.2f}s"
+
+
+def test_batched_jaccard_matches_scalar_on_non_ascii():
+    """Char mode counts CHARACTERS like the scalar kernel (non-ascii docs
+    take the per-doc char-space path; ascii grams shared across paths
+    still hash-match), and word mode splits on Unicode whitespace like
+    str.split() (review findings #1/#2)."""
+    from cardinalityestimation_ray.pipelines.dedup import _text_sim
+    from cardinalityestimation_ray.stages.dedup import (
+        batched_pair_jaccard,
+        doc_distinct_grams,
+    )
+
+    texts = [
+        "日本語テキス",              # 6 chars / 18 bytes
+        "日本語テキト",              # the review finding's pair
+        "日本語テキストですです",     # long enough for char 8-grams
+        "日本語テキストですですが",
+        "a\xa0b c d",               # NBSP: str.split treats as whitespace
+        "a b c d",
+        "café latte au lait grande",  # combining accent
+        "cafe latte au lait grande",
+        "ascii only text here",
+        "",
+        "短い",                      # short non-ascii
+        "短い",
+    ]
+    n = len(texts)
+    ii, jj = np.triu_indices(n, k=1)
+    for verify, ngram in [("char_ngram", 8), ("char_ngram", 3),
+                          ("word_ngram", 3)]:
+        grams, indptr = doc_distinct_grams(texts, verify=verify, ngram=ngram)
+        got = batched_pair_jaccard(grams, indptr, ii, jj)
+        want = np.array([_text_sim(texts[a], texts[b], verify, ngram)
+                         for a, b in zip(ii, jj)])
+        np.testing.assert_allclose(got, want, atol=0, rtol=0,
+                                   err_msg=f"{verify} ngram={ngram}")
+
+
+def test_doc_distinct_grams_rejects_null_text():
+    """Null texts must raise loudly (the scalar path raised TypeError);
+    silently stringifying None made null docs dedup against the literal
+    string 'None' (review finding #5)."""
+    import pytest
+
+    from cardinalityestimation_ray.stages.dedup import doc_distinct_grams
+
+    with pytest.raises(TypeError, match="null|strings"):
+        doc_distinct_grams(["ok", None], verify="char_ngram", ngram=4)
+    import pyarrow as pa
+    with pytest.raises(TypeError, match="null"):
+        doc_distinct_grams(pa.array(["ok", None]), verify="word_ngram")

@@ -127,12 +127,31 @@ def test_nll_bounded_broadcast_high_vocab_corpus(_ray):
     got = (doc_unigram_nll(ds, min_count=min_count).to_pandas()
            .set_index("doc_id"))
     total = counts["cnt"].sum()
+    n_pruned = len(counts) - len(kept)
     lp = {t: math.log(c / total) for t, c in zip(kept["token"], kept["cnt"])}
-    oov = math.log(dropped / total)
+    # per-TYPE OOV mass (uniform over pruned types): each OOV token must
+    # score LESS probable than every kept token, or the quality filter
+    # inverts (review finding)
+    oov = math.log(dropped / n_pruned / total)
+    assert oov < min(lp.values())
     for i, x in enumerate(texts):
         toks = x.split()
         want = -sum(lp.get(t, oov) for t in toks) / len(toks)
         assert got.loc[i, "avg_nll"] == pytest.approx(want)
+    # gibberish-heavy docs must score a HIGHER avg_nll than a pure
+    # common-word doc would under the same model
+    common_nll = -sum(lp[t] for t in ("the", "quick", "fox")) / 3
+    assert got["avg_nll"].min() > common_nll
+
+
+def test_nll_pruning_that_drops_nothing_keeps_loud_contract(_ray):
+    """min_count that prunes zero types must not silently disable the
+    unseen-token raise for foreign-corpus scoring (review finding)."""
+    train = _docs_ds(["aa aa bb bb"])  # every token has count 2
+    counts = unigram_counts(train)
+    foreign = _docs_ds(["aa zz"])
+    with pytest.raises(Exception, match="not in the unigram table"):
+        doc_unigram_nll(foreign, counts=counts, min_count=2).to_pandas()
 
 
 def test_nll_max_vocab_and_explicit_oov(_ray):
