@@ -118,16 +118,31 @@ def _char_gram_hashes_unicode(text: str, n: int) -> np.ndarray:
     as the vectorized byte path: each gram's UTF-8 bytes through the
     identical polynomial + splitmix64, so an ascii gram shared between an
     ascii doc (byte path) and a non-ascii doc (this path) still matches.
-    Slow path — called only for the rare non-ascii docs in a bucket."""
+
+    Vectorized for CJK-scale input (on CJK web text EVERY doc takes this
+    path, so it cannot be a per-char Python loop): char-start byte offsets
+    come from the UTF-8 continuation-bit mask, windows are grouped by
+    byte length (<= 3n+1 classes) and each class hashes as one
+    (windows x L) column sweep."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    starts = np.flatnonzero((b & 0xC0) != 0x80).astype(np.int64)
+    n_chars = len(starts)
+    if n_chars < n:
+        return np.empty(0, dtype=np.uint64)
+    ws = starts[: n_chars - n + 1]
+    we = np.r_[starts[n:], len(b)]  # end byte = start of char i+n (or EOS)
+    lens = we - ws
+    out = np.empty(len(ws), dtype=np.uint64)
     base = np.uint64(1099511628211)
-    out = np.empty(max(len(text) - n + 1, 0), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for i in range(len(out)):
-            b = np.frombuffer(text[i:i + n].encode("utf-8"), dtype=np.uint8)
-            h = np.uint64(0)
-            for byte in b:
-                h = h * base + np.uint64(byte)
-            out[i] = h
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            mat = b[ws[idx][:, None] + np.arange(int(L))[None, :]]
+            h = np.zeros(len(idx), dtype=np.uint64)
+            for j in range(int(L)):
+                h *= base
+                h += mat[:, j]
+            out[idx] = h
     return hashing.splitmix64(out)
 
 
@@ -279,6 +294,16 @@ def batched_pair_jaccard(grams: np.ndarray, indptr: np.ndarray,
     if len(ii) == 0:
         return np.empty(0, dtype=np.float64)
 
+    # dictionary-encode the (deduped-per-doc) gram hashes ONCE on the
+    # CSR (doc-level rows), so the per-pair gathers below move small int64
+    # codes and the (pair, gram) key packs into ONE int64 — a single-key
+    # np.sort is ~2x a two-key lexsort on the u64 hashes, and the encode
+    # cost is O(total grams), not O(total pair rows). This stage is
+    # sort/bandwidth-bound on long docs (CJK-scale profiling).
+    uniq = np.unique(grams)
+    code_csr = np.searchsorted(uniq, grams)
+    n_codes = np.int64(len(uniq) + 1)
+
     def take(docs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         cnt = indptr[docs + 1] - indptr[docs]
         tot = int(cnt.sum())
@@ -286,17 +311,24 @@ def batched_pair_jaccard(grams: np.ndarray, indptr: np.ndarray,
                - np.repeat(np.cumsum(cnt) - cnt, cnt)
                + np.repeat(indptr[docs], cnt))
         pid = np.repeat(np.arange(len(docs), dtype=np.int64), cnt)
-        return grams[idx], pid, cnt
+        return code_csr[idx], pid, cnt
 
     va, pia, ca = take(ii)
     vb, pib, cb = take(jj)
-    vals = np.concatenate([va, vb])
+    codes = np.concatenate([va, vb])
     pids = np.concatenate([pia, pib])
-    order = np.lexsort((vals, pids))
-    v = vals[order]
-    p = pids[order]
-    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
-    inter = np.bincount(p[1:][dup], minlength=len(ii)).astype(np.int64)
+    if len(ii) * int(n_codes) < (1 << 62):
+        key = pids * n_codes + codes
+        key.sort()
+        dup = key[1:] == key[:-1]
+        dup_pids = key[1:][dup] // n_codes
+    else:  # overflow guard: fall back to the two-key sort
+        order = np.lexsort((codes, pids))
+        v = codes[order]
+        p = pids[order]
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        dup_pids = p[1:][dup]
+    inter = np.bincount(dup_pids, minlength=len(ii)).astype(np.int64)
     union = ca + cb - inter
     # every doc holds >= 1 gram (whole-text fallback), so union >= 1
     return inter / union
