@@ -511,3 +511,40 @@ def test_doc_distinct_grams_rejects_null_text():
     import pyarrow as pa
     with pytest.raises(TypeError, match="null"):
         doc_distinct_grams(pa.array(["ok", None]), verify="word_ngram")
+
+
+def test_minhash_char_verify_end_to_end_cjk(ray_session):
+    """End-to-end non-ascii pipeline: planted CJK near-dup pairs survive the
+    signature prefilter AND the exact char-ngram text verify (the verify
+    runs in character space — the byte-gram regression the round-4 review
+    caught would mis-score these)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+    from cardinalityestimation_ray.stages.dedup import (
+        exact_jaccard_char_ngrams,
+    )
+
+    rng = np.random.default_rng(17)
+    cjk = [chr(0x4E00 + i) for i in range(200)]
+    base = ["".join(rng.choice(cjk, 300)) for _ in range(20)]
+    texts = []
+    for t in base:
+        texts.append(t)
+        texts.append(t[:-3] + "".join(rng.choice(cjk, 3)))  # near-dup twin
+    # unrelated fillers
+    texts += ["".join(rng.choice(cjk, 300)) for _ in range(20)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    pairs = minhash_dedup_pairs(ray.data.from_pandas(df).repartition(4),
+                                threshold=0.8, verify="char_ngram",
+                                num_perm=64, num_bands=16)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    planted = {(2 * k, 2 * k + 1) for k in range(20)}
+    # LSH recall on 64 perms at jaccard ~0.97 is ~certain
+    assert planted <= got
+    # similarity values equal the scalar char-space kernel exactly
+    for _, row in pairs.iterrows():
+        want = exact_jaccard_char_ngrams(texts[int(row["id_a"])],
+                                         texts[int(row["id_b"])], 8)
+        assert row["similarity"] == want
