@@ -179,10 +179,16 @@ def _spread(ds):
     Lazy datasets don't expose ``num_blocks()`` (NotImplementedError in this
     Ray version), so fall back to the input-file count — the quantity that
     actually bounds read parallelism for file-backed inputs.
+
+    Target is 2 blocks per CPU slot (round-4 profiling): one per slot
+    leaves zero work-stealing slack, so the stage finishes at its slowest
+    task whenever per-core speed varies — and the signature build is the
+    compute-dense stage this matters most for.
     """
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    target = 2 * cpus
     n_blocks = None
     try:
         n_blocks = ds.num_blocks()
@@ -191,8 +197,8 @@ def _spread(ds):
             n_blocks = len(ds.input_files())
         except Exception:
             pass
-    if n_blocks is not None and 0 < n_blocks < cpus:
-        return ds.repartition(cpus)
+    if n_blocks is not None and 0 < n_blocks < target:
+        return ds.repartition(target)
     return ds
 
 
