@@ -11,6 +11,8 @@ Env:
     RAY_GRAFT_CPUS         ray.init(num_cpus=...) (default 32)
     GRAFT_BENCH_DOCS       synthetic tokens-corpus docs (default 200_000)
     GRAFT_BENCH_TEXT_DOCS  synthetic text-corpus docs (default DOCS/2)
+    GRAFT_BENCH_ROUNDS     interleaved timing rounds (default 5; 1 in
+                           --scaling fast mode); recorded value = median
     GRAFT_SCALE_LO/HI      --scaling parallelism pair (default 2 -> 8; see
                            the note in main() about the DRAM ceiling)
 
@@ -99,8 +101,12 @@ def bench_once() -> dict:
     # VM hits one sample of several queries instead of every sample of one;
     # the recorded number is the per-query MEDIAN and the min/max spread is
     # reported alongside.
+    # 5 interleaved rounds (round 4, was 3): a quiet round is ~8 s of timed
+    # work, and the deeper median damps this box's load spikes further —
+    # the driver records ONE sample of the whole bench, so the median's
+    # robustness is what that sample inherits
     fast_mode = os.environ.get("GRAFT_BENCH_FAST") == "1"
-    rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "1" if fast_mode else "3"))
+    rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "1" if fast_mode else "5"))
 
     def corpus_ds(columns):
         # prune at the read: the sketch stages only touch these columns.
