@@ -548,3 +548,33 @@ def test_minhash_char_verify_end_to_end_cjk(ray_session):
         want = exact_jaccard_char_ngrams(texts[int(row["id_a"])],
                                          texts[int(row["id_b"])], 8)
         assert row["similarity"] == want
+
+
+def test_minhash_pairs_invariant_to_block_layout(ray_session):
+    """The pair set and similarity values must not depend on how the input
+    is partitioned into blocks (distributed-correctness property: the
+    banding shuffle re-co-locates rows regardless of source layout)."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(50)]
+    base = [" ".join(rng.choice(words, 60)) for _ in range(15)]
+    texts = []
+    for t in base:
+        texts.append(t)
+        texts.append(t.rsplit(" ", 2)[0] + " zz yy")  # near-dup twin
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    results = []
+    for n_blocks in (1, 3, 8):
+        ds = ray.data.from_pandas(df)
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        pairs = minhash_dedup_pairs(ds, threshold=0.6, verify="word_ngram")
+        results.append(pairs.reset_index(drop=True))
+    for other in results[1:]:
+        pd.testing.assert_frame_equal(results[0], other)
+    assert len(results[0]) >= 15  # the planted twins are found
