@@ -1901,6 +1901,20 @@ def _q_source_overlap_matrix(sf_dir: str):
     return pairwise_overlap_matrix(_tokens(sf_dir), "source", k=4096)
 
 
+def _q_source_overlap_matrix_distributed(sf_dir: str):
+    """Scale path of the source-similarity matrix: identical values
+    (asserted bit-for-bit in tests/test_theta.py), but the per-key hash
+    samples never land on the driver — co-occurrence pairs and
+    below-theta histograms come out of a hash-range-bucketed groupby.
+    Same oracle as source_overlap_matrix (exact regime at sf0.01)."""
+    from cardinalityestimation_ray.pipelines.distinct import (
+        pairwise_overlap_matrix_distributed,
+    )
+
+    return pairwise_overlap_matrix_distributed(
+        _tokens(sf_dir), "source", k=4096)
+
+
 def _q_clean_doc_texts(sf_dir: str):
     """Text cleaning/redaction (URL/email -> placeholders, whitespace
     normalization) — RE2 kernels on both sides make DuckDB an exact oracle."""
@@ -2017,13 +2031,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_doc_texts": _q_clean_doc_texts,
         "theta_token_set_ops": _q_theta_token_set_ops,
         "source_overlap_matrix": _q_source_overlap_matrix,
+        "source_overlap_matrix_distributed":
+            _q_source_overlap_matrix_distributed,
         "weighted_sample_nchars": _q_weighted_sample_nchars,
         "bigram_heavy_hitters": _q_bigram_heavy_hitters,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "hll_distinct_tokens_by_source": f"""
             SELECT source,
                    count(DISTINCT t) AS distinct_tokens,
@@ -2918,3 +2934,7 @@ def oracle_sql() -> dict[str, str]:
         # recall -> rows-only checks (planted-duplicate recall and bounds are
         # pytest-asserted)
     }
+    # the distributed scale path computes the SAME matrix (bit-identical,
+    # tests/test_theta.py) — it shares the direct path's oracle
+    out["source_overlap_matrix_distributed"] = out["source_overlap_matrix"]
+    return out

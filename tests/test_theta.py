@@ -226,3 +226,62 @@ def test_pairwise_overlap_matrix_empty(ray_session):
 
     ds = ray.data.from_pandas(pd.DataFrame({"source": [], "tokens": []}))
     assert len(pairwise_overlap_matrix(ds, "source")) == 0
+
+
+def test_pairwise_overlap_matrix_distributed_matches_direct(ray_session):
+    """Scale path == driver path BIT-FOR-BIT, exact and trimmed regimes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        pairwise_overlap_matrix,
+        pairwise_overlap_matrix_distributed,
+    )
+
+    # exact regime (theta == 1 everywhere): known overlaps
+    rows = []
+    for key, lo, hi in (("A", 0, 50), ("B", 25, 75), ("C", 100, 120)):
+        for v in range(lo, hi):
+            rows.append({"source": key, "tokens": [f"t{v}"]})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    direct = pairwise_overlap_matrix(ds, "source", k=4096)
+    dist = pairwise_overlap_matrix_distributed(ds, "source", k=4096,
+                                               n_buckets=8)
+    pd.testing.assert_frame_equal(dist, direct)
+
+    # trimmed regime: per-key distinct >> k=16 so thetas differ per key;
+    # overlapping ranges exercise the below-other-theta counts, and the
+    # zero-overlap pair exercises the all-pairs (not just nonzero) emit
+    rows = []
+    for key, lo, hi in (("s1", 0, 300), ("s2", 150, 500), ("s3", 600, 680)):
+        for v in range(lo, hi):
+            rows.append({"source": key, "tokens": [f"tok{v}", f"tok{v + 1}"]})
+    ds2 = ray.data.from_pandas(pd.DataFrame(rows)).repartition(6)
+    direct2 = pairwise_overlap_matrix(ds2, "source", k=16)
+    assert (direct2["n_a"].to_numpy() > 16).any()  # really trimmed
+    dist2 = pairwise_overlap_matrix_distributed(ds2, "source", k=16,
+                                                n_buckets=4)
+    pd.testing.assert_frame_equal(dist2, direct2)
+
+
+def test_pairwise_overlap_matrix_distributed_edges(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        pairwise_overlap_matrix_distributed,
+    )
+
+    one = ray.data.from_pandas(pd.DataFrame(
+        {"source": ["A"] * 5, "tokens": [["x"], ["y"], ["z"], ["x"], ["y"]]}))
+    out = pairwise_overlap_matrix_distributed(one, "source")
+    assert len(out) == 0
+    assert list(out.columns) == ["key_a", "key_b", "n_a", "n_b",
+                                 "n_intersection", "jaccard"]
+
+    with pytest.raises(ValueError, match="power of two"):
+        pairwise_overlap_matrix_distributed(one, "source", n_buckets=3)
+    with pytest.raises(ValueError, match="power of two"):
+        pairwise_overlap_matrix_distributed(one, "source", n_buckets=1)
