@@ -11,14 +11,14 @@ import pyarrow as pa
 
 from ..sketches import hashing
 from ..sketches.hll import HyperLogLog
-
-_U64_SPAN = float(1 << 64)
 from ..stages.sketch_stages import (
     HllColumnPartials,
     HllTokenPartials,
     hll_merge_aggregate,
     tree_merge_keyed_partials,
 )
+
+_U64_SPAN = float(1 << 64)
 
 
 def _keyed_result_frame(merged: dict, key_column: str, estimate_name: str,
