@@ -355,7 +355,57 @@ def run_at(ncpu: int, attempts: int = 2) -> dict:
     return best
 
 
+def profile_stats() -> None:
+    """--stats: per-stage Ray Data timing for the headline pipeline.
+
+    Builds the same lineage the headline query executes (pruned parquet
+    read -> HllTokenPartials map_batches -> two bundled merge levels),
+    materializes it, and prints Ray's stats() breakdown — the per-stage
+    wall/cpu/udf split used to decide where to iterate (e.g. the round-4
+    finding that task-time SKEW, not kernel time, dominated the driver's
+    medians came from exactly this view). Untimed warm-up first so the
+    numbers are steady-state, not worker cold-start. The final driver fold
+    (iter_batches over <= fanout rows) is not in the view; it is bounded
+    and microseconds-scale by design.
+    """
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        HllTokenPartials,
+        _merge_block_fn,
+        _tree_levels,
+    )
+
+    ensure_corpus()
+    warm_page_cache()
+
+    def lineage():
+        ds = ray.data.read_parquet(CORPUS_DIR, columns=["tokens"],
+                                   override_num_blocks=2 * NUM_CPUS)
+        ds = ds.map_batches(HllTokenPartials(b=14), batch_format="pyarrow")
+        return _tree_levels(ds, _merge_block_fn("hll"), fanout=64, levels=2)
+
+    lineage().materialize()  # warm-up (workers + imports)
+    t0 = time.perf_counter()
+    materialized = lineage().materialize()
+    wall = time.perf_counter() - t0
+    print(materialized.stats())
+    print(f"\n[headline lineage] end-to-end wall: {wall:.3f}s "
+          f"({materialized.count()} partial rows reach the driver fold)")
+    ray.shutdown()
+
+
 def main():
+    if "--stats" in sys.argv:
+        profile_stats()
+        return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism pair. Default 2 -> 8: on this single
         # shared-memory box, >8 concurrent workers saturate DRAM bandwidth —

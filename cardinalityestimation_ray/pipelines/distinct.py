@@ -410,10 +410,13 @@ def pairwise_overlap_matrix_distributed(
         return sub
 
     # one bundled level thins the shuffle input; the keyed groupby then
-    # leaves EXACTLY one (key, blob) row per key, cluster-resident
+    # leaves EXACTLY one (key, blob) row per key, cluster-resident.
+    # num_cpus differs from the upstream stage so the level is NOT fused
+    # onto it (fused it would only ever see its own block's partial rows
+    # and the thinning becomes a no-op — see sketch_stages._tree_levels)
     merged_ds = (partials
                  .map_batches(merge_keyed_block, batch_format="pyarrow",
-                              batch_size=64)
+                              batch_size=64, num_cpus=0.9)
                  .groupby(key_column)
                  .map_groups(merge_group, batch_format="pyarrow")
                  .materialize())

@@ -559,12 +559,36 @@ def _merge_block_fn(kind: str):
     return merge_block
 
 
+def _tree_levels(ds, merge_fn, fanout: int, levels: int):
+    """Chain the combiner-tree merge levels with OPERATOR FUSION disabled.
+
+    Each level must run as its OWN operator: fused onto the upstream stage,
+    a merge task only ever sees the single partial row its own block
+    produced, so ``batch_size=fanout`` bundling silently becomes a per-block
+    no-op and the driver fold degrades from O(blocks / fanout^levels) to
+    O(blocks) rows — invisible at test scale, exactly the failure the tree
+    exists to prevent at 10^6-block scale. Measured via ``bench.py --stats``
+    (round 4): 64 read blocks -> 64 rows reaching the driver fused, 1 row
+    unfused. Ray fuses Map operators whose resource requests match, so each
+    level asks for a DISTINCT fractional ``num_cpus`` (merge tasks are
+    KB-scale/ms-scale — the request value itself is immaterial).
+    """
+    for level in range(levels):
+        # distinct per level AND per parity so arbitrarily deep trees never
+        # repeat a request (adjacent-level distinctness is what blocks fusion)
+        ds = ds.map_batches(merge_fn, batch_format="pyarrow",
+                            batch_size=fanout,
+                            num_cpus=0.9 - 0.05 * (level % 2))
+    return ds
+
+
 def tree_merge_partials(partials_ds, kind: str, *, fanout: int = 64,
                         levels: int = 2) -> tuple[Sketch | None, int]:
     """Global combiner tree for any sketch kind — no all-to-all anywhere.
 
-    Each level is a stateless ``map_batches(merge_block, batch_size=fanout)``:
-    Ray bundles up to ``fanout`` upstream partial rows per task, so every
+    Each level is a stateless ``map_batches(merge_block, batch_size=fanout)``
+    (fusion-broken — see :func:`_tree_levels`): Ray bundles up to ``fanout``
+    upstream partial rows per task, so every
     level divides the row count by its bundling factor while streaming with
     the scan (no repartition shuffle, no barrier). The driver then folds the
     surviving rows via streaming ``iter_batches``. Two levels bound the
@@ -573,10 +597,7 @@ def tree_merge_partials(partials_ds, kind: str, *, fanout: int = 64,
 
     Returns (merged sketch | None, total n_added)."""
     merge_block = _merge_block_fn(kind)
-    ds = partials_ds
-    for _ in range(levels):
-        ds = ds.map_batches(merge_block, batch_format="pyarrow",
-                            batch_size=fanout)
+    ds = _tree_levels(partials_ds, merge_block, fanout, levels)
     acc: Sketch | None = None
     total = 0
     for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -614,10 +635,7 @@ def tree_merge_keyed_partials_generic(partials_ds, key_column: str, kind: str, *
             "n_added": pa.array([counts[k] for k in ks], type=pa.int64()),
         })
 
-    ds = partials_ds
-    for _ in range(levels):
-        ds = ds.map_batches(merge_block, batch_format="pyarrow",
-                            batch_size=fanout)
+    ds = _tree_levels(partials_ds, merge_block, fanout, levels)
     acc: dict = {}
     counts: dict = {}
     for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -676,12 +694,9 @@ def tree_merge_keyed_partials(partials_ds, key_column: str, *,
 
     Returns ``dict[key, (HyperLogLog, n_added)]``.
     """
-    ds = partials_ds
-    for _ in range(levels):
-        ds = ds.map_batches(
-            lambda t: _merge_rows_by_key(t, key_column, hash_name),
-            batch_format="pyarrow", batch_size=fanout,
-        )
+    ds = _tree_levels(
+        partials_ds, lambda t: _merge_rows_by_key(t, key_column, hash_name),
+        fanout, levels)
     acc: dict = {}
     counts: dict = {}
     for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):

@@ -1,0 +1,61 @@
+"""The combiner tree must actually REDUCE: Ray Data fuses Map operators
+with matching resource requests, and a fused merge level only ever sees the
+single partial row its own block produced — batch_size bundling silently
+becomes a per-block no-op and the driver fold degrades from
+O(blocks / fanout^levels) to O(blocks) rows. `_tree_levels` breaks fusion
+with distinct per-level num_cpus; these tests pin both the reduction and
+result identity (found via `bench.py --stats` in round 4: 64 read blocks ->
+64 rows reaching the driver fused, 1 unfused)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _partials(n_blocks: int, tokens_per_block: int = 40):
+    import ray.data
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        HllTokenPartials,
+    )
+
+    tokens = pa.array(
+        [list(range(i * tokens_per_block, (i + 1) * tokens_per_block))
+         for i in range(n_blocks)], type=pa.list_(pa.int32()))
+    return (ray.data.from_arrow(pa.table({"tokens": tokens}))
+            .repartition(n_blocks)
+            .map_batches(HllTokenPartials(b=12), batch_format="pyarrow"))
+
+
+def test_tree_levels_bundle_across_blocks(ray_session):
+    """128 one-row partial blocks, fanout 8, 2 levels -> a handful of rows
+    reach the driver (<= ceil(128/8/8) plus stream-end flush slack), never
+    anything near the 128 a fused no-op tree leaves."""
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        _merge_block_fn,
+        _tree_levels,
+    )
+
+    lineage = _tree_levels(_partials(128), _merge_block_fn("hll"),
+                           fanout=8, levels=2)
+    m = lineage.materialize()
+    assert m.count() <= 6, (
+        f"{m.count()} partial rows reached the driver fold — the merge "
+        "levels did not bundle across blocks (operator fusion regressed)")
+
+
+def test_tree_merge_result_identical_to_flat_fold(ray_session):
+    """Fusion-broken tree == single-sketch ground truth, registers and
+    n_added both (merge is associative/commutative, so the tree's bundling
+    boundaries must not matter)."""
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        tree_merge_partials,
+    )
+
+    n_blocks, per = 96, 40
+    sketch, total = tree_merge_partials(_partials(n_blocks, per), "hll",
+                                        fanout=8, levels=2)
+    assert total == n_blocks * per
+    single = HyperLogLog(b=12)
+    single.add_values(np.arange(n_blocks * per, dtype=np.int32))
+    assert np.array_equal(sketch.registers(), single.registers())
