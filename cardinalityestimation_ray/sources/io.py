@@ -53,9 +53,23 @@ def write_partitioned(ds, path: str, *, min_rows_per_file: int = 100_000,
     key value — the resumable/skippable output layout); otherwise a flat
     directory of part files. Atomic-ish: data files land first, the manifest
     last — a rerun treats a directory without a manifest as incomplete and
-    rewrites it.
+    rewrites it. Rewriting CLEANS the stale part files first: Ray names part
+    files uniquely per run, so without the sweep a crashed attempt's
+    partials would survive alongside the fresh files and silently DOUBLE
+    rows in the rewritten output (they are unreferenced by any manifest,
+    but globbed reads and the new manifest's os.walk would pick them up).
     """
     os.makedirs(path, exist_ok=True)
+    # manifest goes first (a crash mid-rewrite must leave the directory
+    # marked INCOMPLETE, never a stale manifest over fresh partial files)
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
+    stale = [os.path.join(root, f)
+             for root, _, fs in os.walk(path)
+             for f in fs if f.endswith(".parquet")]
+    for p in stale:
+        os.remove(p)
     kwargs = {}
     if partition_cols:
         kwargs["partition_cols"] = partition_cols
@@ -70,7 +84,7 @@ def write_partitioned(ds, path: str, *, min_rows_per_file: int = 100_000,
     tmp = os.path.join(path, "_MANIFEST.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    os.replace(tmp, manifest_path)
     return manifest
 
 

@@ -51,6 +51,45 @@ def test_write_partitioned_manifest(tmp_path, _ray):
     assert back.count() == 10_000
 
 
+def test_write_partitioned_rewrite_cleans_crashed_attempt(tmp_path, _ray):
+    """A rerun over a manifest-less (crashed) output directory must sweep
+    the stale part files first — Ray names part files uniquely per run, so
+    without the sweep the crashed attempt's rows survive alongside the
+    fresh ones and the rewritten output silently doubles."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cardinalityestimation_ray.sources.io import (
+        is_complete_output,
+        read_table,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    # simulate a crashed earlier attempt: orphan part file, no manifest
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"id": pa.array(range(500), type=pa.int64())}),
+                   os.path.join(out, "crashed_attempt_part.parquet"))
+    assert not is_complete_output(out)
+
+    ds = ray.data.range(10_000).repartition(4)
+    manifest = write_partitioned(ds, out, min_rows_per_file=2000)
+    assert is_complete_output(out)
+    assert "crashed_attempt_part.parquet" not in set(manifest["files"])
+    assert read_table(out).count() == 10_000  # not 10_500
+
+    # overwrite of a COMPLETE directory replaces it (never appends): the
+    # stale manifest is dropped first so a crash mid-rewrite reads as
+    # incomplete, and the old rows are gone from the rewritten output
+    manifest = write_partitioned(ds.limit(1_000), out,
+                                 min_rows_per_file=2000)
+    assert read_table(out).count() == 1_000
+
+
 def test_sketch_results_roundtrip_and_incremental_merge(tmp_path):
     from cardinalityestimation_ray.sketches.hll import HyperLogLog
     from cardinalityestimation_ray.sources.io import (
