@@ -43,6 +43,44 @@ def test_tree_levels_bundle_across_blocks(ray_session):
         "levels did not bundle across blocks (operator fusion regressed)")
 
 
+def test_keyed_tree_levels_bundle_across_blocks(ray_session):
+    """Keyed variant: 128 blocks x 2 keys -> the keyed merge levels must
+    collapse toward one row per key, not leave ~256 keyed partial rows for
+    the driver."""
+    import ray.data
+
+    from cardinalityestimation_ray.sketches import hashing
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        HllTokenPartials,
+        _merge_rows_by_key,
+        _tree_levels,
+        tree_merge_keyed_partials,
+    )
+
+    n_blocks, per = 128, 20
+    tokens = pa.array(
+        [list(range(i * per, (i + 1) * per)) for i in range(n_blocks)],
+        type=pa.list_(pa.int32()))
+    src = pa.array(["a" if i % 2 else "b" for i in range(n_blocks)])
+    ds = (ray.data.from_arrow(pa.table({"tokens": tokens, "source": src}))
+          .repartition(n_blocks))
+    partials = ds.map_batches(
+        HllTokenPartials(b=12, key_column="source"), batch_format="pyarrow")
+
+    lineage = _tree_levels(
+        partials,
+        lambda t: _merge_rows_by_key(t, "source", hashing.DEFAULT_HASH),
+        fanout=8, levels=2)
+    m = lineage.materialize()
+    assert m.count() <= 12, (
+        f"{m.count()} keyed partial rows reached the driver fold")
+
+    merged = tree_merge_keyed_partials(partials, "source", fanout=8)
+    assert set(merged) == {"a", "b"}
+    assert merged["a"][1] == (n_blocks // 2) * per
+    assert merged["b"][1] == (n_blocks // 2) * per
+
+
 def test_tree_merge_result_identical_to_flat_fold(ray_session):
     """Fusion-broken tree == single-sketch ground truth, registers and
     n_added both (merge is associative/commutative, so the tree's bundling
