@@ -81,6 +81,27 @@ def test_keyed_tree_levels_bundle_across_blocks(ray_session):
     assert merged["b"][1] == (n_blocks // 2) * per
 
 
+def test_bench_stats_reports_single_driver_row():
+    """`bench.py --stats` is the diagnostic that caught the fusion no-op —
+    keep it working, and keep its headline assertion true: exactly one
+    partial row reaches the driver fold (subprocess: bench owns its own
+    Ray session; tiny corpus via GRAFT_BENCH_DOCS)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    env = dict(os.environ, GRAFT_BENCH_DOCS="2000", RAY_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--stats"], env=env,
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    m = re.search(r"\((\d+) partial rows reach the driver fold\)",
+                  out.stdout)
+    assert m, out.stdout[-500:]
+    assert int(m.group(1)) == 1, out.stdout[-500:]
+
+
 def test_tree_merge_result_identical_to_flat_fold(ray_session):
     """Fusion-broken tree == single-sketch ground truth, registers and
     n_added both (merge is associative/commutative, so the tree's bundling
