@@ -574,8 +574,8 @@ def _tree_levels(ds, merge_fn, fanout: int, levels: int):
     KB-scale/ms-scale — the request value itself is immaterial).
     """
     for level in range(levels):
-        # distinct per level AND per parity so arbitrarily deep trees never
-        # repeat a request (adjacent-level distinctness is what blocks fusion)
+        # alternating by level parity: ADJACENT levels always differ (which
+        # is what blocks fusion), no matter how deep the tree goes
         ds = ds.map_batches(merge_fn, batch_format="pyarrow",
                             batch_size=fanout,
                             num_cpus=0.9 - 0.05 * (level % 2))
