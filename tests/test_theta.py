@@ -57,6 +57,16 @@ class TestEstimateRegime:
         est = ThetaSketch.difference_estimate(a, b)
         assert abs(est - 150_000) < 5 * 350_000 * a.rse(), est
 
+    def test_jaccard_estimate_trimmed_regime(self):
+        # sample-ratio Jaccard vs ground truth far above k (both sketches
+        # trimmed): true J = 50k / 350k
+        a = _sk(np.arange(0, 200_000), k=4096)
+        b = _sk(np.arange(150_000, 350_000), k=4096)
+        est = ThetaSketch.jaccard_estimate(a, b)
+        true_j = 50_000 / 350_000
+        assert abs(est - true_j) < 5 * true_j * a.rse() / (true_j ** 0.5), \
+            (est, true_j)
+
 
 class TestMergeLaws:
     def test_merge_equals_single_stream(self):
