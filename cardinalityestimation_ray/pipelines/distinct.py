@@ -416,7 +416,7 @@ def pairwise_overlap_matrix_distributed(
     # and the thinning becomes a no-op — see sketch_stages._tree_levels)
     merged_ds = (partials
                  .map_batches(merge_keyed_block, batch_format="pyarrow",
-                              batch_size=64, num_cpus=0.9)
+                              batch_size=512, num_cpus=0.9)
                  .groupby(key_column)
                  .map_groups(merge_group, batch_format="pyarrow")
                  .materialize())

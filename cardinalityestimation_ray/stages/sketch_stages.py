@@ -610,10 +610,16 @@ def tree_merge_partials(partials_ds, kind: str, *, fanout: int = 64,
 
 
 def tree_merge_keyed_partials_generic(partials_ds, key_column: str, kind: str, *,
-                                      fanout: int = 64, levels: int = 2) -> dict:
+                                      fanout: int = 512, levels: int = 2) -> dict:
     """Keyed combiner tree for any sketch kind (bundled map levels, no
     all-to-all). Returns dict[key, (Sketch, n_added)]. Low-cardinality keys
-    only (the driver streams the reduced rows)."""
+    only (the driver streams the reduced rows).
+
+    ``fanout`` counts ROWS, and keyed partial stages emit up to one row per
+    key per block — so each level's BLOCK-bundling factor is ~fanout/|keys|.
+    The keyed default is therefore larger than the global tree's 64
+    (512 rows x <=16 KB blobs = <=8 MB per merge task): at 10 keys that is
+    ~50 blocks per bundle, ~2500x over two levels."""
 
     def merge_block(tbl: pa.Table) -> pa.Table:
         acc: dict = {}
@@ -678,7 +684,7 @@ def _merge_rows_by_key(tbl: pa.Table, key_column: str,
 
 def tree_merge_keyed_partials(partials_ds, key_column: str, *,
                               hash_name: str = hashing.DEFAULT_HASH,
-                              fanout: int = 64, levels: int = 2):
+                              fanout: int = 512, levels: int = 2):
     """Combiner tree over keyed partial-sketch rows — no all-to-all.
 
     Each level is a stateless ``map_batches(batch_size=fanout)`` that merges
@@ -686,7 +692,10 @@ def tree_merge_keyed_partials(partials_ds, key_column: str, *,
     pipelines it with the scan; no repartition shuffle). The driver then
     streams the surviving <= rows/bundling^levels rows and folds per key —
     the same shape as the reference's batch-of-8 PLINQ merge tree
-    (ConcurrentCardinalityEstimator.cs:709-773).
+    (ConcurrentCardinalityEstimator.cs:709-773). ``fanout`` counts ROWS —
+    up to one per key per upstream block — so the keyed default is larger
+    than the global tree's 64: block-bundling per level ~= fanout/|keys|
+    (512 rows x <=16 KB sketches = <=8 MB per merge task).
 
     Use for LOW-cardinality keys (sources, languages, shards). For
     high-cardinality keys use ``groupby(key).aggregate(hll_merge_aggregate())``
