@@ -139,7 +139,12 @@ def token_frequencies_cms(tokens_ds, probe_tokens: np.ndarray, *,
                               token_column, explode_list=True),
         batch_format="pyarrow",
     )
-    cms, total = tree_merge_partials(partials, "countmin")
+    # tree-task memory = fanout x blob size: at the default width 2^16 a
+    # CMS blob is depth x width x 8 B ~= 2.6 MB, so the global tree's
+    # fanout=64 would hand each merge task ~170 MB — cap the bundle to
+    # keep merge tasks within a lean worker heap (elementwise add is
+    # bandwidth-bound anyway; 16 blobs per task loses no parallelism)
+    cms, total = tree_merge_partials(partials, "countmin", fanout=16)
     if cms is None:
         cms = CountMinSketch(depth=depth, width=width)
     probes = np.asarray(probe_tokens, dtype=np.int32)
