@@ -27,6 +27,27 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _finalize_topk(partials: pd.DataFrame, k: int,
+                   id_column: str) -> pd.DataFrame:
+    """Driver-side final top-k over the tiny candidate set
+    (<= queries * k * n_batches rows by construction). Shared by the brute
+    and IVF paths so the empty-frame schema and the (cosine desc, id asc)
+    tie-break cannot diverge between them."""
+    if len(partials) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             id_column: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        top = grp.sort_values(["cosine", id_column],
+                              ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(top.iterrows()):
+            out.append((int(qid), rank, int(row[id_column]),
+                        float(row["cosine"])))
+    return pd.DataFrame(out, columns=["query_id", "rank", id_column, "cosine"])
+
+
 def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
                    vector_column: str = "embedding",
                    id_column: str = "vec_id") -> pd.DataFrame:
@@ -70,18 +91,7 @@ def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
 
     partials = emb_ds.map_batches(Score, batch_format="pyarrow",
                                   concurrency=(1, 8)).to_pandas()
-    if len(partials) == 0:  # empty corpus: no candidate rows
-        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                             "rank": pd.Series([], dtype="int64"),
-                             id_column: pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        top = grp.sort_values(["cosine", id_column],
-                              ascending=[False, True]).head(k)
-        for rank, (_, row) in enumerate(top.iterrows()):
-            out.append((int(qid), rank, int(row[id_column]), float(row["cosine"])))
-    return pd.DataFrame(out, columns=["query_id", "rank", id_column, "cosine"])
+    return _finalize_topk(partials, k, id_column)
 
 
 def _fixed_count_sample(emb_ds, n: int, *, vector_column: str,
@@ -161,8 +171,8 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     sample = _fixed_count_sample(emb_ds, sample_count,
                                  vector_column=vector_column,
                                  id_column=id_column, seed=seed)
-    if sample.size == 0:
-        return pd.DataFrame(columns=["query_id", "rank", id_column, "cosine"])
+    if sample.size == 0:  # empty corpus: typed empty frame like every path
+        return _finalize_topk(pd.DataFrame(), k, id_column)
     sample = _normalize(sample)
     n_cells = min(n_cells, len(sample))
     centers = _kmeans_lite(sample, n_cells, seed=seed)
@@ -173,7 +183,6 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     class Score:
         def __init__(self):
             self.q, self.centers, self.probe = ray.get(bundle)
-            qn = self.q.shape[0]
             # cell -> query ids probing it
             self.cell_queries = {c: np.flatnonzero((self.probe == c).any(axis=1))
                                  for c in range(len(self.centers))}
@@ -181,6 +190,14 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
         def __call__(self, batch: pa.Table) -> pa.Table:
             x = _normalize(_to_matrix(batch[vector_column]).astype(np.float32))
             ids = batch[id_column].to_numpy(zero_copy_only=False)
+            # deterministic under cosine ties, same pattern as brute: rows
+            # ascend by id, stable sort by -cosine keeps the smaller id —
+            # matching the driver's final (cosine desc, id asc) tie-break
+            # (matters in the nprobe == n_cells exact regime the oracle
+            # checks; argpartition kept an arbitrary tied subset)
+            id_order = np.argsort(ids, kind="stable")
+            x = x[id_order]
+            ids = ids[id_order]
             cells = np.argmax(x @ self.centers.T, axis=1)
             out_qid, out_id, out_cos = [], [], []
             for c in np.unique(cells):
@@ -192,7 +209,7 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
                 sub_ids = ids[mask]
                 sims = sub @ self.q[qids].T  # (m, nq)
                 kk = min(k, sims.shape[0])
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                top = np.argsort(-sims, axis=0, kind="stable")[:kk]
                 for qi in range(len(qids)):
                     rows = top[:, qi]
                     out_qid.extend([int(qids[qi])] * len(rows))
@@ -206,15 +223,4 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
 
     partials = emb_ds.map_batches(Score, batch_format="pyarrow",
                                   concurrency=(1, 8)).to_pandas()
-    if len(partials) == 0:  # empty corpus: no candidate rows
-        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                             "rank": pd.Series([], dtype="int64"),
-                             id_column: pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        top = grp.sort_values(["cosine", id_column],
-                              ascending=[False, True]).head(k)
-        for rank, (_, row) in enumerate(top.iterrows()):
-            out.append((int(qid), rank, int(row[id_column]), float(row["cosine"])))
-    return pd.DataFrame(out, columns=["query_id", "rank", id_column, "cosine"])
+    return _finalize_topk(partials, k, id_column)

@@ -40,16 +40,15 @@ def probe_token_membership(tokens_ds, probe_tokens: np.ndarray,
     """
     bf, total = build_token_bloom(tokens_ds, **build_kwargs)
     probes = np.asarray(probe_tokens)
-    # the corpus token ids are int32, so the filter holds 4-byte images;
-    # a probe outside int32 range CANNOT be a member — report False
-    # directly instead of wrapping/overflowing the cast (round-3 review
-    # fix: the hard int32 cast could wrap and break the zero-false-negative
-    # guarantee for mismatched-width probes)
+    # hash images are width-canonical (sketches/bloom.py), so int64 probes
+    # match the int32-column build directly; the int32 range guard remains
+    # as a certainty upgrade — a probe outside the corpus dtype's range
+    # cannot be a member, so report False even where the filter would
+    # false-positive
     in_range = (probes >= -(2 ** 31)) & (probes < 2 ** 31)
     member = np.zeros(len(probes), dtype=bool)
     if in_range.any():
-        member[in_range] = bf.contains_values(
-            probes[in_range].astype(np.int32))
+        member[in_range] = bf.contains_values(probes[in_range])
     return pd.DataFrame({
         "token": probes,
         "member": member,
@@ -61,6 +60,12 @@ def bloom_semi_join(ds, filter_blob_ref, column: str, *, negate: bool = False):
     """Filter ``ds`` to rows whose ``column`` value is (not) in the broadcast
     Bloom filter. ``filter_blob_ref`` is a ``ray.put`` ObjectRef of
     ``BloomFilter.to_bytes()`` — shipped to each task once, not per batch.
+
+    Cross-width safety: BloomFilter canonicalizes integer/float values to
+    8-byte images on BOTH add and probe (see sketches/bloom.py), so a blob
+    built from an int32 column correctly matches an int64 probe column of
+    the same values; the blob also embeds its hash name (BLM2), so a
+    custom-hash filter cannot be silently rebuilt under the default hash.
     """
     import ray
 

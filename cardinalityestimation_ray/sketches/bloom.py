@@ -8,6 +8,15 @@ Kirsch–Mitzenmacher double hashing; zero false negatives; FPR ~
 In-memory representation is a bool array (1 byte/bit) so batch updates are
 pure fancy-index assignments; the wire format packs to 1 bit via
 np.packbits. Size the filter with from_capacity(n, fpp).
+
+Width canonicalization: membership is a cross-column contract — a filter
+built from an int32 column is routinely probed with an int64 column of the
+same logical values (e.g. an exploded list<int32> token filter probed by a
+BIGINT key column). The hash identity is the byte image, so native-width
+hashing would silently return false negatives for every such probe. All
+integer values therefore hash as their 64-bit two's-complement image and all floats as float64, in both the batch and scalar paths.
+(HLL/CMS/theta keep native-width images for reference parity; they estimate
+within one column, where width is stable.)
 """
 
 from __future__ import annotations
@@ -21,7 +30,21 @@ from . import hashing
 from .base import Sketch
 
 _U64 = np.uint64
-_MAGIC = b"BLM1"
+_MAGIC = b"BLM1"   # legacy: no embedded hash name (read-only)
+_MAGIC_V2 = b"BLM2"  # adds a length-prefixed hash-name field
+
+
+def _canon_values(values) -> np.ndarray:
+    """Canonicalize numeric width before hashing (see module docstring)."""
+    v = np.asarray(values)
+    if v.dtype == np.bool_:
+        return v
+    if np.issubdtype(v.dtype, np.integer):
+        # uint64 >= 2^63 wraps to the same 8-byte image — identity preserved
+        return v.astype(np.int64, copy=False) if v.dtype != np.uint64 else v
+    if np.issubdtype(v.dtype, np.floating):
+        return v.astype(np.float64, copy=False)
+    return v
 
 
 class BloomFilter(Sketch):
@@ -61,7 +84,8 @@ class BloomFilter(Sketch):
             self.bits[((h + _U64(i) * h2) & mask).astype(np.int64)] = True
 
     def add_values(self, values: np.ndarray) -> None:
-        self.add_hashes(hashing.hash_fixed_batch(values, self.hash_name))
+        self.add_hashes(hashing.hash_fixed_batch(_canon_values(values),
+                                                 self.hash_name))
 
     def add_arrow(self, arr) -> None:
         """Add an Arrow array; string/binary columns hash via the zero-copy
@@ -90,9 +114,19 @@ class BloomFilter(Sketch):
         return out
 
     def contains_values(self, values: np.ndarray) -> np.ndarray:
-        return self.contains_hashes(hashing.hash_fixed_batch(values, self.hash_name))
+        return self.contains_hashes(
+            hashing.hash_fixed_batch(_canon_values(values), self.hash_name))
 
     def contains(self, element) -> bool:
+        if isinstance(element, (int, np.integer, float, np.floating)) \
+                and not isinstance(element, (bool, np.bool_)):
+            # scalar ints/floats take the canonical-width batch path so
+            # contains(np.int32(x)) agrees with add_values(int64 column).
+            # Ints beyond uint64 range can't exist in any numpy-built
+            # filter: certain non-member.
+            if isinstance(element, int) and not -(2**63) <= element < 2**64:
+                return False
+            return bool(self.contains_values(np.asarray([element]))[0])
         data = hashing.encode_element(element)
         h = np.asarray([hashing.hash_scalar(data, self.hash_name)], dtype=np.uint64)
         return bool(self.contains_hashes(h)[0])
@@ -133,28 +167,58 @@ class BloomFilter(Sketch):
             return NotImplemented
         return (self.num_bits == other.num_bits
                 and self.num_hashes == other.num_hashes
+                and self.hash_name == other.hash_name
                 and bool(np.array_equal(self.bits, other.bits)))
 
     # ------------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        header = _MAGIC + struct.pack("<QHQ", self.num_bits, self.num_hashes,
-                                      self.count_additions)
+        # BLM2 embeds the hash name (same fix as theta's THE2: from_bytes
+        # otherwise silently rebuilt custom-hash filters as the default
+        # hash, turning every probe into a false negative); BLM1 blobs
+        # (no hash field) remain readable.
+        hname = self.hash_name.encode()
+        if len(hname) > 255:
+            raise ValueError("hash_name too long to serialize")
+        header = (_MAGIC_V2
+                  + struct.pack("<QHQB", self.num_bits, self.num_hashes,
+                                self.count_additions, len(hname))
+                  + hname)
         return header + np.packbits(self.bits, bitorder="little").tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes,
-                   hash_name: str = hashing.DEFAULT_HASH) -> "BloomFilter":
-        if blob[:4] != _MAGIC:
+                   hash_name: str | None = None) -> "BloomFilter":
+        magic = blob[:4]
+        if magic == _MAGIC_V2:
+            try:
+                num_bits, num_hashes, adds, hlen = struct.unpack_from(
+                    "<QHQB", blob, 4)
+            except struct.error as e:
+                raise ValueError(f"truncated bloom blob: {e}") from None
+            off = 4 + struct.calcsize("<QHQB")
+            if len(blob) < off + hlen:
+                raise ValueError("truncated bloom blob: hash name")
+            embedded = blob[off:off + hlen].decode()
+            if hash_name is not None and hash_name != embedded:
+                raise ValueError(
+                    f"bloom blob was built under hash {embedded!r}, "
+                    f"cannot rebuild as {hash_name!r}")
+            hash_name = embedded
+            off += hlen
+        elif magic == _MAGIC:
+            try:
+                num_bits, num_hashes, adds = struct.unpack_from("<QHQ", blob, 4)
+            except struct.error as e:
+                raise ValueError(f"truncated bloom blob: {e}") from None
+            off = 4 + struct.calcsize("<QHQ")
+            hash_name = hash_name or hashing.DEFAULT_HASH
+        else:
             raise ValueError("invalid bloom blob: bad magic")
-        try:
-            num_bits, num_hashes, adds = struct.unpack_from("<QHQ", blob, 4)
-        except struct.error as e:
-            raise ValueError(f"truncated bloom blob: {e}") from None
         if num_bits < 8 or num_bits > (1 << 40) or (num_bits & (num_bits - 1)):
             raise ValueError(f"invalid bloom blob: num_bits {num_bits}")
         out = cls(num_bits=num_bits, num_hashes=num_hashes, hash_name=hash_name)
-        payload = blob[4 + struct.calcsize("<QHQ"):]
+        payload = blob[off:]
         if len(payload) != num_bits // 8:
             raise ValueError(
                 f"invalid bloom blob: expected {num_bits // 8} payload bytes, "

@@ -203,9 +203,11 @@ class ThetaSketch(Sketch):
             except struct.error as e:
                 raise ValueError(f"truncated theta blob: {e}") from None
             off = 4 + struct.calcsize("<IQQB")
-            embedded = blob[off:off + hlen].decode()
+            # length check BEFORE decode: a blob truncated inside a
+            # non-ASCII hash name must raise ValueError, not UnicodeDecodeError
             if len(blob) < off + hlen:
                 raise ValueError("truncated theta blob: hash name")
+            embedded = blob[off:off + hlen].decode()
             if hash_name is not None and hash_name != embedded:
                 raise ValueError(
                     f"theta blob was built under hash {embedded!r}, "

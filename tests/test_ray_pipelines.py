@@ -1020,6 +1020,13 @@ def test_empty_inputs_typed_frames(_ray):
     a = ann_topk_brute(emb, q, k=3)
     assert len(a) == 0 and list(a.columns) == ["query_id", "rank", "vec_id",
                                                "cosine"]
+    assert [str(t) for t in a.dtypes] == ["int64", "int64", "int64",
+                                          "float64"]
+    from cardinalityestimation_ray.pipelines.ann import ann_topk_ivf
+
+    ai = ann_topk_ivf(emb, q, k=3)  # empty-sample early return, same schema
+    assert len(ai) == 0 and list(ai.columns) == list(a.columns)
+    assert list(ai.dtypes) == list(a.dtypes)
     d = exact_distinct_by_key(ev, "user_id", "event_type")
     assert len(d) == 0 and "distinct_values" in d.columns
     c = exact_count_by_key(ev.select_columns(["event_type"]), "event_type")
@@ -1384,6 +1391,31 @@ def test_bloom_semi_join_null_batch_not_poisoned(_ray):
     anti = bloom_semi_join(ray.data.from_arrow(tbl), ref, "k",
                            negate=True).to_pandas()
     assert sorted(anti["k"]) == [999]  # null excluded from anti-join too
+
+
+def test_bloom_semi_join_cross_width_and_custom_hash(_ray):
+    """Round-4 review fixes, end to end: (a) an int32-built filter probed
+    against an int64 column joined 0 rows (byte-image width mismatch) —
+    BloomFilter now canonicalizes integer images; (b) a custom-hash filter
+    round-tripped through to_bytes lost its hash_name and rejected every
+    member — the BLM2 wire format embeds it."""
+    import ray
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        bloom_semi_join,
+    )
+    from cardinalityestimation_ray.sketches.bloom import BloomFilter
+
+    bf = BloomFilter(num_bits=1 << 16, num_hashes=5, hash_name="xxhash64")
+    bf.add_values(np.arange(0, 50, dtype=np.int32))  # int32 build side
+    ref = ray.put(bf.to_bytes())
+    tbl = pa.table({"k": pa.array([1, 2, 40, 999, 12345], type=pa.int64())})
+    semi = bloom_semi_join(ray.data.from_arrow(tbl), ref, "k").to_pandas()
+    assert sorted(semi["k"]) == [1, 2, 40]
+    anti = bloom_semi_join(ray.data.from_arrow(tbl), ref, "k",
+                           negate=True).to_pandas()
+    assert sorted(anti["k"]) == [999, 12345]
 
 
 def test_add_hash_bucket_null_does_not_scatter_keys(_ray):

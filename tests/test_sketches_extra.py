@@ -134,6 +134,78 @@ def test_bloom_scalar_api():
     bf = BloomFilter(num_bits=1 << 14, num_hashes=7)
     bf.add_values(np.asarray([123], dtype=np.int32))
     assert bf.contains(np.int32(123))
+    assert bf.contains(123)          # python-int scalar, same canonical image
+    assert bf.contains(np.int64(123))
+    assert not bf.contains(2**70)    # beyond uint64: certain non-member
+
+
+def test_bloom_wire_preserves_hash_name():
+    """Round-4 review fix: the BLM1 wire format dropped hash_name, so a
+    custom-hash filter rebuilt from its own blob rejected every one of its
+    own keys (reproduced 0/100 self-membership under xxhash64)."""
+    keys = np.arange(1000, dtype=np.int64)
+    bf = BloomFilter(num_bits=1 << 14, num_hashes=5, hash_name="xxhash64")
+    bf.add_values(keys)
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert rt.hash_name == "xxhash64"
+    assert rt == bf
+    assert rt.contains_values(keys).all()  # zero false negatives survive wire
+    # explicit mismatched rebuild hash is a loud error, not a silent mistag
+    with pytest.raises(ValueError, match="built under hash"):
+        BloomFilter.from_bytes(bf.to_bytes(), hash_name="fnv1a_mix")
+    # matching explicit hash is fine
+    assert BloomFilter.from_bytes(bf.to_bytes(), hash_name="xxhash64") == bf
+
+
+def test_bloom_legacy_blm1_blob_readable():
+    import struct
+
+    bf = BloomFilter(num_bits=1 << 10, num_hashes=3)
+    bf.add_values(np.arange(50, dtype=np.int64))
+    legacy = (b"BLM1" + struct.pack("<QHQ", bf.num_bits, bf.num_hashes,
+                                    bf.count_additions)
+              + np.packbits(bf.bits, bitorder="little").tobytes())
+    rt = BloomFilter.from_bytes(legacy)
+    assert rt == bf  # BLM1 carries no hash field -> default hash assumed
+    rt2 = BloomFilter.from_bytes(legacy, hash_name="xxhash64")
+    assert rt2.hash_name == "xxhash64"
+
+
+def test_bloom_eq_is_hash_sensitive():
+    a = BloomFilter(num_bits=1 << 10, num_hashes=3, hash_name="fnv1a_mix")
+    b = BloomFilter(num_bits=1 << 10, num_hashes=3, hash_name="xxhash64")
+    assert a != b  # merge() treats them as incompatible; __eq__ must agree
+    assert a == BloomFilter(num_bits=1 << 10, num_hashes=3)
+
+
+def test_bloom_cross_width_membership():
+    """Round-4 review fix: hash identity is the byte image, so an int32
+    build probed with int64 values of the same keys returned 0 matches.
+    Integer/float values now canonicalize to 8-byte images on both sides."""
+    keys32 = np.arange(500, dtype=np.int32)
+    bf = BloomFilter(num_bits=1 << 14, num_hashes=5)
+    bf.add_values(keys32)
+    assert bf.contains_values(keys32.astype(np.int64)).all()
+    assert bf.contains_values(keys32.astype(np.uint32)).all()
+    assert bf.contains_values(keys32).all()
+    f32 = np.asarray([0.5, 1.25, -3.75], dtype=np.float32)
+    bff = BloomFilter(num_bits=1 << 14, num_hashes=5)
+    bff.add_values(f32)
+    assert bff.contains_values(f32.astype(np.float64)).all()
+
+
+def test_theta_truncated_hash_name_raises_value_error():
+    import struct
+
+    # THE2 blob with a multibyte hash name, truncated mid-name: the length
+    # check must fire (ValueError) before the UTF-8 decode can raise
+    name = "héash".encode()
+    blob = (b"THE2" + struct.pack("<IQQB", 64, 0, 0, len(name))
+            + name[:2])  # cut inside the 2-byte é sequence
+    from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+    with pytest.raises(ValueError, match="truncated theta blob"):
+        ThetaSketch.from_bytes(blob)
 
 
 # ---------------------------------------------------------------------------
