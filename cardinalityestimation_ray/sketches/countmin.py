@@ -21,7 +21,8 @@ from . import hashing
 from .base import Sketch
 
 _U64 = np.uint64
-_MAGIC = b"CMS1"
+_MAGIC = b"CMS1"   # legacy: no embedded hash name (read-only)
+_MAGIC_V2 = b"CMS2"  # adds a length-prefixed hash-name field
 
 
 class CountMinSketch(Sketch):
@@ -157,27 +158,57 @@ class CountMinSketch(Sketch):
         if not isinstance(other, CountMinSketch):
             return NotImplemented
         return (self.depth == other.depth and self.width == other.width
+                and self.hash_name == other.hash_name
                 and self.total == other.total
                 and bool(np.array_equal(self.counts, other.counts)))
 
     # ------------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        header = _MAGIC + struct.pack("<HIQ", self.depth, self.width, self.total)
+        # CMS2 embeds the hash name (same fix as theta THE2 / bloom BLM2:
+        # from_bytes otherwise silently rebuilt custom-hash sketches under
+        # the default hash, so every query probed the wrong counters);
+        # CMS1 blobs (no hash field) remain readable.
+        hname = self.hash_name.encode()
+        if len(hname) > 255:
+            raise ValueError("hash_name too long to serialize")
+        header = (_MAGIC_V2
+                  + struct.pack("<HIQB", self.depth, self.width, self.total,
+                                len(hname))
+                  + hname)
         return header + self.counts.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes,
-                   hash_name: str = hashing.DEFAULT_HASH) -> "CountMinSketch":
-        if blob[:4] != _MAGIC:
+                   hash_name: str | None = None) -> "CountMinSketch":
+        magic = blob[:4]
+        if magic == _MAGIC_V2:
+            try:
+                depth, width, total, hlen = struct.unpack_from("<HIQB", blob, 4)
+            except struct.error as e:
+                raise ValueError(f"truncated count-min blob: {e}") from None
+            off = 4 + struct.calcsize("<HIQB")
+            if len(blob) < off + hlen:
+                raise ValueError("truncated count-min blob: hash name")
+            embedded = blob[off:off + hlen].decode()
+            if hash_name is not None and hash_name != embedded:
+                raise ValueError(
+                    f"count-min blob was built under hash {embedded!r}, "
+                    f"cannot rebuild as {hash_name!r}")
+            hash_name = embedded
+            off += hlen
+        elif magic == _MAGIC:
+            try:
+                depth, width, total = struct.unpack_from("<HIQ", blob, 4)
+            except struct.error as e:
+                raise ValueError(f"truncated count-min blob: {e}") from None
+            off = 4 + struct.calcsize("<HIQ")
+            hash_name = hash_name or hashing.DEFAULT_HASH
+        else:
             raise ValueError("invalid count-min blob: bad magic")
-        try:
-            depth, width, total = struct.unpack_from("<HIQ", blob, 4)
-        except struct.error as e:
-            raise ValueError(f"truncated count-min blob: {e}") from None
         out = cls(depth=depth, width=width, hash_name=hash_name)
         expected = depth * width * 8
-        payload = blob[4 + struct.calcsize("<HIQ"):]
+        payload = blob[off:]
         if len(payload) != expected:
             raise ValueError(
                 f"invalid count-min blob: expected {expected} payload bytes, "

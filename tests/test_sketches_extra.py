@@ -194,6 +194,38 @@ def test_bloom_cross_width_membership():
     assert bff.contains_values(f32.astype(np.float64)).all()
 
 
+def test_countmin_wire_preserves_hash_name():
+    """Same bug class as the Bloom BLM1 fix: a custom-hash CMS rebuilt from
+    its own blob under the default hash queried the wrong counters."""
+    vals = np.arange(2000, dtype=np.int64) % 37
+    cms = CountMinSketch(depth=4, width=1 << 10, hash_name="xxhash64")
+    cms.add_values(vals)
+    rt = CountMinSketch.from_bytes(cms.to_bytes())
+    assert rt.hash_name == "xxhash64"
+    assert rt == cms
+    probe = np.arange(37, dtype=np.int64)
+    assert (rt.query_values(probe) == cms.query_values(probe)).all()
+    assert (rt.query_values(probe) >= 2000 // 37).all()  # never underestimates
+    with pytest.raises(ValueError, match="built under hash"):
+        CountMinSketch.from_bytes(cms.to_bytes(), hash_name="fnv1a_mix")
+
+
+def test_countmin_legacy_cms1_blob_readable():
+    import struct
+
+    cms = CountMinSketch(depth=3, width=1 << 8)
+    cms.add_values(np.arange(100, dtype=np.int64))
+    legacy = (b"CMS1" + struct.pack("<HIQ", cms.depth, cms.width, cms.total)
+              + cms.counts.tobytes())
+    rt = CountMinSketch.from_bytes(legacy)
+    assert rt == cms  # CMS1 carries no hash field -> default hash assumed
+    assert CountMinSketch.from_bytes(
+        legacy, hash_name="xxhash64").hash_name == "xxhash64"
+    # truncation inside the new header layout still raises loudly
+    with pytest.raises(ValueError):
+        CountMinSketch.from_bytes(cms.to_bytes()[:-5])
+
+
 def test_theta_truncated_hash_name_raises_value_error():
     import struct
 
