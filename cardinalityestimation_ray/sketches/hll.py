@@ -446,7 +446,20 @@ class HyperLogLog(Sketch):
 
     @classmethod
     def from_bytes(cls, blob: bytes, hash_name: str | None = None) -> "HyperLogLog":
-        """Deserialize with the reference's version gating and bounds checks."""
+        """Deserialize with the reference's version gating and bounds checks.
+
+        Hash contract (v3): the layout is byte-pinned to the reference's
+        v3.1 wire format, which carries NO hash identifier — the hash is
+        supplied by the CALLER (``hash_name``), defaulting to the library
+        default, exactly as the C# reference does
+        (CardinalityEstimator.cs:668+). Unlike theta/bloom/count-min (whose
+        THE2/BLM2/CMS2 formats embed the hash name), a custom-hash HLL blob
+        rebuilt without ``hash_name`` is therefore silently labeled with the
+        default hash. This is safe for merge-only rebuilds (registers are
+        the data; ``merge`` raises on a label mismatch and every pipeline
+        stage threads its ``hash_name`` through), but callers who ADD to a
+        rebuilt custom-hash sketch must pass ``hash_name`` explicitly.
+        """
         view = memoryview(blob)
         pos = 0
 
