@@ -18,8 +18,31 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
+    """(n, d) matrix from a list<float> column via the zero-copy
+    offsets/flatten path — no per-row Python objects (``np.stack`` over an
+    object array walks every row in the interpreter, which made this the
+    hottest non-numpy line of the brute scorer). Raises on null or ragged
+    rows (same contract as embeddings._batch_matrix)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if col.null_count:
+            raise ValueError("null embedding row in ANN batch")
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        if len(lens) == 0:
+            return np.zeros((0, 0), dtype=np.float32)
+        d = int(lens[0])
+        if not np.all(lens == d):
+            raise ValueError(
+                f"ragged embedding column: lengths "
+                f"{np.unique(lens).tolist()[:5]}")
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+    if pa.types.is_fixed_size_list(t):
+        if col.null_count:
+            raise ValueError("null embedding row in ANN batch")
+        return (col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(-1, t.list_size))
     return np.stack(col.to_numpy(zero_copy_only=False))
 
 
@@ -38,14 +61,19 @@ def _finalize_topk(partials: pd.DataFrame, k: int,
                              "rank": pd.Series([], dtype="int64"),
                              id_column: pd.Series([], dtype="int64"),
                              "cosine": pd.Series([], dtype="float64")})
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        top = grp.sort_values(["cosine", id_column],
-                              ascending=[False, True]).head(k)
-        for rank, (_, row) in enumerate(top.iterrows()):
-            out.append((int(qid), rank, int(row[id_column]),
-                        float(row["cosine"])))
-    return pd.DataFrame(out, columns=["query_id", "rank", id_column, "cosine"])
+    qid = partials["query_id"].to_numpy(np.int64)
+    ids = partials[id_column].to_numpy(np.int64)
+    cos = partials["cosine"].to_numpy(np.float64)
+    # one lexsort replaces the per-group sort_values + iterrows loop:
+    # (query asc, cosine desc, id asc) — identical ordering and tie-break
+    order = np.lexsort((ids, -cos, qid))
+    qid, ids, cos = qid[order], ids[order], cos[order]
+    starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+    seg_len = np.diff(np.r_[starts, len(qid)])
+    rank = np.arange(len(qid), dtype=np.int64) - np.repeat(starts, seg_len)
+    keep = rank < k
+    return pd.DataFrame({"query_id": qid[keep], "rank": rank[keep],
+                         id_column: ids[keep], "cosine": cos[keep]})
 
 
 def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,

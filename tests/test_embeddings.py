@@ -140,3 +140,62 @@ def test_nearest_centroid_dim_mismatch(_ray):
     cents = label_centroids(_ds(np.ones((4, 5), np.float32), [0, 0, 1, 1]))
     with pytest.raises(Exception, match="dim"):
         assign_nearest_centroid(ds, cents, id_column="label").to_pandas()
+
+
+# --- ann helpers (pure-unit, no Ray) --------------------------------------
+
+
+def test_ann_to_matrix_layouts():
+    """_to_matrix must read list / large_list / fixed_size_list columns
+    via the zero-copy flatten path (incl. sliced arrays) and raise on
+    null or ragged rows."""
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.pipelines.ann import _to_matrix
+
+    mat = np.arange(12, dtype=np.float32).reshape(4, 3)
+    for typ in (pa.list_(pa.float32()), pa.large_list(pa.float32()),
+                pa.list_(pa.float32(), 3)):
+        arr = pa.array([list(r) for r in mat], type=typ)
+        np.testing.assert_array_equal(_to_matrix(arr), mat)
+        # sliced view must not leak neighbor rows
+        np.testing.assert_array_equal(_to_matrix(arr.slice(1, 2)), mat[1:3])
+        chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(2, 2)])
+        np.testing.assert_array_equal(_to_matrix(chunked), mat)
+
+    with pytest.raises(ValueError, match="null"):
+        _to_matrix(pa.array([[1.0, 2.0], None], pa.list_(pa.float32())))
+    with pytest.raises(ValueError, match="ragged"):
+        _to_matrix(pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32())))
+    assert _to_matrix(pa.array([], pa.list_(pa.float32()))).shape == (0, 0)
+
+
+def test_ann_finalize_topk_matches_pandas_reference():
+    """The lexsort finalize must equal the per-group sort_values reference
+    (cosine desc, id asc tie-break) including duplicate-cosine ties."""
+    from cardinalityestimation_ray.pipelines.ann import _finalize_topk
+
+    rng = np.random.default_rng(7)
+    n = 500
+    partials = pd.DataFrame({
+        "query_id": rng.integers(0, 5, n),
+        "vec_id": rng.permutation(n).astype(np.int64),
+        # quantized cosines force plenty of exact ties
+        "cosine": np.round(rng.random(n), 2),
+    })
+    k = 7
+    got = _finalize_topk(partials, k, "vec_id")
+
+    rows = []
+    for qid, grp in partials.groupby("query_id"):
+        top = grp.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(top.iterrows()):
+            rows.append((int(qid), rank, int(row["vec_id"]),
+                         float(row["cosine"])))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    empty = _finalize_topk(pd.DataFrame(), k, "vec_id")
+    assert list(empty.columns) == ["query_id", "rank", "vec_id", "cosine"]
+    assert len(empty) == 0
