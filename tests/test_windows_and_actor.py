@@ -93,6 +93,37 @@ def test_shared_sketch_actor_merge_blob_and_reset(_ray):
     assert ray.get(actor.estimate.remote()) == 0
 
 
+def test_shared_sketch_actor_merge_blob_custom_hash(_ray):
+    """A custom-hash accumulator must accept partials built under the SAME
+    hash: the HLL v3 blob carries no hash name, so merge_blob has to thread
+    the actor's own hash label into the rebuild (a bare from_bytes labeled
+    the push with the default hash and merge() rejected it)."""
+    import ray
+
+    from cardinalityestimation_ray.sketches.hll import HyperLogLog
+    from cardinalityestimation_ray.stages.shared_actor import (
+        create_shared_sketch,
+    )
+
+    actor = create_shared_sketch("hll", {"b": 12, "hash_name": "murmur3"})
+    side = HyperLogLog(b=12, hash_name="murmur3")
+    side.add_values(np.arange(500, dtype=np.int64))
+    ray.get(actor.merge_blob.remote(side.to_bytes()))
+    assert ray.get(actor.estimate.remote()) == side.estimate()
+
+    # a kind whose wire format EMBEDS the hash must still reject a real
+    # mismatch (theta THE2): pushing a default-hash blob into a murmur3
+    # accumulator raises instead of silently merging wrong hash spaces
+    from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+    theta_actor = create_shared_sketch("theta", {"k": 256,
+                                                 "hash_name": "murmur3"})
+    foreign = ThetaSketch(k=256)  # default hash
+    foreign.add_values(np.arange(100, dtype=np.int64))
+    with pytest.raises(Exception, match="hash"):
+        ray.get(theta_actor.merge_blob.remote(foreign.to_bytes()))
+
+
 def test_shared_actor_other_kinds(_ray):
     import ray
 
