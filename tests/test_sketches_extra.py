@@ -577,6 +577,19 @@ def test_cms_unique_collapse_identical_to_raw():
     assert collapsed.total == raw.total == len(vals)
     assert np.array_equal(collapsed.counts, raw.counts)
 
+    # float batches skip the value-collapse (np.unique equates NaNs, the
+    # hash distinguishes bit patterns) but still match via hash-collapse
+    fvals = rng.choice(np.r_[rng.normal(size=50), np.nan], 200_000)
+    fc = CountMinSketch(depth=4, width=1 << 12)
+    fc.add_values(fvals)
+    fr = CountMinSketch(depth=4, width=1 << 12)
+    try:
+        CountMinSketch.UNIQUE_COLLAPSE_THRESHOLD = 1 << 62
+        fr.add_values(fvals)
+    finally:
+        CountMinSketch.UNIQUE_COLLAPSE_THRESHOLD = old
+    assert fc == fr
+
 
 def test_tdigest_zero_weight_rows_do_not_poison():
     """Round-3 review regression: zero-weight rows are dropped (a weight-0
