@@ -138,21 +138,40 @@ class HllTokenPartials:
     #: filters would cost O(n_keys * n_rows))
     FILTER_KEYED_MAX_KEYS = 64
 
+    #: above this many tokens, collapse to UNIQUE values before hashing:
+    #: duplicate tokens are register no-ops, and the unique sort on the
+    #: narrow token dtype is cheaper than hashing + scattering the raw
+    #: stream (measured 43-88ms -> 12ms on a driver-shape 958k-token Zipf
+    #: int32 block). count_additions is restored to the RAW count after the
+    #: adds so blobs stay bit-identical to the undeduped path (reference
+    #: CountAdditions semantics count every add). Integer dtypes only.
+    TOKEN_DEDUP_THRESHOLD = 1 << 15
+
+    @classmethod
+    def _dedup_tokens(cls, values: np.ndarray) -> np.ndarray:
+        if (len(values) > cls.TOKEN_DEDUP_THRESHOLD
+                and np.issubdtype(values.dtype, np.integer)):
+            return np.unique(values)
+        return values
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.key_column is not None:
             batch = _drop_null_keys(batch, self.key_column)
         if self.key_column is None:
             values, _ = _flatten_tokens(batch, self.token_column)
+            n_raw = len(values)
+            values = self._dedup_tokens(values)
             sk = self._new_sketch()
             for lo in range(0, len(values), self.CHUNK):
                 sk.add_hashes(
                     hashing.hash_fixed_batch(values[lo:lo + self.CHUNK],
                                              self.hash_name))
+            sk.count_additions = n_raw
             blob = sk.to_bytes()
             self._push_progress(blob)
             return pa.table({
                 "sketch": pa.array([blob], type=pa.binary()),
-                "n_added": pa.array([len(values)], type=pa.int64()),
+                "n_added": pa.array([n_raw], type=pa.int64()),
             })
         keys = batch[self.key_column]
         if isinstance(keys, pa.ChunkedArray):
@@ -174,15 +193,18 @@ class HllTokenPartials:
             for code in range(len(key_values)):
                 sub = batch.filter(pc.equal(idx, code))
                 vals, _ = _flatten_tokens(sub, self.token_column)
+                n_raw = len(vals)
+                vals = self._dedup_tokens(vals)
                 sk = self._new_sketch()
                 if len(vals) >= sk.m:
                     sk.reserve_dense()
                 for lo in range(0, len(vals), self.CHUNK):
                     sk.add_hashes(hashing.hash_fixed_batch(
                         vals[lo:lo + self.CHUNK], self.hash_name))
+                sk.count_additions = n_raw
                 out_keys.append(key_values[code])
                 out_blobs.append(sk.to_bytes())
-                out_counts.append(len(vals))
+                out_counts.append(n_raw)
             return pa.table({
                 self.key_column: pa.array(out_keys, type=keys.type),
                 "sketch": pa.array(out_blobs, type=pa.binary()),

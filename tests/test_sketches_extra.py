@@ -722,3 +722,35 @@ def test_token_partials_keyed_paths_blob_identical():
           for i in range(len(rm))}
     assert df == dm
     assert len(df) == 3  # null keys dropped, a/b/c present
+
+
+def test_token_partials_dedup_blob_identical():
+    """The unique-before-hash token collapse must emit byte-identical
+    partial blobs to the raw path — registers because duplicates are
+    register no-ops, count_additions because the stage restores the raw
+    count (reference CountAdditions semantics count every add)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        HllTokenPartials,
+    )
+
+    rng = np.random.default_rng(23)
+    n_docs, per_doc = 300, 400  # 120k tokens > TOKEN_DEDUP_THRESHOLD
+    offsets = np.arange(0, (n_docs + 1) * per_doc, per_doc, dtype=np.int32)
+    vals = (rng.zipf(1.3, n_docs * per_doc) % 2000).astype(np.int32)
+    batch = pa.table({
+        "tokens": pa.ListArray.from_arrays(pa.array(offsets),
+                                           pa.array(vals)),
+        "source": pa.array(rng.choice(["a", "b"], size=n_docs)),
+    })
+
+    for key_column in (None, "source"):
+        dedup = HllTokenPartials(b=11, key_column=key_column)
+        raw = HllTokenPartials(b=11, key_column=key_column)
+        raw.TOKEN_DEDUP_THRESHOLD = 1 << 62  # force the raw path
+        rd, rr = dedup(batch), raw(batch)
+        assert rd.equals(rr), f"dedup != raw for key_column={key_column}"
+        # n_added is the RAW token count, not the unique count
+        assert sum(rd["n_added"].to_pylist()) == n_docs * per_doc
