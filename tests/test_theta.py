@@ -295,3 +295,27 @@ def test_pairwise_overlap_matrix_distributed_edges(ray_session):
         pairwise_overlap_matrix_distributed(one, "source", n_buckets=3)
     with pytest.raises(ValueError, match="power of two"):
         pairwise_overlap_matrix_distributed(one, "source", n_buckets=1)
+
+
+def test_theta_unique_collapse_identical_to_raw():
+    """The large-batch unique-before-hash collapse must leave the sketch
+    state identical (KMV keeps distinct hashes only, so duplicates are
+    no-ops) in both the exact and trimmed regimes."""
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+    rng = np.random.default_rng(5)
+    vals = (rng.zipf(1.2, 200_000) % 30_000).astype(np.int32)
+    for k in (256, 1 << 16):  # trimmed and exact regimes
+        collapsed = ThetaSketch(k=k)
+        collapsed.add_values(vals)
+        raw = ThetaSketch(k=k)
+        old = ThetaSketch.UNIQUE_COLLAPSE_THRESHOLD
+        try:
+            ThetaSketch.UNIQUE_COLLAPSE_THRESHOLD = 1 << 62
+            raw.add_values(vals)
+        finally:
+            ThetaSketch.UNIQUE_COLLAPSE_THRESHOLD = old
+        assert collapsed.theta64 == raw.theta64
+        assert np.array_equal(collapsed.retained, raw.retained)
