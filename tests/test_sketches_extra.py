@@ -754,3 +754,22 @@ def test_token_partials_dedup_blob_identical():
         assert rd.equals(rr), f"dedup != raw for key_column={key_column}"
         # n_added is the RAW token count, not the unique count
         assert sum(rd["n_added"].to_pylist()) == n_docs * per_doc
+
+
+def test_bloom_unique_collapse_identical_to_raw():
+    """The large-batch unique-before-hash collapse must leave bits AND
+    count_additions identical to the raw path (bit sets are idempotent;
+    count_additions counts raw adds and rides the wire)."""
+    rng = np.random.default_rng(9)
+    vals = (rng.zipf(1.2, 200_000) % 10_000).astype(np.int32)
+    collapsed = BloomFilter(num_bits=1 << 14, num_hashes=5)
+    collapsed.add_values(vals)
+    raw = BloomFilter(num_bits=1 << 14, num_hashes=5)
+    old = BloomFilter.UNIQUE_COLLAPSE_THRESHOLD
+    try:
+        BloomFilter.UNIQUE_COLLAPSE_THRESHOLD = 1 << 62
+        raw.add_values(vals)
+    finally:
+        BloomFilter.UNIQUE_COLLAPSE_THRESHOLD = old
+    assert collapsed == raw
+    assert collapsed.count_additions == raw.count_additions == len(vals)
