@@ -211,17 +211,40 @@ class HllTokenPartials:
                 "n_added": pa.array(out_counts, type=pa.int64()),
             })
         # many keys: per-key row filters would cost O(n_keys * n_rows);
-        # hash everything once, then group tokens by key with one stable
-        # argsort and walk the segments.
+        # group tokens by key with one sort and walk the segments.
         values, parents = _flatten_tokens(batch, self.token_column)
-        h = np.empty(len(values), dtype=np.uint64)
-        for lo in range(0, len(values), self.CHUNK):
-            hi = min(lo + self.CHUNK, len(values))
-            h[lo:hi] = hashing.hash_fixed_batch(values[lo:hi], self.hash_name)
         token_keys = codes.indices.to_numpy(zero_copy_only=False)[parents]
-        order = np.argsort(token_keys, kind="stable")
-        tk_sorted = token_keys[order]
-        h_sorted = h[order]
+        raw_counts = np.bincount(token_keys, minlength=len(key_values)) \
+            .astype(np.int64)
+        if (len(values) > self.TOKEN_DEDUP_THRESHOLD
+                and np.issubdtype(values.dtype, np.integer)):
+            # dedup variant: one (key, value) lexsort replaces the
+            # key-argsort AND collapses duplicates, so only unique
+            # (key, token) pairs pay the hash pass (blob parity with the
+            # raw path: registers unchanged, count_additions restored from
+            # raw_counts below)
+            order = np.lexsort((values, token_keys))
+            tk_sorted = token_keys[order]
+            v_sorted = values[order]
+            keep = np.r_[True, (tk_sorted[1:] != tk_sorted[:-1])
+                         | (v_sorted[1:] != v_sorted[:-1])] \
+                if len(tk_sorted) else np.zeros(0, dtype=bool)
+            tk_sorted = tk_sorted[keep]
+            v_uniq = v_sorted[keep]
+            h_sorted = np.empty(len(v_uniq), dtype=np.uint64)
+            for lo in range(0, len(v_uniq), self.CHUNK):
+                hi = min(lo + self.CHUNK, len(v_uniq))
+                h_sorted[lo:hi] = hashing.hash_fixed_batch(
+                    v_uniq[lo:hi], self.hash_name)
+        else:
+            h = np.empty(len(values), dtype=np.uint64)
+            for lo in range(0, len(values), self.CHUNK):
+                hi = min(lo + self.CHUNK, len(values))
+                h[lo:hi] = hashing.hash_fixed_batch(values[lo:hi],
+                                                    self.hash_name)
+            order = np.argsort(token_keys, kind="stable")
+            tk_sorted = token_keys[order]
+            h_sorted = h[order]
         out_keys, out_blobs, out_counts = [], [], []
         present = set()
         if len(tk_sorted) == 0:
@@ -241,9 +264,10 @@ class HllTokenPartials:
                 sk.reserve_dense()
             for c in range(lo, hi, self.CHUNK):
                 sk.add_hashes(h_sorted[c:min(c + self.CHUNK, hi)])
+            sk.count_additions = int(raw_counts[code])
             out_keys.append(key_values[code])
             out_blobs.append(sk.to_bytes())
-            out_counts.append(hi - lo)
+            out_counts.append(int(raw_counts[code]))
             present.add(code)
         # keys whose docs had zero tokens still yield an (empty-sketch) row
         for code, key in enumerate(key_values):

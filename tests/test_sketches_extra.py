@@ -755,6 +755,17 @@ def test_token_partials_dedup_blob_identical():
         # n_added is the RAW token count, not the unique count
         assert sum(rd["n_added"].to_pylist()) == n_docs * per_doc
 
+    # many-keys argsort path: force it on BOTH sides; its dedup variant
+    # (one (key, value) lexsort) must also be blob-identical to raw
+    dedup = HllTokenPartials(b=11, key_column="source")
+    dedup.FILTER_KEYED_MAX_KEYS = 0
+    raw = HllTokenPartials(b=11, key_column="source")
+    raw.FILTER_KEYED_MAX_KEYS = 0
+    raw.TOKEN_DEDUP_THRESHOLD = 1 << 62
+    rd, rr = dedup(batch), raw(batch)
+    assert rd.equals(rr), "many-keys dedup != raw"
+    assert sum(rd["n_added"].to_pylist()) == n_docs * per_doc
+
 
 def test_bloom_unique_collapse_identical_to_raw():
     """The large-batch unique-before-hash collapse must leave bits AND
