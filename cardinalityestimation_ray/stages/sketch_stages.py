@@ -472,9 +472,13 @@ class GenericSketchPartials:
     """
 
     CHUNK = 8192
-    #: sketches whose per-add state exceeds L2 anyway — chunking the input
-    #: only multiplies passes over that state, so feed them whole batches
-    UNCHUNKED_KINDS = frozenset({"countmin", "bloom"})
+    #: sketches fed whole batches instead of 8k chunks: count-min/bloom
+    #: because their per-add state exceeds L2 anyway (chunking only
+    #: multiplies passes over it), theta because one whole-batch add is
+    #: one value-collapse + one trim instead of ~100 per-chunk re-trims
+    #: (measured 34 -> 10 ms per driver-shape 958k-token block;
+    #: KMV state is batching-invariant, asserted in tests)
+    UNCHUNKED_KINDS = frozenset({"countmin", "bloom", "theta"})
 
     def __init__(self, kind: str, params: dict | None, value_column: str, *,
                  explode_list: bool = False, key_column: str | None = None):

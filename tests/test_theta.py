@@ -319,3 +319,22 @@ def test_theta_unique_collapse_identical_to_raw():
             ThetaSketch.UNIQUE_COLLAPSE_THRESHOLD = old
         assert collapsed.theta64 == raw.theta64
         assert np.array_equal(collapsed.retained, raw.retained)
+
+
+def test_theta_batching_invariant():
+    """KMV state is a deterministic function of the SET of hashes seen, so
+    chunked adds == one whole-batch add (the stage feeds theta whole
+    batches for speed — this is the invariant that makes it legal)."""
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches.theta import ThetaSketch
+
+    rng = np.random.default_rng(11)
+    vals = (rng.zipf(1.2, 120_000) % 40_000).astype(np.int32)
+    whole = ThetaSketch(k=512)
+    whole.add_values(vals)
+    chunked = ThetaSketch(k=512)
+    for lo in range(0, len(vals), 1000):
+        chunked.add_values(vals[lo:lo + 1000])
+    assert whole.theta64 == chunked.theta64
+    assert np.array_equal(whole.retained, chunked.retained)
