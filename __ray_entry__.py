@@ -32,6 +32,26 @@ def _tokens(sf_dir: str):
     return read_tokens(sf_dir)
 
 
+def _drop_null_key_batch(column: str):
+    """Batch filter dropping null-key rows before a Ray ``groupby`` —
+    the engine-wide keyed convention (null keys are excluded; every
+    matching oracle states ``WHERE column IS NOT NULL``). Required, not
+    just conventional: Ray's sort-based groupby shuffle crashes on a
+    null string key (np.searchsorted over None)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def drop(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+        return batch
+
+    return drop
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: per-source + global
     distinct-token estimates over the tokenized corpus."""
@@ -1374,6 +1394,8 @@ def _q_event_props_sum(sf_dir: str):
     parsed = ev.map_batches(
         lambda b: extract_json_int(b, "props", "k").drop_columns(["props"]),
         batch_format="pyarrow")
+    parsed = parsed.map_batches(_drop_null_key_batch("event_type"),
+                                batch_format="pyarrow")
     out = parsed.groupby("event_type").aggregate(
         Sum("k", alias_name="sum_k"), Count(alias_name="n_events"))
     df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
@@ -1599,6 +1621,8 @@ def _q_lineitem_qty_stats(sf_dir: str):
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_returnflag", "l_quantity"])
+    li = li.map_batches(_drop_null_key_batch("l_returnflag"),
+                        batch_format="pyarrow")
     out = li.groupby("l_returnflag").aggregate(
         Count(alias_name="n_items"),
         Min("l_quantity", alias_name="min_qty"),
@@ -1706,6 +1730,8 @@ def _q_bloom_semi_join_orders(sf_dir: str):
                                    columns=["o_orderkey", "o_custkey",
                                             "o_orderstatus"])
     joined = broadcast_semi_join(orders, keys, "o_custkey")
+    joined = joined.map_batches(_drop_null_key_batch("o_orderstatus"),
+                                batch_format="pyarrow")
     out = joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_orders"))
     return out.to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
@@ -1733,6 +1759,8 @@ def _q_bloom_anti_join_customers(sf_dir: str):
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     loners = broadcast_semi_join(cust, keys, "c_custkey", negate=True)
+    loners = loners.map_batches(_drop_null_key_batch("c_mktsegment"),
+                                batch_format="pyarrow")
     out = loners.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_customers")).to_pandas()
     if "c_mktsegment" not in out.columns:  # empty anti set
@@ -2044,7 +2072,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    count(DISTINCT t) AS distinct_tokens,
                    count(t) AS total_tokens
-            FROM (SELECT source, unnest({_TOK}) AS t FROM documents)
+            FROM (SELECT source, unnest({_TOK}) AS t FROM documents
+                  WHERE source IS NOT NULL)
             GROUP BY source
         """,
         "hll_distinct_tokens_global": f"""
@@ -2057,13 +2086,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS distinct_docs,
                    count(*) AS n_docs
             FROM documents
+            WHERE source IS NOT NULL
             GROUP BY source
         """,
         "hll_distinct_lang_by_source": """
             SELECT source,
                    count(DISTINCT lang) AS distinct_langs,
-                   count(*) AS n_docs
+                   count(lang) AS n_docs
             FROM documents
+            WHERE source IS NOT NULL
             GROUP BY source
         """,
         "token_topk_counts": f"""
@@ -2080,11 +2111,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY event_type
         """,
         "udaf_theta_distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY event_type
         """,
         "bmp_channel_stats": """
@@ -2139,6 +2172,7 @@ def oracle_sql() -> dict[str, str]:
         "event_counts_by_type": """
             SELECT event_type, count(*) AS n_events
             FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY event_type
         """,
         "ntok_stats_by_source": f"""
@@ -2148,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
                    min(len({_TOK})) AS min_tokens,
                    max(len({_TOK})) AS max_tokens
             FROM documents
+            WHERE source IS NOT NULL
             GROUP BY source
         """,
         "heavy_hitter_counts": f"""
@@ -2165,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '60 minutes', ts) AS window_start,
                    count(DISTINCT user_id) AS distinct_ids
             FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,
@@ -2173,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '60 minutes', ts) AS window_start,
                    count(*) AS n_events
             FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
             GROUP BY event_type, window_start
         """,
         "session_window_stats": """
@@ -2181,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN ts - lag(ts) OVER w > INTERVAL '120 minutes'
                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
               FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sessions AS (
               SELECT user_id,
@@ -2235,7 +2273,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-              FROM orders) WHERE rn <= 3
+              FROM orders WHERE o_custkey IS NOT NULL) WHERE rn <= 3
         """,
         # count-min guarantee evaluated on the concrete sketch: never
         # underestimates; overestimate bounded by ceil(e/width * N)
@@ -2274,11 +2312,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id FROM scored WHERE rank < 5
         """,
         "event_props_sum": """
+            WITH vals AS (
+              SELECT event_type,
+                     CASE WHEN props IS NOT NULL AND json_valid(props)
+                          THEN CAST(json_extract(props, '$.k') AS VARCHAR)
+                          END AS raw
+              FROM events
+              WHERE event_type IS NOT NULL
+            )
             SELECT event_type,
-                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                   CAST(sum(CASE WHEN regexp_matches(raw, '^-?\d+$')
+                                 AND length(ltrim(raw, '-')) <= 18
+                                 THEN CAST(raw AS BIGINT) END)
                         AS BIGINT) AS sum_k,
                    count(*) AS n_events
-            FROM events
+            FROM vals
             GROUP BY event_type
         """,
         "customer_order_counts": """
@@ -2295,13 +2343,15 @@ def oracle_sql() -> dict[str, str]:
                    min(l_quantity) AS min_qty,
                    max(l_quantity) AS max_qty
             FROM lineitem
+            WHERE l_returnflag IS NOT NULL
             GROUP BY l_returnflag
         """,
         # KLL exact regime (per-key n <= k => weight-1 retained values):
         # the sketch's rank rule equals quantile_disc bit-for-bit; value is
         # DOUBLE because KLL stores float64
         "ntok_quantiles_by_source": f"""
-            WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents)
+            WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents
+                         WHERE source IS NOT NULL)
             SELECT source, 0.25 AS q,
                    quantile_disc(n_tok, 0.25)::DOUBLE AS value,
                    count(*) AS n FROM tok GROUP BY source
@@ -2499,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    cume_dist() OVER (ORDER BY n_chars) AS cume_dist
             FROM documents
+            WHERE n_chars IS NOT NULL
             ORDER BY doc_id
         """,
         "embedding_nearest_centroid": f"""
@@ -2506,7 +2557,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT label,
                      [{', '.join(f'avg(CAST(embedding[{i}] AS DOUBLE))'
                                  for i in range(1, 65))}] AS c
-              FROM embeddings GROUP BY label),
+              FROM embeddings WHERE label IS NOT NULL GROUP BY label),
             d AS (
               SELECT e.vec_id, c.label,
                      list_distance(list_transform(e.embedding,
@@ -2526,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(embedding[i] AS DOUBLE)) AS centroid,
                    count(*) AS n
             FROM embeddings, UNNEST(range(1, 65)) AS s(i)
+            WHERE label IS NOT NULL
             GROUP BY label, i
             ORDER BY label, dim
         """,
@@ -2535,7 +2587,7 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(list_sum(list_transform(embedding,
                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                        AS norm
-              FROM embeddings)
+              FROM embeddings WHERE label IS NOT NULL)
             SELECT label, count(*) AS n, avg(norm) AS avg_norm,
                    min(norm) AS min_norm, max(norm) AS max_norm
             FROM norms GROUP BY label ORDER BY label
@@ -2668,6 +2720,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_by_source": f"""
             WITH tok AS (
               SELECT source, doc_id, len({_TOK}) AS n_tok FROM documents
+              WHERE source IS NOT NULL
             ), cum AS (
               SELECT source, doc_id, n_tok,
                      COALESCE(SUM(n_tok) OVER (
@@ -2693,10 +2746,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, passage_id,
                    least(128, n - passage_id * 64) AS n_tokens,
-                   array_to_string(
+                   coalesce(array_to_string(
                      t[CAST(passage_id * 64 + 1 AS INT):
                        CAST(least(passage_id * 64 + 128, n) AS INT)],
-                     ' ') AS passage
+                     ' '), '') AS passage
             FROM p
         """,
         "doc_quality_counts": f"""
@@ -2737,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": f"""
             WITH tok AS (
               SELECT source, doc_id, len({_TOK}) AS n_tok FROM documents
+              WHERE source IS NOT NULL
             ), cum AS (
               SELECT source, doc_id, n_tok,
                      COALESCE(SUM(n_tok) OVER (
@@ -2752,7 +2806,8 @@ def oracle_sql() -> dict[str, str]:
                                          ELSE 200 END
         """,
         "ntok_quantiles_exact_by_source": f"""
-            WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents)
+            WITH tok AS (SELECT source, len({_TOK}) AS n_tok FROM documents
+                         WHERE source IS NOT NULL)
             SELECT source, 0.1 AS q, quantile_disc(n_tok, 0.1) AS value,
                    count(*) AS n FROM tok GROUP BY source
             UNION ALL
@@ -2808,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
                      AS window_start,
                    count(*) AS n_events
             FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
             GROUP BY event_type, window_start
         """,
         "salted_distinct_docs_by_source": """
@@ -2815,6 +2871,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS distinct_docs,
                    count(*) AS n_docs
             FROM documents
+            WHERE source IS NOT NULL
             GROUP BY source
         """,
         "event_transition_counts": """
@@ -2844,7 +2901,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_customers
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                                    WHERE o_orderpriority = '1-URGENT')
+                                    WHERE o_orderpriority = '1-URGENT'
+                                      AND o_custkey IS NOT NULL)
+              AND c_mktsegment IS NOT NULL
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
         """,
@@ -2853,6 +2912,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
+              AND o_orderstatus IS NOT NULL
             GROUP BY o_orderstatus
         """,
         "stratified_sample_by_source": """
@@ -2860,6 +2920,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_total,
                    least(10, count(*)) AS n_sample
             FROM documents
+            WHERE source IS NOT NULL
             GROUP BY source
             ORDER BY source
         """,
@@ -2868,6 +2929,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS distinct_docs,
                    count(*) AS n_docs
             FROM documents
+            WHERE source IS NOT NULL
             GROUP BY source
         """,
         "bigram_heavy_hitters": f"""

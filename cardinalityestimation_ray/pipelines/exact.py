@@ -16,12 +16,18 @@ def _local_unique_pairs(batch: pa.Table, key_column: str,
 
     Null VALUES are excluded — SQL COUNT(DISTINCT v) ignores nulls, and the
     sketch stages already filter them, so keeping them here made the exact
-    oracle disagree with its own estimate (round-3 review fix)."""
+    oracle disagree with its own estimate (round-3 review fix). Null KEYS
+    are excluded too (the engine-wide keyed convention, matching the keyed
+    sketch stages — and Ray's sort-based groupby crashes outright on a
+    null string key; round-4 adversarial-sweep fix). Oracles state it as
+    ``WHERE key IS NOT NULL``."""
     import pyarrow.compute as pc
 
     tbl = batch.select([key_column, value_column])
     if tbl[value_column].null_count:
         tbl = tbl.filter(pc.is_valid(tbl[value_column]))
+    if tbl[key_column].null_count:
+        tbl = tbl.filter(pc.is_valid(tbl[key_column]))
     return tbl.group_by([key_column, value_column]).aggregate([]).select(
         [key_column, value_column])
 
@@ -70,13 +76,17 @@ def exact_distinct_global(ds, value_column: str, *,
 
 def exact_count_by_key(ds, key_column: str, *,
                        count_name: str = "n_rows") -> pd.DataFrame:
-    """Exact per-key COUNT(*) with a per-batch combiner."""
+    """Exact per-key COUNT(*) with a per-batch combiner. Null keys are
+    excluded (engine-wide keyed convention; oracles state
+    ``WHERE key IS NOT NULL``)."""
     from ray.data.aggregate import Sum
 
     def local_counts(batch: pa.Table) -> pa.Table:
         keys = batch[key_column]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        if keys.null_count:
+            keys = keys.drop_null()
         counted = pa.table({key_column: keys}).group_by(key_column).aggregate(
             [([], "count_all")])
         return counted.rename_columns([key_column, "cnt"])

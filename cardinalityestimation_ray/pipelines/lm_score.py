@@ -146,8 +146,10 @@ def doc_unigram_nll(docs_ds, counts: pd.DataFrame | None = None, *,
     h = hashing.hash_arrow_binary(tok_arr, hash_name)
     order = np.argsort(h)
     sorted_h = h[order]
+    # empty vocabulary (empty corpus): total == 0 and logprob is empty —
+    # skip the -log(total) scalar rather than warn on log(0)
     logprob = (np.log(counts["cnt"].to_numpy(np.float64)[order])
-               - np.log(total))
+               - np.log(total)) if len(order) else np.zeros(0)
     if len(sorted_h) > 1 and np.any(sorted_h[1:] == sorted_h[:-1]):
         raise ValueError(
             f"64-bit token-hash collision in a {len(sorted_h)}-entry "

@@ -121,13 +121,23 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
         # build key returns zero rows — callers wanting 3-valued-logic
         # parity must not pass nulls; documented contract.)
         keys = keys[~np.isnan(keys)]
-    # canonicalize width: the hash identity is the byte image, so an int32
-    # build side probed against an int64 column would never match. Both
-    # sides normalize to 8-byte images (int64/float64) before hashing.
+    # canonicalize width AND numeric kind: the hash identity is the byte
+    # image, so an int32 build side probed against an int64 column would
+    # never match — and an ALL-INTEGRAL float build side (the pandas
+    # nullable-int promotion: int column + one NULL -> float64) probed
+    # against an integer column would silently match NOTHING, turning an
+    # anti-join into keep-everything (round-4 adversarial-sweep fix; SQL
+    # IN compares numerically, 42 = 42.0). Integral floats canonicalize
+    # back to int64; genuinely fractional key sets stay float64.
     if np.issubdtype(keys.dtype, np.integer):
         keys = keys.astype(np.int64)
     elif np.issubdtype(keys.dtype, np.floating):
-        keys = keys.astype(np.float64)
+        if len(keys) == 0 or (np.all(np.isfinite(keys))
+                              and np.all(keys == np.floor(keys))
+                              and np.all(np.abs(keys) < 2.0 ** 63)):
+            keys = keys.astype(np.int64)
+        else:
+            keys = keys.astype(np.float64)
     bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
     bf.add_values(keys)
     bundle = ray.put((bf.to_bytes(), keys))
@@ -153,11 +163,28 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
                 batch = batch.filter(valid)
                 col = col.filter(valid)
             vals = col.to_numpy(zero_copy_only=False)
+            build_is_int = np.issubdtype(self.exact.dtype, np.integer)
+            # mirror the build-side canonicalization (SQL numeric
+            # equality): integral float probes (nullable-int promotion)
+            # match an int build side; fractional probes can never match
+            # it and are masked out before hashing
+            probe_ok = None
             if np.issubdtype(vals.dtype, np.integer):
-                vals = vals.astype(np.int64)
+                vals = vals.astype(np.float64 if not build_is_int
+                                   else np.int64)
             elif np.issubdtype(vals.dtype, np.floating):
-                vals = vals.astype(np.float64)
+                if build_is_int:
+                    probe_ok = (np.isfinite(vals)
+                                & (vals == np.floor(vals))
+                                & (np.abs(vals) < 2.0 ** 63))
+                    ivals = np.zeros(len(vals), dtype=np.int64)
+                    ivals[probe_ok] = vals[probe_ok].astype(np.int64)
+                    vals = ivals
+                else:
+                    vals = vals.astype(np.float64)
             mask = self.bf.contains_values(vals)
+            if probe_ok is not None:
+                mask &= probe_ok
             if mask.any():
                 # exact verify only for bloom-admitted rows
                 hit = np.flatnonzero(mask)

@@ -70,6 +70,11 @@ def exact_quantiles_by_key(ds, column: str, key_column: str | None = None,
         # could be SELECTED as a threshold — review fix)
         if tbl[column].null_count:
             tbl = tbl.filter(pc.is_valid(tbl[column]))
+        # null KEYS are excluded (engine-wide keyed convention; Ray's
+        # sort-based groupby also crashes on a null string key —
+        # round-4 adversarial-sweep fix)
+        if key_column and tbl[key_column].null_count:
+            tbl = tbl.filter(pc.is_valid(tbl[key_column]))
         return (tbl.group_by(group_cols)
                 .aggregate([([], "count_all")])
                 .rename_columns(group_cols + ["cnt"]))

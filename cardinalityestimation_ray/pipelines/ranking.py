@@ -20,9 +20,24 @@ def _desc_key(values: np.ndarray) -> np.ndarray:
     """Dtype-safe descending sort key: negate the DENSE RANK, not the
     value — ``-values`` wraps for unsigned dtypes (0 would rank as the
     largest) and overflows at INT64_MIN, and fails outright for datetimes
-    (round-3 review fix)."""
+    (round-3 review fix).
+
+    NULL values (NaN / NaT) rank AFTER every real value — SQL ``ORDER BY v
+    DESC`` defaults to NULLS LAST, while ``np.unique`` sorts NaN/NaT last
+    so the bare negated rank would have ranked them FIRST and a null-value
+    row would have beaten every real top-k candidate (round-4
+    adversarial-sweep fix)."""
     _, inverse = np.unique(values, return_inverse=True)
-    return -inverse.astype(np.int64)
+    key = -inverse.astype(np.int64)
+    if values.dtype.kind == "f":
+        null = np.isnan(values)
+    elif values.dtype.kind in "mM":
+        null = np.isnat(values)
+    else:
+        null = None
+    if null is not None and null.any():
+        key[null] = np.iinfo(np.int64).max
+    return key
 
 
 def _segmented_topk_indices(group_codes: np.ndarray, values: np.ndarray,

@@ -8,9 +8,23 @@ import pandas as pd
 
 
 def ntok_stats_by_source(tokens_ds) -> pd.DataFrame:
-    """Per-source exact n_tok statistics (count/sum/min/max)."""
+    """Per-source exact n_tok statistics (count/sum/min/max). Null sources
+    are excluded (engine-wide keyed convention; the oracle states
+    ``WHERE source IS NOT NULL`` — and Ray's sort-based groupby can crash
+    on a null string key, so the drop is required, not stylistic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Min, Sum
 
+    def drop_null_source(batch: pa.Table) -> pa.Table:
+        col = batch["source"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+        return batch
+
+    tokens_ds = tokens_ds.map_batches(drop_null_source, batch_format="pyarrow")
     out = tokens_ds.groupby("source").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_tok", alias_name="total_tokens"),

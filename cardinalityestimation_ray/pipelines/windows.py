@@ -44,6 +44,23 @@ def _drop_null_ts(batch: pa.Table, ts_column: str) -> pa.Table:
     return batch
 
 
+def _drop_null_window_rows(batch: pa.Table, ts_column: str,
+                           key_column: str) -> pa.Table:
+    """Null ts rows belong to no window; null KEY rows are excluded like
+    every keyed stage (engine-wide convention — Ray's sort-based groupby
+    also crashes on a null string key; round-4 adversarial-sweep fix).
+    Oracles state both as ``WHERE ts IS NOT NULL AND key IS NOT NULL``."""
+    import pyarrow.compute as pc
+
+    batch = _drop_null_ts(batch, ts_column)
+    keys = batch[key_column]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if keys.null_count:
+        batch = batch.filter(pc.is_valid(keys))
+    return batch
+
+
 def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
                         key_column: str = "event_type",
                         ts_column: str = "ts",
@@ -59,7 +76,7 @@ def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
     window_us = np.int64(window_minutes * 60 * 1_000_000)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        batch = _drop_null_ts(batch, ts_column)
+        batch = _drop_null_window_rows(batch, ts_column, key_column)
         ts = batch[ts_column]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
@@ -186,7 +203,7 @@ def sliding_window_agg(events_ds, *, window_minutes: int = 60,
     slide_us = np.int64(slide_minutes * 60 * 1_000_000)
 
     def explode(batch: pa.Table) -> pa.Table:
-        batch = _drop_null_ts(batch, ts_column)
+        batch = _drop_null_window_rows(batch, ts_column, key_column)
         ts = batch[ts_column]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()

@@ -543,6 +543,17 @@ class GenericSketchPartials:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.key_column is not None:
             batch = _drop_null_keys(batch, self.key_column)
+        # keys present BEFORE the null-value row filter: a key whose values
+        # are ALL null must still emit an (empty-sketch, n_added=0) row —
+        # SQL keeps the group with COUNT(DISTINCT v) = 0, and the
+        # HllTokenPartials zero-token path already does this (round-4
+        # adversarial-sweep consistency fix)
+        pre_filter_keys = None
+        if self.key_column is not None:
+            kc = batch[self.key_column]
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            pre_filter_keys = (kc.unique(), kc.type)
         if not self.explode_list:
             col = batch[self.value_column]
             if col.null_count:
@@ -584,6 +595,17 @@ class GenericSketchPartials:
             out_keys.append(key_values[int(vc_sorted[lo])])
             out_blobs.append(sk.to_bytes())
             out_counts.append(hi - lo)
+        # keys seen before the null-value filter but absent from the value
+        # segments (all values null / zero list elements) still emit an
+        # empty-sketch row — SQL keeps the group at count 0
+        if pre_filter_keys is not None:
+            seen = set(out_keys)
+            for key in pre_filter_keys[0].to_pylist():
+                if key not in seen:
+                    sk = self._new()
+                    out_keys.append(key)
+                    out_blobs.append(sk.to_bytes())
+                    out_counts.append(0)
         # typed keys: must match the fully-filtered path's schema exactly
         return pa.table({
             self.key_column: pa.array(out_keys, type=keys.type),
