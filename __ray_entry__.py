@@ -32,6 +32,24 @@ def _tokens(sf_dir: str):
     return read_tokens(sf_dir)
 
 
+def _typed(df_or_ds, schema: dict):
+    """to_pandas with a TYPED empty fallback: Ray returns a COLUMN-LESS
+    frame for an empty dataset (zero blocks -> schema lost), so every
+    downstream ``df[col]`` raises KeyError and an empty engine result
+    can't schema-match its (typed) SQL oracle. ``schema`` maps column ->
+    pandas dtype string; non-empty frames pass through untouched, so the
+    real data path is byte-identical (round-4 empty-input hardening).
+    """
+    import pandas as pd
+
+    df = (df_or_ds if isinstance(df_or_ds, pd.DataFrame)
+          else df_or_ds.to_pandas())
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in schema.items()})
+    return df
+
+
 def _drop_null_key_batch(column: str):
     """Batch filter dropping null-key rows before a Ray ``groupby`` —
     the engine-wide keyed convention (null keys are excluded; every
@@ -159,6 +177,10 @@ def _q_cms_error_bounds(sf_dir: str):
     est = token_frequencies_cms(_tokens(sf_dir), top["token"].values,
                                 width=width)
     merged = top.merge(est, on="token")  # top has (token, cnt)
+    if len(merged) == 0:  # empty corpus: the guarantee holds vacuously
+        return pd.DataFrame({"n_probes": np.array([0], dtype=np.int64),
+                             "all_lower_ok": [True],
+                             "all_upper_ok": [True]})
     n_total = int(merged["total_tokens"].iloc[0])
     eps_bound = math.ceil(math.e / width * n_total)
     lower_ok = bool((merged["est_count"] >= merged["cnt"]).all())
@@ -197,6 +219,10 @@ def _q_ntok_quantile_rank_errors(sf_dir: str):
 
         agg = _tokens(sf_dir).map_batches(
             partial, batch_format="pyarrow").to_pandas()
+        if "le" not in agg.columns:  # empty corpus: bound holds vacuously
+            for q in qs:
+                rows.append((kind, float(q), True))
+            continue
         le = np.sum(np.stack(agg["le"].to_numpy()), axis=0)
         frac = le / max(int(agg["n"].sum()), 1)
         for q, f in zip(qs, frac):
@@ -301,8 +327,9 @@ def _q_asof_last_click(sf_dir: str):
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_type"]).map_batches(
             only_clicks, batch_format="pyarrow")
-    out = asof_join(ev, clicks, by="user_id", on="ts",
-                    right_columns=["ts"], strict=True).to_pandas()
+    out = _typed(asof_join(ev, clicks, by="user_id", on="ts",
+                           right_columns=["ts"], strict=True),
+                 {"event_id": "int64", "ts_r": "datetime64[us]"})
     out = out[["event_id", "ts_r"]].rename(columns={"ts_r": "click_ts"})
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -347,9 +374,10 @@ def _q_interval_join_click_days(sf_dir: str):
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id"])
-    out = interval_join(ev, windows, by="user_id", on="ts",
-                        lo="lo", hi="hi",
-                        right_columns=["lo", "hi"]).to_pandas()
+    out = _typed(interval_join(ev, windows, by="user_id", on="ts",
+                               lo="lo", hi="hi",
+                               right_columns=["lo", "hi"]),
+                 {"event_id": "int64", "lo": "datetime64[us]"})
     out = out[["event_id", "lo"]].rename(columns={"lo": "click_day"})
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -366,8 +394,9 @@ def _q_customer_nation_names(sf_dir: str):
                                  columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    out = broadcast_join(cust, nation, "c_nationkey",
-                         right_key="n_nationkey").to_pandas()
+    out = _typed(broadcast_join(cust, nation, "c_nationkey",
+                                right_key="n_nationkey"),
+                 {"c_custkey": "int64", "n_name": "object"})
     return (out[["c_custkey", "n_name"]]
             .sort_values("c_custkey").reset_index(drop=True))
 
@@ -382,8 +411,10 @@ def _q_top_orders_per_customer(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"])
-    out = topk_per_group(orders, "o_custkey", "o_totalprice", 3,
-                         tie_col="o_orderkey").to_pandas()
+    out = _typed(topk_per_group(orders, "o_custkey", "o_totalprice", 3,
+                                tie_col="o_orderkey"),
+                 {"o_custkey": "int64", "o_orderkey": "int64",
+                  "o_totalprice": "float64"})
     return (out.sort_values(["o_custkey", "o_orderkey"])
             .reset_index(drop=True))
 
@@ -436,9 +467,11 @@ def _q_pack_sequences_by_source(sf_dir: str):
 
     toks = _tokens(sf_dir).select_columns(["doc_id", "n_tok", "source"]) \
         .map_batches(int_ids, batch_format="pyarrow")
-    out = pack_sequences(toks, max_tokens=512,
-                         key_column="source", id_column="doc_id",
-                         count_column="n_tok").to_pandas()
+    out = _typed(pack_sequences(toks, max_tokens=512,
+                                key_column="source", id_column="doc_id",
+                                count_column="n_tok"),
+                 {"source": "object", "doc_id": "int64", "n_tok": "int64",
+                  "seq_id": "int64", "seq_offset": "int64"})
     out = out[["source", "doc_id", "n_tok", "seq_id", "seq_offset"]]
     for c in ("doc_id", "n_tok", "seq_id", "seq_offset"):
         out[c] = out[c].astype("int64")
@@ -466,7 +499,9 @@ def _q_token_budget_mix(sf_dir: str):
     toks = _tokens(sf_dir).select_columns(["doc_id", "n_tok", "source"]) \
         .map_batches(int_ids, batch_format="pyarrow")
     budgets = {"src0": 500, "src1": 1500}
-    out = select_token_budget(toks, budgets, default_budget=200).to_pandas()
+    out = _typed(select_token_budget(toks, budgets, default_budget=200),
+                 {"source": "object", "doc_id": "int64", "n_tok": "int64",
+                  "cum_prev": "int64"})
     out = out[["source", "doc_id", "n_tok", "cum_prev"]]
     for c in ("doc_id", "n_tok", "cum_prev"):
         out[c] = out[c].astype("int64")
@@ -497,7 +532,9 @@ def _q_decontaminate_report(sf_dir: str):
     eval_rows = docs().map_batches(
         eval_mask, batch_format="pyarrow").take_all()
     eval_texts = [r["text"] for r in eval_rows]
-    out = decontaminate(docs(), eval_texts, n=3).to_pandas()
+    out = _typed(decontaminate(docs(), eval_texts, n=3),
+                 {"doc_id": "int64", "n_grams": "int64",
+                  "n_matched": "int64", "contaminated": "bool"})
     out["doc_id"] = out["doc_id"].astype("int64")
     out["contaminated"] = out["contaminated"].astype("bool")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -595,7 +632,9 @@ def _q_jpeg_channel_stats(sf_dir: str):
         })
 
     out = feats.map_batches(project, batch_format="pyarrow")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _typed(out, {"doc_id": "int64", "mean_gray": "float64",
+                        "std_gray": "float64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _media_channel_stats(sf_dir: str, *, codec: str):
@@ -661,7 +700,11 @@ def _media_channel_stats(sf_dir: str, *, codec: str):
         })
 
     out = feats.map_batches(project, batch_format="pyarrow")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _typed(out, {"doc_id": "int64", "mean_r": "float64",
+                        "mean_g": "float64", "mean_b": "float64",
+                        "std_r": "float64", "std_g": "float64",
+                        "std_b": "float64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_wav_rms_energy(sf_dir: str):
@@ -743,7 +786,8 @@ def _audio_rms_energy(sf_dir: str, *, codec: str, mul: int, add: int):
         })
 
     out = frames.map_batches(project, batch_format="pyarrow")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _typed(out, {"doc_id": "int64", "rms": "float64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_flac_rms_energy(sf_dir: str):
@@ -807,7 +851,8 @@ def _q_mjpeg_frame_features(sf_dir: str):
         })
 
     out = sampled.map_batches(project, batch_format="pyarrow")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _typed(out, {"doc_id": "int64", "pixel_value": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_mp4_frame_features(sf_dir: str):
@@ -867,7 +912,8 @@ def _q_mp4_frame_features(sf_dir: str):
         })
 
     out = sampled.map_batches(project, batch_format="pyarrow")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _typed(out, {"doc_id": "int64", "pixel_value": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
@@ -893,7 +939,8 @@ def _q_udaf_theta_distinct_users_by_type(sf_dir: str):
     out = partials.groupby("event_type").aggregate(
         sketch_merge_aggregate("theta", {"k": 4096},
                                finalize="estimate", name="distinct_users"))
-    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df = _typed(out, {"event_type": "object", "distinct_users": "int64"}) \
+        .sort_values("event_type").reset_index(drop=True)
     df["distinct_users"] = df["distinct_users"].astype("int64")
     return df
 
@@ -962,7 +1009,9 @@ def _q_session_window_stats(sf_dir: str):
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
-    return session_window_stats(ev, gap_minutes=120)
+    return _typed(session_window_stats(ev, gap_minutes=120),
+                  {"user_id": "int64", "n_sessions": "int64",
+                   "max_session_events": "int64"})
 
 
 def _q_exact_dedup_stats(sf_dir: str):
@@ -984,8 +1033,10 @@ def _q_doc_length_stats(sf_dir: str):
                                  columns=["doc_id", "text"])
     feats = docs.map_batches(lambda b: quality_features(b),
                              batch_format="pyarrow")
-    return feats.select_columns(["doc_id", "n_chars", "n_tokens", "n_pieces"]
-                                ).to_pandas()
+    return _typed(
+        feats.select_columns(["doc_id", "n_chars", "n_tokens", "n_pieces"]),
+        {"doc_id": "int64", "n_chars": "int64", "n_tokens": "int64",
+         "n_pieces": "int64"})
 
 
 def _q_doc_quality_counts(sf_dir: str):
@@ -1025,7 +1076,9 @@ def _q_doc_quality_counts(sf_dir: str):
                 .astype(np.int64)),
         })
 
-    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
+    out = _typed(feats.map_batches(project, batch_format="pyarrow"),
+                 {"doc_id": "int64", "n_punct": "int64", "n_digit": "int64",
+                  "n_upper": "int64", "n_stop": "int64"})
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1041,9 +1094,11 @@ def _q_chunk_passages(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    out = docs.map_batches(
+    out = _typed(docs.map_batches(
         lambda b: chunk_passages(b, window=128, stride=64),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow"),
+        {"doc_id": "int64", "passage_id": "int64", "n_tokens": "int64",
+         "passage": "object"})
     for c in ("doc_id", "passage_id", "n_tokens"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["doc_id", "passage_id"]).reset_index(drop=True)
@@ -1063,9 +1118,12 @@ def _q_doc_repetition_stats(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     out = docs.map_batches(repetition_features, batch_format="pyarrow")
-    df = out.select_columns(
+    df = _typed(out.select_columns(
         ["doc_id", "n_bigrams", "top_bigram", "top_bigram_count",
-         "top_bigram_char_frac", "dup_bigram_frac"]).to_pandas()
+         "top_bigram_char_frac", "dup_bigram_frac"]),
+        {"doc_id": "int64", "n_bigrams": "int64", "top_bigram": "object",
+         "top_bigram_count": "int64", "top_bigram_char_frac": "float64",
+         "dup_bigram_frac": "float64"})
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -1081,7 +1139,9 @@ def _q_doc_unigram_nll(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    df = doc_unigram_nll(docs).to_pandas()
+    df = _typed(doc_unigram_nll(docs),
+                {"doc_id": "int64", "n_tokens": "int64",
+                 "avg_nll": "float64"})
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -1097,7 +1157,9 @@ def _q_top_tfidf_terms(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    df = top_tfidf_terms(docs, k=3).to_pandas()
+    df = _typed(top_tfidf_terms(docs, k=3),
+                {"doc_id": "int64", "term": "object", "tf": "int64",
+                 "df_docs": "int64", "tfidf": "float64"})
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
@@ -1114,7 +1176,9 @@ def _q_deterministic_shuffle(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
-    df = deterministic_shuffle(docs, seed=7, n_shards=8).to_pandas()
+    df = _typed(deterministic_shuffle(docs, seed=7, n_shards=8),
+                {"doc_id": "int64", "shuffle_pos": "int64",
+                 "shard": "int64"})
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1174,7 +1238,9 @@ def _q_doc_chars_cume_dist(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
-    df = percentile_ranks(docs, "n_chars", id_column="doc_id").to_pandas()
+    df = _typed(percentile_ranks(docs, "n_chars", id_column="doc_id"),
+                {"doc_id": "int64", "n_chars": "int64",
+                 "cume_dist": "float64"})
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_chars"] = df["n_chars"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1194,7 +1260,9 @@ def _q_embedding_nearest_centroid(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding", "label"])
     cents = label_centroids(emb)
-    df = assign_nearest_centroid(emb, cents).to_pandas()
+    df = _typed(assign_nearest_centroid(emb, cents),
+                {"vec_id": "int64", "nearest_label": "int64",
+                 "dist": "float64"})
     df["vec_id"] = df["vec_id"].astype("int64")
     df["nearest_label"] = df["nearest_label"].astype("int64")
     return df.sort_values("vec_id").reset_index(drop=True)
@@ -1223,8 +1291,10 @@ def _q_curated_corpus(sf_dir: str):
     eval_rows = docs().map_batches(
         eval_mask, batch_format="pyarrow").take_all()
     eval_texts = [r["text"] for r in eval_rows]
-    df = curate_corpus(docs(), eval_texts, q_low=0.05, q_high=0.95,
-                       ngram=3, seed=7, n_shards=8).to_pandas()
+    df = _typed(curate_corpus(docs(), eval_texts, q_low=0.05, q_high=0.95,
+                              ngram=3, seed=7, n_shards=8),
+                {"doc_id": "int64", "shuffle_pos": "int64",
+                 "shard": "int64"})
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1296,7 +1366,7 @@ def _q_docs_in_length_band(sf_dir: str):
                                  columns=["doc_id", "n_chars"])
     kept = filter_by_column_quantile(docs, "n_chars", q_low=0.10,
                                      q_high=0.90)
-    df = kept.to_pandas()
+    df = _typed(kept, {"doc_id": "int64", "n_chars": "int64"})
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_chars"] = df["n_chars"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1375,6 +1445,11 @@ def _q_ann_topk(sf_dir: str):
     qrows = sorted(
         (r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
         key=lambda r: r["vec_id"])
+    if not qrows:  # empty embeddings table: no query vectors to take
+        import pandas as pd
+
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("query_id", "rank", "vec_id")})
     queries_mat = np.stack([r["embedding"] for r in qrows])
     df = ann_topk_brute(emb(), queries_mat, k=5)
     df["query_id"] = df["query_id"].map({i: r["vec_id"]
@@ -1398,7 +1473,9 @@ def _q_event_props_sum(sf_dir: str):
                                 batch_format="pyarrow")
     out = parsed.groupby("event_type").aggregate(
         Sum("k", alias_name="sum_k"), Count(alias_name="n_events"))
-    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df = _typed(out, {"event_type": "object", "sum_k": "int64",
+                      "n_events": "int64"}) \
+        .sort_values("event_type").reset_index(drop=True)
     df["sum_k"] = df["sum_k"].astype("int64")
     return df
 
@@ -1572,6 +1649,11 @@ def _q_ann_topk_ivf(sf_dir: str):
 
     qrows = sorted((r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
                    key=lambda r: r["vec_id"])
+    if not qrows:  # empty embeddings table: no query vectors to take
+        import pandas as pd
+
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("query_id", "rank", "vec_id")})
     queries_mat = np.stack([r["embedding"] for r in qrows])
     return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
 
@@ -1594,6 +1676,11 @@ def _q_ann_topk_ivf_exact(sf_dir: str):
 
     qrows = sorted((r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
                    key=lambda r: r["vec_id"])
+    if not qrows:  # empty embeddings table: no query vectors to take
+        import pandas as pd
+
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("query_id", "rank", "vec_id")})
     queries_mat = np.stack([r["embedding"] for r in qrows])
     df = ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=8)
     df["query_id"] = df["query_id"].map({i: r["vec_id"]
@@ -1628,7 +1715,9 @@ def _q_lineitem_qty_stats(sf_dir: str):
         Min("l_quantity", alias_name="min_qty"),
         Max("l_quantity", alias_name="max_qty"),
     )
-    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    return _typed(out, {"l_returnflag": "object", "n_items": "int64",
+                        "min_qty": "float64", "max_qty": "float64"}) \
+        .sort_values("l_returnflag").reset_index(drop=True)
 
 
 def _q_ntok_quantiles_by_source(sf_dir: str):
@@ -1655,8 +1744,10 @@ def _q_doc_vocab_stats(sf_dir: str):
 
     ds = _tokens(sf_dir).map_batches(distinct_tokens_per_row,
                                      batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "n_tok", "n_distinct_tokens"]
-                             ).to_pandas()
+    return _typed(ds.select_columns(["doc_id", "n_tok",
+                                     "n_distinct_tokens"]),
+                  {"doc_id": "object", "n_tok": "int32",
+                   "n_distinct_tokens": "int64"})
 
 
 def _q_customer_order_counts(sf_dir: str):
@@ -1675,7 +1766,8 @@ def _q_customer_order_counts(sf_dir: str):
         batch_format="pyarrow")
     joined = bucketed_inner_join(orders, cust, "o_custkey", num_buckets=8)
     out = joined.groupby("c_name").aggregate(Count(alias_name="n_orders"))
-    return out.to_pandas().sort_values("c_name").reset_index(drop=True)
+    return _typed(out, {"c_name": "object", "n_orders": "int64"}) \
+        .sort_values("c_name").reset_index(drop=True)
 
 
 def _q_sliding_event_windows(sf_dir: str):
@@ -1708,12 +1800,15 @@ def _q_salted_distinct_docs_by_source(sf_dir: str):
     out = salted_distinct_column_by_key(
         docs, "doc_id", "source", b=14, num_salts=8,
         estimate_name="distinct_docs", count_name="n_docs")
-    return out.to_pandas().sort_values("source").reset_index(drop=True)
+    return _typed(out, {"source": "object", "distinct_docs": "int64",
+                        "n_docs": "int64"}) \
+        .sort_values("source").reset_index(drop=True)
 
 
 def _q_bloom_semi_join_orders(sf_dir: str):
     """Bloom-prefiltered EXACT semi-join: orders by BUILDING-segment
     customers, grouped by order status."""
+    import numpy as np
     import ray.data
     from ray.data.aggregate import Count
 
@@ -1725,7 +1820,10 @@ def _q_bloom_semi_join_orders(sf_dir: str):
                                  columns=["c_custkey", "c_mktsegment"])
     build = cust.filter(
         expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
-    keys = build.to_pandas()["c_custkey"].to_numpy()
+    build_df = build.to_pandas()
+    # empty build side: Ray loses the schema on empty datasets
+    keys = (build_df["c_custkey"].to_numpy() if "c_custkey" in build_df
+            else np.array([], dtype=np.int64))
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey",
                                             "o_orderstatus"])
@@ -1734,13 +1832,15 @@ def _q_bloom_semi_join_orders(sf_dir: str):
                                 batch_format="pyarrow")
     out = joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_orders"))
-    return out.to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
+    return _typed(out, {"o_orderstatus": "object", "n_orders": "int64"}) \
+        .sort_values("o_orderstatus").reset_index(drop=True)
 
 
 def _q_bloom_anti_join_customers(sf_dir: str):
     """Broadcast ANTI-join (negate=True): customers with NO urgent order —
     exercises the SQL NOT IN path incl. the null-probe-key drop (advice
     fix), grouped by market segment."""
+    import numpy as np
     import pandas as pd
     import ray.data
     from ray.data.aggregate import Count
@@ -1754,8 +1854,9 @@ def _q_bloom_anti_join_customers(sf_dir: str):
     # dropna: SQL NOT IN against a build side containing NULL returns
     # ZERO rows (three-valued logic); the operator's contract is "NOT IN
     # the NON-NULL build keys" — state it by dropping nulls here
-    keys = (orders.filter(expr="o_orderpriority == '1-URGENT'")
-            .to_pandas()["o_custkey"].dropna().unique())
+    urgent_df = orders.filter(expr="o_orderpriority == '1-URGENT'").to_pandas()
+    keys = (urgent_df["o_custkey"].dropna().unique()
+            if "o_custkey" in urgent_df else np.array([], dtype=np.int64))
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     loners = broadcast_semi_join(cust, keys, "c_custkey", negate=True)
@@ -1798,7 +1899,9 @@ def _q_rolling_event_value_mean(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "value"])
-    df = rolling_mean_by_key(ev, window=4).to_pandas()
+    df = _typed(rolling_mean_by_key(ev, window=4),
+                {"event_id": "int64", "user_id": "int64",
+                 "rolling_mean": "float64"})
     if "_bucket" in df.columns:
         df = df.drop(columns=["_bucket"])
     df["event_id"] = df["event_id"].astype("int64")
@@ -1954,7 +2057,7 @@ def _q_clean_doc_texts(sf_dir: str):
                                  columns=["doc_id", "text"])
     out = docs.map_batches(lambda b: clean_text(b).drop_columns(["text"]),
                            batch_format="pyarrow")
-    return out.to_pandas()
+    return _typed(out, {"doc_id": "int64", "clean_text": "object"})
 
 
 def _q_lang_set_ops(sf_dir: str):
@@ -2277,8 +2380,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # count-min guarantee evaluated on the concrete sketch: never
         # underestimates; overestimate bounded by ceil(e/width * N)
-        "cms_error_bounds": """
-            SELECT CAST(8 AS BIGINT) AS n_probes,
+        "cms_error_bounds": f"""
+            SELECT CAST(least(8, (SELECT count(DISTINCT t) FROM
+                        (SELECT unnest({_TOK}) AS t FROM documents)))
+                        AS BIGINT) AS n_probes,
                    TRUE AS all_lower_ok, TRUE AS all_upper_ok
         """,
         # Bloom negatives are certain absence; positives are exact-verified,

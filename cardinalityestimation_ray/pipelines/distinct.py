@@ -24,6 +24,12 @@ _U64_SPAN = float(1 << 64)
 def _keyed_result_frame(merged: dict, key_column: str, estimate_name: str,
                         count_name: str) -> pd.DataFrame:
     keys = sorted(merged)
+    if not keys:  # typed empty (pandas would otherwise default to float64)
+        return pd.DataFrame({
+            key_column: pd.Series([], dtype="object"),
+            estimate_name: pd.Series([], dtype="int64"),
+            count_name: pd.Series([], dtype="int64"),
+        })
     return pd.DataFrame(
         {
             key_column: keys,
@@ -439,11 +445,13 @@ def pairwise_overlap_matrix_distributed(
             "estimate": pa.array(est, type=pa.int64()),
         })
 
-    meta = (merged_ds.map_batches(meta_rows, batch_format="pyarrow")
-            .to_pandas().sort_values(key_column).reset_index(drop=True))
-    n = len(meta)
-    if n < 2:
+    meta = merged_ds.map_batches(meta_rows, batch_format="pyarrow").to_pandas()
+    # Ray returns a COLUMN-LESS frame for an empty dataset — treat it as
+    # zero keys rather than KeyError on the sort (round-4 empty-input fix)
+    if key_column not in meta.columns or len(meta) < 2:
         return _empty_overlap_frame()
+    meta = meta.sort_values(key_column).reset_index(drop=True)
+    n = len(meta)
     keys = meta[key_column].tolist()
     key_idx = {key: i for i, key in enumerate(keys)}
     exact = meta["exact"].to_numpy(bool)

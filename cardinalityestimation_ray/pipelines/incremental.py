@@ -58,6 +58,12 @@ def incremental_distinct_update(results_path: str, new_tokens_ds, *,
     write_sketch_results(merged, results_path, kind="hll",
                          key_name=key_column)
     keys = sorted(merged)
+    if not keys:  # typed empty (pandas would default to float64)
+        return pd.DataFrame({
+            key_column: pd.Series([], dtype="object"),
+            "distinct_tokens": pd.Series([], dtype="int64"),
+            "total_tokens": pd.Series([], dtype="int64"),
+        })
     return pd.DataFrame({
         key_column: keys,
         "distinct_tokens": [merged[k][0].estimate() for k in keys],

@@ -16,6 +16,17 @@ import pyarrow as pa
 from ..stages.partitioning import add_hash_bucket
 
 
+def _empty_ds():
+    """Typed-columnless empty Dataset — the join result when an input's
+    schema is unrecoverable (Ray reports ``schema() is None`` for a
+    dataset whose execution produced zero blocks, e.g. an empty table
+    upstream of a filter). Callers impose their final schema on empty
+    frames (round-4 empty-input fix)."""
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({}))
+
+
 def bucketed_inner_join(ds_left, ds_right, key: str, *,
                         num_buckets: int = 32,
                         suffixes: tuple = ("_l", "_r")):
@@ -25,11 +36,15 @@ def bucketed_inner_join(ds_left, ds_right, key: str, *,
     nulls), co-grouped by bucket, and merged per bucket — each bucket's data
     is the only thing co-located, so memory per task is corpus/B.
     """
+    lschema = ds_left.schema()
+    rschema = ds_right.schema()
+    if lschema is None or rschema is None:  # an empty side: inner join = []
+        return _empty_ds()
     left = add_hash_bucket(ds_left, key, num_buckets)
     right = add_hash_bucket(ds_right, key, num_buckets)
 
-    left_cols = [c for c in ds_left.schema().names]
-    right_cols = [c for c in ds_right.schema().names]
+    left_cols = [c for c in lschema.names]
+    right_cols = [c for c in rschema.names]
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
@@ -89,9 +104,25 @@ def asof_join(ds_left, ds_right, *, by: str, on: str,
     # fields, right columns carried under a "__r_" prefix) and the join
     # emits typed Arrow takes (null take-index -> typed null).
     left_schema = ds_left.schema()
+    if left_schema is None:  # empty left side: no rows can join (round-4
+        return _empty_ds()   # empty-input fix; see _empty_ds)
     left_types = dict(zip(left_schema.names, left_schema.types))
     left_cols = list(left_schema.names)
     rschema = ds_right.schema()
+    if rschema is None:
+        # empty right side: inner join = []; left join = left rows with
+        # null right columns (typed pa.null() — the element types are
+        # unrecoverable from an empty dataset)
+        if how == "inner":
+            return _empty_ds()
+
+        def null_right(batch: pa.Table) -> pa.Table:
+            for c in out_right:
+                name = f"{c}{suffix}" if c in left_cols else c
+                batch = batch.append_column(name, pa.nulls(len(batch)))
+            return batch
+
+        return ds_left.map_batches(null_right, batch_format="pyarrow")
     right_types = {n: t for n, t in zip(rschema.names, rschema.types)
                    if n in right_sel}
     out_cols = {c: f"{c}{suffix}" if c in left_cols else c

@@ -131,6 +131,11 @@ def column_quantiles_by_key(ds, column: str, key_column: str, *,
         for q in qs:
             rows.append({key_column: key, "q": q,
                          "value": sk.quantile(float(q)), "n": n})
+    if not rows:  # typed empty (empty input: no keys)
+        return pd.DataFrame({key_column: pd.Series([], dtype="object"),
+                             "q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
     return pd.DataFrame(rows)
 
 
