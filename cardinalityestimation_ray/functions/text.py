@@ -403,10 +403,12 @@ def chunk_passages(batch: pa.Table, *, window: int, stride: int,
     offsets = np.zeros(len(pass_doc) + 1, dtype=np.int64)
     offsets[1:] = lens.cumsum()
     total = int(offsets[-1])
-    gidx = np.empty(total, dtype=np.int64)
-    for i in range(len(pass_doc)):  # builds INDICES only; O(total tokens)
-        gidx[offsets[i]:offsets[i + 1]] = np.arange(
-            abs_start[i], abs_start[i] + lens[i])
+    # segment-arange: position p in passage i maps to
+    # abs_start[i] + (p - offsets[i]) — one vectorized expression, no
+    # per-passage Python loop (round-4 review fix)
+    gidx = (np.arange(total, dtype=np.int64)
+            - np.repeat(offsets[:-1], lens)
+            + np.repeat(abs_start, lens))
     passage_tokens = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()),
         flat.take(pa.array(gidx)))
