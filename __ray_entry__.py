@@ -225,10 +225,16 @@ def _q_ntok_quantile_rank_errors(sf_dir: str):
             continue
         le = np.sum(np.stack(agg["le"].to_numpy()), axis=0)
         frac = le / max(int(agg["n"].sum()), 1)
+        n_vals = max(int(agg["n"].sum()), 1)
         for q, f in zip(qs, frac):
             # 0.08: the bound asserted in tests/test_ray_pipelines.py for
-            # both sketches at their default compression on this data shape
-            rows.append((kind, float(q), bool(abs(f - q) <= 0.08)))
+            # both sketches at their default compression on this data
+            # shape, plus the 1/n DISCRETIZATION slack — the empirical CDF
+            # moves in steps of 1/n, so at tiny n the nearest achievable
+            # rank can sit up to 1/n from q (at n=1 the CDF is 0 or 1 and
+            # the raw bound is unsatisfiable; round-4 single-row-input fix)
+            rows.append((kind, float(q),
+                         bool(abs(f - q) <= 0.08 + 1.0 / n_vals)))
     return pd.DataFrame(rows, columns=["sketch", "q", "within_bound"])
 
 
