@@ -135,6 +135,10 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--rows-only", action="store_true",
                     help="also execute no-oracle queries (rows>=0 check)")
+    ap.add_argument("--allow-empty", action="store_true",
+                    help="degenerate-base sweeps (empty/single-row "
+                         "tables): an empty rows-only result is OK; the "
+                         "criterion is no-crash + oracle match")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -162,7 +166,8 @@ def main() -> int:
             if args.rows_only:
                 try:
                     mine = _to_pandas(qs[name](args.sf))
-                    ok = len(mine) > 0 or name in EMPTY_OK
+                    ok = (len(mine) > 0 or name in EMPTY_OK
+                          or args.allow_empty)
                     print(f"[{'ok' if ok else 'FAIL'}] {name} "
                           f"(rows-only, {len(mine)} rows)"
                           + ("" if ok else "  EMPTY RESULT"))
