@@ -130,6 +130,48 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     return True, ""
 
 
+def _result_hash(df: pd.DataFrame) -> str:
+    """Exact content hash of a result frame, independent of row/column
+    order and of the block layout that produced it: columns sorted by name,
+    rows sorted by an exact per-row token key (float64 columns contribute
+    their raw IEEE bytes — finer than _canon's 9-digit tokens, so two runs
+    hash equal ONLY if every float bit matches). Used by --dump to compare
+    the engine's output across parallelism levels (layout-invariance)."""
+    import hashlib
+
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    cols = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            v = s.astype("float64").to_numpy().copy()
+            v[v == 0.0] = 0.0  # normalize -0.0
+            v[np.isnan(v)] = np.nan  # canonical NaN payload
+            tok = np.array([x.tobytes().hex() for x in v], dtype=object)
+            cols[c] = ("f", tok)
+        elif pd.api.types.is_bool_dtype(s):
+            cols[c] = ("b", s.astype(str).to_numpy().astype(object))
+        elif pd.api.types.is_integer_dtype(s):
+            cols[c] = ("i", s.astype("int64").astype(str)
+                       .to_numpy().astype(object))
+        else:
+            cols[c] = ("o", s.astype(str).to_numpy().astype(object))
+    if len(df) and len(df.columns):
+        key = np.array([""] * len(df), dtype=object)
+        for c in df.columns:
+            key = key + "\x1f" + cols[c][1]
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.arange(len(df))
+    h = hashlib.sha256()
+    for c in df.columns:
+        kind, tok = cols[c]
+        h.update(f"{c}\x00{kind}\x00".encode())
+        h.update("\x1e".join(tok[order]).encode())
+        h.update(b"\x1d")
+    return h.hexdigest()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -139,13 +181,21 @@ def main() -> int:
                     help="degenerate-base sweeps (empty/single-row "
                          "tables): an empty rows-only result is OK; the "
                          "criterion is no-crash + oracle match")
+    ap.add_argument("--cpus", type=int, default=8,
+                    help="num_cpus for the Ray session (layout-invariance "
+                         "sweeps run the surface at two values and diff "
+                         "--dump files)")
+    ap.add_argument("--dump", default=None,
+                    help="write {name: {ok, rows, hash}} JSON of the "
+                         "ENGINE results (exact content hash, row/col/"
+                         "layout-order-independent) for cross-run compare")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 ignore_reinit_error=True)
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
 
     import __ray_entry__ as entry
     qs = entry.queries()
@@ -161,6 +211,17 @@ def main() -> int:
 
     n_fail = 0
     results = {}
+    dump = {}
+
+    def _record(name, ok, mine):
+        results[name] = ok
+        if args.dump is not None:
+            dump[name] = {
+                "ok": bool(ok),
+                "rows": None if mine is None else int(len(mine)),
+                "hash": None if mine is None else _result_hash(mine),
+            }
+
     for name in names:
         if name not in oracles:
             if args.rows_only:
@@ -171,26 +232,29 @@ def main() -> int:
                     print(f"[{'ok' if ok else 'FAIL'}] {name} "
                           f"(rows-only, {len(mine)} rows)"
                           + ("" if ok else "  EMPTY RESULT"))
-                    results[name] = ok
+                    _record(name, ok, mine)
                     n_fail += (not ok)
                 except Exception as e:  # noqa: BLE001
                     print(f"[FAIL] {name} rows-only EXCEPTION: {e}")
-                    results[name] = False
+                    _record(name, False, None)
                     n_fail += 1
             else:
                 print(f"[skip] {name}: no oracle (rows-only)")
             continue
+        mine = None
         try:
             mine = _canon(_to_pandas(qs[name](args.sf)))
             ref = _canon(con.execute(oracles[name]).fetchdf())
             ok, why = _values_match(mine, ref)
         except Exception as e:  # noqa: BLE001
             ok, why = False, f"EXCEPTION: {type(e).__name__}: {e}"
-        results[name] = ok
+        _record(name, ok, mine)
         n_fail += (not ok)
         print(f"[{'ok' if ok else 'FAIL'}] {name}" + ("" if ok else f"  {why}"))
 
     print(json.dumps({"checked": len(results), "failed": n_fail}))
+    if args.dump is not None:
+        Path(args.dump).write_text(json.dumps(dump, indent=1, sort_keys=True))
     ray.shutdown()
     return 1 if n_fail else 0
 
