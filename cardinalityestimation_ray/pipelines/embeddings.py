@@ -3,9 +3,13 @@ the standard class-prototype / embedding-health checks run over a vector
 column before clustering or nearest-centroid labeling.
 
 Ray-Data shape: one ``map_batches`` pass folds each batch to per-label
-(sum-vector, count) partials — emitted as (label, dim, s, cnt) rows so
-Ray's native ``groupby().sum`` tree-reduces them — and only the
-labels x dims table reaches the driver. Accumulation is float64
+partials and only the labels x dims table reaches the driver. Float
+accumulation goes through :mod:`..functions.detsum` superaccumulator
+limbs (exact fixed-point int64 lanes), so the aggregated sums are
+BITWISE-REPRODUCIBLE across block layouts and parallelism levels — Ray's
+groupby combines integer limb columns (associative, exact) and the single
+float rounding happens once on the driver, yielding the correctly-rounded
+true sum (== ``math.fsum`` of the inputs). Accumulation is float64
 regardless of the stored float32 values (parity with SQL ``avg``).
 
 The vector column is ``list<float>``; every row must have the same
@@ -19,6 +23,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..functions.detsum import (
+    N_LIMBS,
+    accumulate_limbs,
+    blob_to_limbs,
+    detsum_aggregate,
+    limbs_to_blobs,
+    limbs_to_float,
+)
+
+
+def _limb_col(limbs: np.ndarray, rows_per_blob: int = 1) -> pa.Array:
+    """Binary limb-blob column from an (n_keys, N_LIMBS) array."""
+    return pa.array(limbs_to_blobs(limbs, rows_per_blob), pa.binary())
 
 
 def _batch_matrix(col, vector_column: str) -> np.ndarray:
@@ -45,7 +63,9 @@ def label_centroids(ds, *, vector_column: str = "embedding",
     """Per-label mean vector, as (label, dim, centroid, n) rows.
 
     ``dim`` is 1-based (matching SQL list indexing, so the oracle is
-    ``avg(embedding[dim]) ... GROUP BY label, dim``).
+    ``avg(embedding[dim]) ... GROUP BY label, dim``). The per-cell sums
+    accumulate through exact superaccumulator limbs, so the centroids are
+    bit-identical for any block layout / parallelism level.
     """
     from ray.data.aggregate import Sum
 
@@ -59,43 +79,57 @@ def label_centroids(ds, *, vector_column: str = "embedding",
         labels = batch[label_column].to_numpy(zero_copy_only=False)
         if mat.shape[0] == 0:
             return pa.table({"label": pa.array([], pa.int64()),
-                             "dim": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.float64()),
-                             "cnt": pa.array([], pa.int64())})
+                             "cnt": pa.array([], pa.int64()),
+                             "limbs": pa.array([], pa.binary())})
         uniq, codes = np.unique(labels, return_inverse=True)
         k, d = len(uniq), mat.shape[1]
-        sums = np.zeros((k, d), dtype=np.float64)
-        np.add.at(sums, codes, mat)
+        cell = np.repeat(codes * d, d) + np.tile(np.arange(d), len(codes))
+        limbs = accumulate_limbs(mat.reshape(-1), cell, k * d)
         cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        # one blob per label packing all d dim-sums — the groupby has
+        # |labels| groups, not |labels| x d
         return pa.table({
-            "label": pa.array(np.repeat(uniq.astype(np.int64), d)),
-            "dim": pa.array(np.tile(np.arange(1, d + 1), k)),
-            "s": pa.array(sums.reshape(-1)),
-            "cnt": pa.array(np.repeat(cnt, d)),
+            "label": pa.array(uniq.astype(np.int64)),
+            "cnt": pa.array(cnt),
+            "limbs": _limb_col(limbs, rows_per_blob=d),
         })
 
     agg = (ds.map_batches(partials, batch_format="pyarrow")
-           .groupby(["label", "dim"])
-           .aggregate(Sum("s", alias_name="s"),
-                      Sum("cnt", alias_name="n"))
+           .groupby("label")
+           .aggregate(Sum("cnt", alias_name="n"),
+                      detsum_aggregate("limbs", alias_name="s",
+                                       finalize="blob"))
            .to_pandas())
-    if "s" not in agg.columns:  # empty input
+    if "n" not in agg.columns or len(agg) == 0:  # empty input
         return pd.DataFrame({"label": pd.Series([], dtype="int64"),
                              "dim": pd.Series([], dtype="int64"),
                              "centroid": pd.Series([], dtype="float64"),
                              "n": pd.Series([], dtype="int64")})
-    agg["centroid"] = agg["s"] / agg["n"]
-    agg["label"] = agg["label"].astype("int64")
-    agg["dim"] = agg["dim"].astype("int64")
-    agg["n"] = agg["n"].astype("int64")
-    return (agg[["label", "dim", "centroid", "n"]]
-            .sort_values(["label", "dim"]).reset_index(drop=True))
+    labels = agg["label"].to_numpy().astype(np.int64)
+    counts = agg["n"].to_numpy().astype(np.int64)
+    sums = [blob_to_limbs(blob) for blob in agg["s"]]
+    d = sums[0].shape[0]
+    out = pd.DataFrame({
+        "label": np.repeat(labels, d),
+        "dim": np.tile(np.arange(1, d + 1), len(labels)),
+        "centroid": np.array([limbs_to_float(row)
+                              for limbs in sums for row in limbs])
+        / np.repeat(counts, d),
+        "n": np.repeat(counts, d),
+    })
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
 
 
 def norm_stats_by_label(ds, *, vector_column: str = "embedding",
                         label_column: str = "label") -> pd.DataFrame:
     """Per-label embedding-norm health stats: (label, n, avg_norm,
-    min_norm, max_norm) over L2 norms."""
+    min_norm, max_norm) over L2 norms.
+
+    The per-row norm is layout-invariant (one numpy reduction along a
+    fixed axis); the cross-row sum goes through exact superaccumulator
+    limbs, so avg_norm is bit-identical for any block layout. Min/max/n
+    are commutative-exact already.
+    """
     from ray.data.aggregate import Max, Min, Sum
 
     def norms(batch: pa.Table) -> pa.Table:
@@ -105,21 +139,37 @@ def norm_stats_by_label(ds, *, vector_column: str = "embedding",
 
             batch = batch.filter(pc.is_valid(lab_col))
         mat = _batch_matrix(batch[vector_column], vector_column)
-        n = np.sqrt((mat * mat).sum(axis=1)) if mat.size else \
-            np.zeros(mat.shape[0])
         labels = batch[label_column].to_numpy(zero_copy_only=False)
+        if mat.shape[0] == 0:
+            empty = np.zeros((0, N_LIMBS), dtype=np.int64)
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "limbs": _limb_col(empty)})
+        n = np.sqrt((mat * mat).sum(axis=1)).astype(np.float64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        k = len(uniq)
+        limbs = accumulate_limbs(n, codes, k)
+        lo = np.full(k, np.inf)
+        hi = np.full(k, -np.inf)
+        np.minimum.at(lo, codes, n)
+        np.maximum.at(hi, codes, n)
         return pa.table({
-            "label": pa.array(labels.astype(np.int64)),
-            "norm": pa.array(n.astype(np.float64)),
-            "one": pa.array(np.ones(len(labels), dtype=np.int64)),
+            "label": pa.array(uniq.astype(np.int64)),
+            "cnt": pa.array(np.bincount(codes, minlength=k)
+                            .astype(np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "limbs": _limb_col(limbs),
         })
 
     agg = (ds.map_batches(norms, batch_format="pyarrow")
            .groupby("label")
-           .aggregate(Sum("one", alias_name="n"),
-                      Sum("norm", alias_name="norm_sum"),
-                      Min("norm", alias_name="min_norm"),
-                      Max("norm", alias_name="max_norm"))
+           .aggregate(Sum("cnt", alias_name="n"),
+                      Min("lo", alias_name="min_norm"),
+                      Max("hi", alias_name="max_norm"),
+                      detsum_aggregate("limbs", alias_name="norm_sum"))
            .to_pandas())
     if "n" not in agg.columns:
         return pd.DataFrame({"label": pd.Series([], dtype="int64"),
@@ -127,7 +177,7 @@ def norm_stats_by_label(ds, *, vector_column: str = "embedding",
                              "avg_norm": pd.Series([], dtype="float64"),
                              "min_norm": pd.Series([], dtype="float64"),
                              "max_norm": pd.Series([], dtype="float64")})
-    agg["avg_norm"] = agg["norm_sum"] / agg["n"]
+    agg["avg_norm"] = agg["norm_sum"].to_numpy() / agg["n"].to_numpy()
     agg["label"] = agg["label"].astype("int64")
     agg["n"] = agg["n"].astype("int64")
     return (agg[["label", "n", "avg_norm", "min_norm", "max_norm"]]
