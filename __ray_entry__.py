@@ -984,8 +984,10 @@ def _q_tumbling_event_windows(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "value"])
     df = tumbling_window_agg(ev, window_minutes=60)
-    # ints + timestamps only: float sums are order-dependent in the last bits
-    out = df[["event_type", "window_start", "n_events"]].copy()
+    # value_sum is oracle-checked since round 4: it rides the exact
+    # superaccumulator (functions/detsum.py), so it is the correctly-rounded
+    # true sum and bit-identical across block layouts / parallelism
+    out = df[["event_type", "window_start", "value_sum", "n_events"]].copy()
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out
 
@@ -1785,7 +1787,8 @@ def _q_sliding_event_windows(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "value"])
     df = sliding_window_agg(ev, window_minutes=60, slide_minutes=30)
-    out = df[["event_type", "window_start", "n_events"]].copy()
+    # value_sum oracle-checked via the exact superaccumulator (see tumbling)
+    out = df[["event_type", "window_start", "value_sum", "n_events"]].copy()
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out
 
@@ -2316,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_event_windows": """
             SELECT event_type,
                    time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+                   coalesce(sum(value), 0.0) AS value_sum,
                    count(*) AS n_events
             FROM events
             WHERE event_type IS NOT NULL AND ts IS NOT NULL
@@ -2972,6 +2976,7 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '30 minutes', ts)
                      - CAST(i AS INTEGER) * INTERVAL '30 minutes'
                      AS window_start,
+                   coalesce(sum(value), 0.0) AS value_sum,
                    count(*) AS n_events
             FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
             WHERE event_type IS NOT NULL AND ts IS NOT NULL

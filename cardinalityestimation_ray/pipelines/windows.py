@@ -19,6 +19,46 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.detsum import accumulate_limbs, detsum_aggregate, limbs_to_blobs
+
+
+def _exact_window_partials(tbl: pa.Table, key_column: str,
+                           value_column: str) -> pa.Table:
+    """Per-(key, window_start) combiner row: event count + the value sum
+    as an exact superaccumulator limb blob (``functions/detsum.py``), so
+    the downstream groupby-merge is integer addition — value_sum comes out
+    BITWISE-IDENTICAL for any block layout / parallelism level and equals
+    the correctly-rounded true sum. Null values are excluded from the sum
+    but counted in n_events (SQL ``sum(value)`` / ``count(*)`` semantics;
+    a window whose values are all null sums to 0.0 — stated in the
+    oracles via ``coalesce``)."""
+    def _arr(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+
+    keys = _arr(tbl[key_column]).to_numpy(zero_copy_only=False)
+    ws = _arr(tbl["window_start"]).to_numpy(zero_copy_only=False)
+    vcol = _arr(tbl[value_column])
+    if len(keys) == 0:
+        return pa.table({key_column: pa.array([], pa.string()),
+                         "window_start": pa.array([], pa.timestamp("us")),
+                         "n_events": pa.array([], pa.int64()),
+                         "limbs": pa.array([], pa.binary())})
+    uk, kcodes = np.unique(keys, return_inverse=True)
+    uw, wcodes = np.unique(ws, return_inverse=True)
+    comp = kcodes.astype(np.int64) * len(uw) + wcodes
+    uc, ccodes = np.unique(comp, return_inverse=True)
+    valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+    vals = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+    limbs = accumulate_limbs(vals[valid], ccodes[valid], len(uc))
+    return pa.table({
+        key_column: pa.array(uk[uc // len(uw)]),
+        "window_start": pa.array(uw[uc % len(uw)]).cast(pa.timestamp("us")),
+        "n_events": pa.array(np.bincount(ccodes, minlength=len(uc))
+                             .astype(np.int64)),
+        "limbs": pa.array(limbs_to_blobs(limbs), pa.binary()),
+    })
+
 
 def _ts_micros(ts: pa.Array) -> pa.Array:
     """Timestamp column -> int64 MICROSECONDS, any input resolution.
@@ -69,7 +109,8 @@ def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
 
     Vectorized bucketing inside map_batches (epoch-floor arithmetic), then a
     pre-aggregated combiner so the groupby shuffles one row per
-    (key, window) per batch.
+    (key, window) per batch. The value sum rides exact superaccumulator
+    limbs, so it is bit-identical across block layouts / parallelism.
     """
     from ray.data.aggregate import Sum
 
@@ -88,18 +129,17 @@ def tumbling_window_agg(events_ds, *, window_minutes: int = 60,
             value_column: batch[value_column],
         })
         # combiner: aggregate within the batch before the shuffle
-        return tbl.group_by([key_column, "window_start"]).aggregate(
-            [(value_column, "sum"), ([], "count_all")]
-        ).rename_columns([key_column, "window_start", "value_sum", "n_events"])
+        return _exact_window_partials(tbl, key_column, value_column)
 
     partial = events_ds.map_batches(bucketize, batch_format="pyarrow")
     out = partial.groupby([key_column, "window_start"]).aggregate(
-        Sum("value_sum", alias_name="value_sum"),
+        detsum_aggregate("limbs", alias_name="value_sum"),
         Sum("n_events", alias_name="n_events"),
     )
     df = out.to_pandas()
     if len(df) == 0:  # empty input: Ray returns a column-less frame
         return _empty_window_frame(key_column)
+    df = df[[key_column, "window_start", "value_sum", "n_events"]]
     return df.sort_values([key_column, "window_start"]).reset_index(drop=True)
 
 
@@ -224,18 +264,17 @@ def sliding_window_agg(events_ds, *, window_minutes: int = 60,
             "window_start": pa.array(starts).cast(pa.timestamp("us")),
             value_column: vals.take(idx),
         })
-        return tbl.group_by([key_column, "window_start"]).aggregate(
-            [(value_column, "sum"), ([], "count_all")]
-        ).rename_columns([key_column, "window_start", "value_sum", "n_events"])
+        return _exact_window_partials(tbl, key_column, value_column)
 
     partial = events_ds.map_batches(explode, batch_format="pyarrow")
     out = partial.groupby([key_column, "window_start"]).aggregate(
-        Sum("value_sum", alias_name="value_sum"),
+        detsum_aggregate("limbs", alias_name="value_sum"),
         Sum("n_events", alias_name="n_events"),
     )
     df = out.to_pandas()
     if len(df) == 0:
         return _empty_window_frame(key_column)
+    df = df[[key_column, "window_start", "value_sum", "n_events"]]
     return df.sort_values([key_column, "window_start"]).reset_index(drop=True)
 
 

@@ -146,3 +146,39 @@ def test_embedding_stats_bit_identical_across_layouts(ray_session):
         assert f["avg_norm"].tolist() == frames_n[0]["avg_norm"].tolist()
     for f in frames_c[1:]:
         assert f["centroid"].tolist() == frames_c[0]["centroid"].tolist()
+
+
+def test_window_sums_bit_identical_across_layouts(ray_session):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.windows import (
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], 2000),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, 2000), unit="s"),
+        # mixed magnitudes: a naive float Sum would drift across layouts
+        "value": rng.normal(size=2000) * 10.0 ** rng.integers(-6, 7, 2000),
+    })
+    frames_t, frames_s = [], []
+    for n_blocks in (1, 6, 50):
+        ds = ray.data.from_pandas(df).repartition(n_blocks)
+        frames_t.append(tumbling_window_agg(ds, window_minutes=60))
+        frames_s.append(sliding_window_agg(ds, window_minutes=60,
+                                           slide_minutes=30))
+    for f in frames_t[1:]:
+        assert f["value_sum"].tolist() == frames_t[0]["value_sum"].tolist()
+    for f in frames_s[1:]:
+        assert f["value_sum"].tolist() == frames_s[0]["value_sum"].tolist()
+    # and it's the correctly-rounded true sum, not just a stable one
+    g = df.assign(w=df["ts"].dt.floor("60min"))
+    want = {(k, w): math.fsum(v)
+            for (k, w), v in g.groupby(["event_type", "w"])["value"]}
+    got = frames_t[0]
+    for _, row in got.iterrows():
+        assert row["value_sum"] == want[(row["event_type"],
+                                         row["window_start"])]
