@@ -40,7 +40,8 @@ def _exact_window_partials(tbl: pa.Table, key_column: str,
     ws = _arr(tbl["window_start"]).to_numpy(zero_copy_only=False)
     vcol = _arr(tbl[value_column])
     if len(keys) == 0:
-        return pa.table({key_column: pa.array([], pa.string()),
+        return pa.table({key_column: pa.array([], tbl.schema
+                                              .field(key_column).type),
                          "window_start": pa.array([], pa.timestamp("us")),
                          "n_events": pa.array([], pa.int64()),
                          "limbs": pa.array([], pa.binary())})
