@@ -56,6 +56,15 @@ def accumulate_limbs(values: np.ndarray, key_idx: np.ndarray | None = None,
     row (``None`` = single key). Raises on non-finite input — an exact sum
     of infinities/NaNs is not meaningful and silently absorbing them would
     hide upstream bugs.
+
+    The accumulator is ``n_keys x 68 x 8`` bytes — sized for
+    bounded-cardinality aggregates (stats per label/window/source, global
+    folds; ~0.5 KB per key). A float sum keyed by a HIGH-cardinality
+    column should pre-bucket per batch (each batch only pays for ITS
+    distinct keys, as the embedding/window combiners do) so no single
+    call sees the full key space. Throughput ~7-10 M values/s/core
+    (quiet box) — ~10x a naive float sum, the price of exactness; keep
+    it off token-scale hot paths.
     """
     x = np.ascontiguousarray(values, dtype=np.float64)
     if x.size and not np.isfinite(x).all():
@@ -78,9 +87,27 @@ def accumulate_limbs(values: np.ndarray, key_idx: np.ndarray | None = None,
         c2 = (hi >> np.uint64(32)).astype(np.int64) * sign
         base = limb if key_idx is None else \
             np.asarray(key_idx, dtype=np.int64) * N_LIMBS + limb
-        np.add.at(acc, base, c0)
-        np.add.at(acc, base + 1, c1)
-        np.add.at(acc, base + 2, c2)
+        # scatter-add via chunked bincount with float64 weights — ~100x
+        # faster than np.add.at and still EXACT: chunk values < 2**33 and
+        # chunks of <= 2**19 rows bound every partial sum below 2**52,
+        # inside float64's exact-integer range; int64 accumulation between
+        # chunks carries no rounding at all. bincount is O(n + n_keys *
+        # N_LIMBS) per chunk, so fall back to np.add.at (exact, slower)
+        # when the key space dwarfs the chunk
+        size = acc.shape[0]
+        if size <= max(1 << 22, 8 * x.size):
+            for lo in range(0, x.size, 1 << 19):
+                hi = lo + (1 << 19)
+                b = base[lo:hi]
+                for off, c in ((0, c0), (1, c1), (2, c2)):
+                    acc += np.bincount(b + off,
+                                       weights=c[lo:hi]
+                                       .astype(np.float64),
+                                       minlength=size).astype(np.int64)
+        else:
+            np.add.at(acc, base, c0)
+            np.add.at(acc, base + 1, c1)
+            np.add.at(acc, base + 2, c2)
     return normalize_limbs(acc.reshape(n_keys, N_LIMBS))
 
 
