@@ -192,6 +192,14 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     matter the corpus size); the scoring stage broadcasts (centroids, queries)
     once and each batch scores only rows whose cell is probed by some query.
     At nprobe == n_cells this degrades gracefully to brute force.
+
+    Layout sensitivity (by design): the training sample's bottom-k tag ties
+    resolve by block arrival, so the trained centroids — and therefore the
+    probed cells at nprobe < n_cells — can differ across block layouts /
+    parallelism levels. Results stay within the documented recall envelope;
+    the layout-INVARIANT twin is ``nprobe == n_cells`` (``ann_topk_ivf_exact``
+    in the query surface), which is bit-identical across parallelism
+    (COVERAGE.md determinism matrix).
     """
     import ray
 

@@ -1,7 +1,15 @@
 """Quantile pipelines: t-digest and KLL over a numeric column, global or
 per key (approximate, published rank-error bounds; asserted against exact
 quantiles in tests), plus EXACT distributed quantiles for discrete columns
-via value-count aggregation (oracle-checkable against SQL quantile_disc)."""
+via value-count aggregation (oracle-checkable against SQL quantile_disc).
+
+Layout sensitivity (by design): t-digest/KLL compaction depends on
+insertion and merge order, so sketch-path quantiles can differ across
+block layouts / parallelism levels — always within the rank-error bound
+(pinned by the ``ntok_quantile_rank_errors`` oracle). The layout-invariant
+twin is the exact value-count path (``exact_quantiles`` /
+``ntok_quantiles_exact_by_source`` — bit-identical across parallelism;
+COVERAGE.md determinism matrix)."""
 
 from __future__ import annotations
 

@@ -5,6 +5,13 @@ the global sample falls out of the same partial/combiner-tree scaffold the
 HLL pipelines use: per-batch partial reservoirs -> two-level merge_block
 tree -> one k-row sample on the driver. No shuffle, no corpus
 materialization; every moved row is one of the <= k survivors of its block.
+
+Layout sensitivity (by design): reservoir/weighted-reservoir draws depend
+on per-partial RNG streams and merge order, so the selected sample can
+differ across block layouts / parallelism levels (the inclusion
+DISTRIBUTION is pinned by tests). The layout-invariant deterministic twin
+is ``stratified_sample_by_key`` (seeded bottom-k by key — bit-identical
+across parallelism; COVERAGE.md determinism matrix).
 """
 
 from __future__ import annotations
