@@ -73,6 +73,18 @@ def test_carry_headroom():
     assert reproducible_sum(x) == math.fsum(x)
 
 
+def test_addat_fallback_path_matches():
+    # key space > max(2^22, 8*n) routes through the np.add.at fallback;
+    # it must agree bit-exactly with the bincount path and math.fsum
+    rng = np.random.default_rng(21)
+    n_keys = (1 << 22) // N_LIMBS + 50  # size just over the 2^22 threshold
+    x = rng.normal(size=200) * 10.0 ** rng.integers(-50, 50, 200)
+    keys = rng.integers(0, n_keys, 200)
+    limbs = accumulate_limbs(x, keys, n_keys)
+    for k in np.unique(keys):
+        assert limbs_to_float(limbs[k]) == math.fsum(x[keys == k])
+
+
 def test_nonfinite_raises():
     with pytest.raises(ValueError):
         reproducible_sum(np.array([1.0, np.inf]))
