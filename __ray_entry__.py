@@ -1934,17 +1934,21 @@ def _q_stratified_sample_by_source(sf_dir: str):
 
 
 def _q_reservoir_sample_ntok(sf_dir: str):
-    """Mergeable bottom-k reservoir over doc n_chars (rows-only: the sample
-    is random; uniformity is pytest-asserted)."""
+    """Deterministic uniform bottom-k sample over doc n_chars, keyed by
+    splitmix64 priority of doc_id (sketches/priority_sample.py): the sample
+    is a pure function of the row set — bit-identical across parallelism
+    AND SQL-oracle-able (the oracle reproduces the splitmix64 chain via
+    32-bit-split modular multiplication; see _mix64_tag_sql)."""
     import ray.data
 
     from cardinalityestimation_ray.pipelines.sampling import (
-        reservoir_sample_summary,
+        priority_sample_summary,
     )
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["n_chars"])
-    return reservoir_sample_summary(docs, "n_chars", k=256)
+                                 columns=["doc_id", "n_chars"])
+    return priority_sample_summary(docs, "n_chars", "doc_id",
+                                   k=256, seed=_SAMPLE_SEED)
 
 
 def _q_incremental_distinct_docs(sf_dir: str):
@@ -2005,17 +2009,23 @@ def _q_bigram_heavy_hitters(sf_dir: str):
 
 
 def _q_weighted_sample_nchars(sf_dir: str):
-    """Quality-weighted (n_chars-weighted) A-ES doc sample (rows-only:
-    random sample; weight-proportional inclusion pytest-asserted)."""
+    """Quality-weighted (n_chars-weighted) deterministic A-ES doc sample:
+    E&S keys with hash-derived u (sketches/priority_sample.py), so the
+    sample is layout-invariant and rerun-reproducible. Still rows-only —
+    the selection crosses log(), whose last-bit behavior differs between
+    numpy's vectorized kernel and DuckDB's libm — but inclusion
+    distribution and bit-identity across layouts are pytest-asserted."""
     import ray.data
 
     from cardinalityestimation_ray.pipelines.sampling import (
-        weighted_sample_summary,
+        weighted_priority_sample_summary,
     )
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
-    return weighted_sample_summary(docs, "doc_id", "n_chars", k=128)
+    return weighted_priority_sample_summary(docs, "doc_id", "n_chars",
+                                            "doc_id", k=128,
+                                            seed=_SAMPLE_SEED)
 
 
 def _q_theta_token_set_ops(sf_dir: str):
@@ -2176,6 +2186,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_nchars": _q_weighted_sample_nchars,
         "bigram_heavy_hitters": _q_bigram_heavy_hitters,
     }
+
+
+#: shared seed for the deterministic sampling queries (engine + oracle)
+_SAMPLE_SEED = 7
+
+
+def _mix64_tag_sql(src_select: str, seed: int) -> str:
+    """SQL reproducing ``sketches.priority_sample.priorities_for_ids``
+    bit-exactly: splitmix64(uint64(id) XOR splitmix64(seed)) as a chain of
+    named subquery steps. ``src_select`` must yield columns (val, id); the
+    result yields (val, tag). u64 arithmetic runs on HUGEINT mod 2**64;
+    u64×u64 products overflow INT128, so each multiply splits the variable
+    operand into 32-bit halves (a*b = a_lo*b_lo + ((a_lo*b_hi + a_hi*b_lo)
+    mod 2**32) << 32 mod 2**64 — every intermediate < 2**96). Negative ids
+    reinterpret via two's complement (+2**64), matching the numpy view.
+    Pinned against the numpy kernel in tests/test_priority_sampling.py."""
+    m64 = 1 << 64
+    gamma = 0x9E3779B97F4A7C15
+    seed_mix = _splitmix64_py(seed)
+
+    def mulmod(z: str, c: int) -> str:
+        clo, chi = c & 0xFFFFFFFF, c >> 32
+        return (f"((({z}) % 4294967296) * {clo} + "
+                f"(((({z}) % 4294967296) * {chi} + "
+                f"(({z}) // 4294967296) * {clo}) % 4294967296) "
+                f"* 4294967296) % {m64}")
+
+    def xorshift(z: str, s: int) -> str:
+        return f"xor(({z})::UBIGINT, ({z})::UBIGINT >> {s})::HUGEINT"
+
+    id_u = ("(CASE WHEN id < 0 THEN id::HUGEINT + 18446744073709551616 "
+            "ELSE id::HUGEINT END)")
+    z0 = (f"xor(({id_u})::UBIGINT, {seed_mix})::HUGEINT" if seed
+          else id_u)
+    return f"""
+        SELECT val, (xor(z5::UBIGINT, z5::UBIGINT >> 31))::UBIGINT AS tag
+        FROM (SELECT val, {mulmod('z4', 0x94D049BB133111EB)} AS z5
+        FROM (SELECT val, {xorshift('z3', 27)} AS z4
+        FROM (SELECT val, {mulmod('z2', 0xBF58476D1CE4E5B9)} AS z3
+        FROM (SELECT val, {xorshift('z1', 30)} AS z2
+        FROM (SELECT val, ({z0} + {gamma}) % {m64} AS z1
+        FROM ({src_select}))))))
+    """
+
+
+def _splitmix64_py(x: int) -> int:
+    mask = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & mask
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+    return z ^ (z >> 31)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3105,8 +3166,24 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
                        AS n_intersection
         """,
-        # reservoir_sample_ntok: random sample -> rows-only check
-        # (uniformity pytest-asserted)
+        # weighted_sample_nchars: deterministic (layout-invariant) but the
+        # E&S selection crosses log() -> rows-only; bit-identity and
+        # inclusion distribution pytest-asserted
+        "reservoir_sample_ntok": f"""
+            WITH src AS (
+                SELECT n_chars::DOUBLE AS val, doc_id AS id
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            tagged AS ({_mix64_tag_sql("SELECT * FROM src", _SAMPLE_SEED)}),
+            sel AS (SELECT val FROM tagged ORDER BY tag, val LIMIT 256)
+            SELECT (SELECT count(*) FROM src)::BIGINT AS n_total,
+                   count(*)::BIGINT AS n_sample,
+                   256::BIGINT AS k,
+                   min(val)::DOUBLE AS sample_min,
+                   max(val)::DOUBLE AS sample_max
+            FROM sel
+        """,
         # doc_quality_scores / minhash_dedup_pairs / simhash_dedup_pairs /
         # embedding_dup_pairs / ann_topk_ivf: approximate or probabilistic
         # recall -> rows-only checks (planted-duplicate recall and bounds are

@@ -6,12 +6,13 @@ HLL pipelines use: per-batch partial reservoirs -> two-level merge_block
 tree -> one k-row sample on the driver. No shuffle, no corpus
 materialization; every moved row is one of the <= k survivors of its block.
 
-Layout sensitivity (by design): reservoir/weighted-reservoir draws depend
-on per-partial RNG streams and merge order, so the selected sample can
-differ across block layouts / parallelism levels (the inclusion
-DISTRIBUTION is pinned by tests). The layout-invariant deterministic twin
-is ``stratified_sample_by_key`` (seeded bottom-k by key — bit-identical
-across parallelism; COVERAGE.md determinism matrix).
+Layout sensitivity: reservoir/weighted-reservoir draws depend on
+per-partial RNG streams and merge order, so the selected sample can differ
+across block layouts / parallelism levels (the inclusion DISTRIBUTION is
+pinned by tests). The layout-INVARIANT twins are the hash-priority
+samplers below (``priority_sample_column`` /
+``weighted_priority_sample_column`` — deterministic functions of the row
+set, bit-identical at any parallelism; COVERAGE.md determinism matrix).
 """
 
 from __future__ import annotations
@@ -160,5 +161,127 @@ def weighted_sample_summary(ds, value_column: str, weight_column: str, *,
         "n_sample": [int(len(samp))],
         "k": [int(k)],
         "total_weight": [float(rs.total_weight)],
+        "sample_mean": [float(samp.mean()) if len(samp) else float("nan")],
+    })
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (layout-invariant) samplers — hash-priority bottom-k.
+# Same distributed shape as the RNG reservoirs above (per-batch partials,
+# <= k survivors per block, combiner tree), but the selected sample is a
+# PURE FUNCTION of the row set (sketches/priority_sample.py): bit-identical
+# across block layouts / parallelism, reproducible across reruns, and — for
+# the uniform variant — SQL-oracle-able.
+
+def priority_sample_column(ds, value_column: str, id_column: str, *,
+                           k: int = 1024, seed: int = 0):
+    """Deterministic uniform k-sample of ``value_column``, keyed by hash
+    priority of ``id_column`` (unique non-null ids; nulls in id OR value
+    drop the row — SQL semantics, stated in any oracle). Returns
+    (PrioritySample, n_rows_sampled_from)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sketches.priority_sample import PrioritySample
+    from ..stages.sketch_stages import tree_merge_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(batch[id_column]),
+                        pc.is_valid(batch[value_column]))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        vals = batch[value_column].to_numpy(
+            zero_copy_only=False).astype("float64")
+        s = PrioritySample(k=k, seed=seed)
+        s.add_tagged(ids, vals)
+        return pa.table({
+            "sketch": pa.array([s.to_bytes()], type=pa.binary()),
+            "n_added": pa.array([len(vals)], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    s, total = tree_merge_partials(partials, "priority_sample")
+    if s is None:
+        s = PrioritySample(k=k, seed=seed)
+    return s, total
+
+
+def priority_sample_summary(ds, value_column: str, id_column: str, *,
+                            k: int = 1024, seed: int = 0) -> pd.DataFrame:
+    """Driver-facing summary of the deterministic uniform sample — every
+    column is a pure function of the data, so the whole row is
+    oracle-checkable (ORDER BY mix64(id) LIMIT k in SQL)."""
+    s, total = priority_sample_column(ds, value_column, id_column,
+                                      k=k, seed=seed)
+    samp = s.sample()
+    return pd.DataFrame({
+        "n_total": [int(total)],
+        "n_sample": [int(len(samp))],
+        "k": [int(k)],
+        "sample_min": [float(samp.min()) if len(samp) else float("nan")],
+        "sample_max": [float(samp.max()) if len(samp) else float("nan")],
+    })
+
+
+def weighted_priority_sample_column(ds, value_column: str,
+                                    weight_column: str, id_column: str, *,
+                                    k: int = 1024, seed: int = 0):
+    """Deterministic weight-proportional k-sample (E&S keys with
+    hash-derived u). Row exclusion matches weighted_sample_column: null
+    id/value/weight and non-finite or negative weights drop the ROW;
+    weight-0 rows count toward n/total_weight but are never sampled.
+    Returns (WeightedPrioritySample, n_rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sketches.priority_sample import WeightedPrioritySample
+    from ..stages.sketch_stages import tree_merge_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.and_(pc.is_valid(batch[id_column]),
+                    pc.is_valid(batch[value_column])),
+            pc.is_valid(batch[weight_column]))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        vals = batch[value_column].to_numpy(
+            zero_copy_only=False).astype("float64")
+        wts = batch[weight_column].to_numpy(
+            zero_copy_only=False).astype("float64")
+        good = np.isfinite(wts) & (wts >= 0)
+        if not good.all():
+            ids, vals, wts = ids[good], vals[good], wts[good]
+        s = WeightedPrioritySample(k=k, seed=seed)
+        s.add_weighted(ids, vals, wts)
+        return pa.table({
+            "sketch": pa.array([s.to_bytes()], type=pa.binary()),
+            "n_added": pa.array([len(vals)], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    s, total = tree_merge_partials(partials, "weighted_priority_sample")
+    if s is None:
+        s = WeightedPrioritySample(k=k, seed=seed)
+    return s, total
+
+
+def weighted_priority_sample_summary(ds, value_column: str,
+                                     weight_column: str, id_column: str, *,
+                                     k: int = 1024,
+                                     seed: int = 0) -> pd.DataFrame:
+    """Summary of the deterministic weighted sample. total_weight rides the
+    exact superaccumulator and sample_mean is computed over the canonical
+    selection order, so the frame is bit-identical across layouts (the
+    SELECTION itself crosses log(), hence no SQL oracle — rows-only)."""
+    s, total = weighted_priority_sample_column(
+        ds, value_column, weight_column, id_column, k=k, seed=seed)
+    samp = s.sample()
+    return pd.DataFrame({
+        "n_total": [int(total)],
+        "n_sample": [int(len(samp))],
+        "k": [int(k)],
+        "total_weight": [float(s.total_weight)],
         "sample_mean": [float(samp.mean()) if len(samp) else float("nan")],
     })

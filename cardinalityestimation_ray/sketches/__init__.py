@@ -10,6 +10,7 @@ from .bloom import BloomFilter
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .priority_sample import PrioritySample, WeightedPrioritySample
 from .reservoir import ReservoirSample, WeightedReservoirSample
 from .tdigest import TDigest
 from .theta import ThetaSketch
@@ -23,8 +24,10 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLLSketch",
+    "PrioritySample",
     "ReservoirSample",
     "ThetaSketch",
+    "WeightedPrioritySample",
     "WeightedReservoirSample",
     "constants",
     "hashing",
