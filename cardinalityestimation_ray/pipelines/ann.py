@@ -50,6 +50,19 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _exact_cosine(rows_f4: np.ndarray, q_f8: np.ndarray) -> np.ndarray:
+    """Layout-invariant cosine for the REPORTED winners: elementwise
+    multiply + numpy's fixed-order pairwise sum over d. The selection GEMM
+    (``x @ q.T``) reduces in a shape-dependent order — batch height varies
+    with block layout / parallelism, so its low bits drifted across runs
+    (observed: ann_topk_ivf hashed differently at 8 vs 32 CPUs with
+    identical ids/ranks). Recomputing only the <= k*q selected pairs per
+    batch costs nothing and makes the emitted value a pure per-row
+    function. ``rows_f4`` is the normalized float32 winner block; ``q_f8``
+    one query vector (d,) or a matching (m, d) block."""
+    return (rows_f4.astype(np.float64) * q_f8).sum(axis=1)
+
+
 def _finalize_topk(partials: pd.DataFrame, k: int,
                    id_column: str) -> pd.DataFrame:
     """Driver-side final top-k over the tiny candidate set
@@ -91,6 +104,7 @@ def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
     class Score:
         def __init__(self):
             self.q = ray.get(qref)  # fetched once per actor, not per batch
+            self.q64 = self.q.astype(np.float64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             x = _normalize(_to_matrix(batch[vector_column]).astype(np.float32))
@@ -110,11 +124,11 @@ def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
             qn = sims.shape[1]
             qid = np.repeat(np.arange(qn, dtype=np.int64), kk)
             rows = top.T.reshape(-1)  # query-major
+            qcols = np.repeat(np.arange(qn), kk)
             return pa.table({
                 "query_id": pa.array(qid),
                 id_column: pa.array(ids[rows].astype(np.int64)),
-                "cosine": pa.array(sims[rows, np.repeat(np.arange(qn), kk)]
-                                   .astype(np.float64)),
+                "cosine": pa.array(_exact_cosine(x[rows], self.q64[qcols])),
             })
 
     partials = emb_ds.map_batches(Score, batch_format="pyarrow",
@@ -193,13 +207,18 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     once and each batch scores only rows whose cell is probed by some query.
     At nprobe == n_cells this degrades gracefully to brute force.
 
-    Layout sensitivity (by design): the training sample's bottom-k tag ties
-    resolve by block arrival, so the trained centroids — and therefore the
-    probed cells at nprobe < n_cells — can differ across block layouts /
-    parallelism levels. Results stay within the documented recall envelope;
-    the layout-INVARIANT twin is ``nprobe == n_cells`` (``ann_topk_ivf_exact``
-    in the query surface), which is bit-identical across parallelism
-    (COVERAGE.md determinism matrix).
+    Determinism: the training sample is a pure function of the row set
+    (splitmix64 tags are a bijection of unique ids — no ties), k-means from
+    it is seeded numpy on the driver, and the reported cosine is the
+    layout-invariant :func:`_exact_cosine` recompute — so the output is
+    bit-identical across block layouts / parallelism levels (COVERAGE.md
+    determinism matrix; before the recompute, GEMM's shape-dependent
+    reduction drifted the cosine low bits at 8 vs 32 CPUs). Residual
+    caveat: a 1-ulp near-tie at a cell-assignment or local-selection
+    boundary could still flip a candidate between layouts — inherent to
+    approximate search over float scores, never observed at test scale;
+    ``nprobe == n_cells`` (``ann_topk_ivf_exact``) remains the exact-recall
+    regime the oracle checks.
     """
     import ray
 
@@ -219,6 +238,7 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     class Score:
         def __init__(self):
             self.q, self.centers, self.probe = ray.get(bundle)
+            self.q64 = self.q.astype(np.float64)
             # cell -> query ids probing it
             self.cell_queries = {c: np.flatnonzero((self.probe == c).any(axis=1))
                                  for c in range(len(self.centers))}
@@ -250,7 +270,9 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
                     rows = top[:, qi]
                     out_qid.extend([int(qids[qi])] * len(rows))
                     out_id.extend(sub_ids[rows].tolist())
-                    out_cos.extend(sims[rows, qi].tolist())
+                    out_cos.extend(
+                        _exact_cosine(sub[rows],
+                                      self.q64[int(qids[qi])]).tolist())
             return pa.table({
                 "query_id": pa.array(out_qid, type=pa.int64()),
                 id_column: pa.array(out_id, type=pa.int64()),

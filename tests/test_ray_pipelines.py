@@ -294,6 +294,21 @@ def test_embedding_dedup_and_ann(_ray):
         assert set(ivf_full[ivf_full.query_id == qi]["vec_id"]) == \
             set(bf[bf.query_id == qi]["vec_id"])
 
+    # layout invariance incl. the reported cosine: GEMM's shape-dependent
+    # reduction used to drift the low bits with batch height (ann.py
+    # _exact_cosine recompute); frames must now be BIT-identical across
+    # block layouts for both paths
+    def make_n(blocks):
+        return ray.data.from_pandas(df).repartition(blocks)
+
+    bf7 = ann_topk_brute(make_n(7), queries, k=5)
+    pd.testing.assert_frame_equal(bf, bf7)
+    ivf7 = ann_topk_ivf(make_n(7), queries, k=5, n_cells=4, nprobe=4)
+    pd.testing.assert_frame_equal(ivf_full, ivf7)
+    ivf_part = ann_topk_ivf(make_n(1), queries, k=5, n_cells=4, nprobe=2)
+    ivf_part7 = ann_topk_ivf(make_n(7), queries, k=5, n_cells=4, nprobe=2)
+    pd.testing.assert_frame_equal(ivf_part, ivf_part7)
+
 
 # ---------------------------------------------------------------------------
 # text analysis + multimodal
