@@ -1,0 +1,139 @@
+"""Key-skew oracle parity (round-4 session 8).
+
+The driver's testdata is near-uniform — every source holds ~50 docs, every
+user a handful of events — so the HOT-KEY code paths (a giant per-key
+segmented scan, one group holding ~90% of the rows in a keyed combiner, a
+dedup bucket with hundreds of IDENTICAL texts, ANN selection where all
+candidates tie on cosine) had been reasoned about but never executed
+against the oracles until the round-4 skew sweep
+(`scripts/gen_skewed_testdata.py`), which surfaced 2 real divergences:
+
+- `exact_dup_pairs` star-collapsed a 167-doc identical-signature cluster
+  above `identical_cap` while its oracle asserts the full SQL self-join —
+  the control now pins a test-scale cap (all-pairs), with the capped/star
+  production semantics still covered by `minhash_dedup_keep*`.
+- `ntok_quantile_rank_errors` measured rank error against the ONE-SIDED
+  empirical CDF F(v); with 33% of docs tied at one n_tok a perfectly
+  correct quantile sits up to 0.33 rank away from q on F(v). The bound now
+  uses the tie-correct distance from q to the CDF step [F(v-), F(v)].
+
+This module regenerates the skewed tables into a tmp dir and runs one
+representative query per hot-key class through the same dtype-sensitive
+compare the standalone sweep uses. Full-surface skew runs stay in the
+script (`--sf /tmp/sf_skew`; expected 88/91 — the 3 reds are per-source
+distinct-DOC estimates whose hot source holds 440 >> 100 distinct docs,
+past the direct-exact regime the count(DISTINCT) oracles rely on, same
+class as the documented sf0.1 matrix).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _load(modname: str, relpath: str):
+    spec = importlib.util.spec_from_file_location(modname, REPO / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    gen = _load("gen_skewed_testdata", "scripts/gen_skewed_testdata.py")
+    out = tmp_path_factory.mktemp("sf_skew")
+    import pyarrow.parquet as pq
+
+    for name in gen.TABLES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
+        fn = gen.SKEW.get(name)
+        if fn is not None:
+            tbl = fn(tbl)
+        pq.write_table(tbl, out / f"{name}.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def harness():
+    return _load("check_oracles_mod", "scripts/check_oracles.py")
+
+
+@pytest.fixture(scope="module")
+def oracle_con(skew_dir, harness):
+    con = duckdb.connect()
+    for t in harness.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{skew_dir}/{t}.parquet')")
+    return con
+
+
+def test_skew_is_actually_planted(skew_dir):
+    """Guard the fixture: the hot-key shapes the classes below rely on."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{skew_dir}/documents.parquet")
+    src = collections.Counter(docs["source"].to_pylist())
+    assert src["hot-source"] >= 400          # one source holds ~90%
+    assert len(src) == 21                    # every original source survives
+    texts = docs["text"].to_pylist()
+    assert sum(1 for t in texts if t == texts[0]) == 167  # identical cluster
+    events = pq.read_table(f"{skew_dir}/events.parquet")
+    uid = collections.Counter(events["user_id"].to_pylist())
+    assert uid.most_common(1)[0][1] >= 900   # one user holds ~90% of events
+    emb = pq.read_table(f"{skew_dir}/embeddings.parquet")
+    vecs = emb["embedding"].to_pylist()
+    assert sum(1 for v in vecs if v == vecs[0]) == 250  # identical vectors
+
+
+#: one query per hot-key class:
+#: - exact_dup_pairs: 167-doc identical cluster -> C(167,2) all-pairs at the
+#:   control's test-scale identical_cap (the round-4 session-8 fix)
+#: - ntok_quantile_rank_errors: 33% of docs tied at one n_tok -> tie-correct
+#:   CDF-step rank error (the round-4 session-8 fix)
+#: - exact_dedup_stats: keep-first over the giant cluster
+#: - token_topk_counts: doc 0's tokens dominate the corpus (hot heavy
+#:   hitters with deep tie regions)
+#: - rolling_event_value_mean: one user owns a ~900-row ordered segment
+#: - top_orders_per_customer: one customer owns ~1350 of 1500 orders
+#: - ann_topk: 250 identical vectors -> all candidates tie on cosine; the
+#:   (cosine desc, id asc) tie-break keeps the result well-defined
+QUERIES = [
+    "exact_dup_pairs",
+    "ntok_quantile_rank_errors",
+    "exact_dedup_stats",
+    "token_topk_counts",
+    "rolling_event_value_mean",
+    "top_orders_per_customer",
+    "ann_topk",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_skewed_oracle_parity(ray_session, skew_dir, harness, oracle_con,
+                              name):
+    import __ray_entry__ as entry
+
+    mine = harness._canon(harness._to_pandas(entry.queries()[name](skew_dir)))
+    ref = harness._canon(oracle_con.execute(entry.oracle_sql()[name]).fetchdf())
+    ok, why = harness._values_match(mine, ref)
+    assert ok, f"{name}: {why}"
+    assert len(mine) > 0
+
+
+def test_exact_dup_pairs_covers_giant_cluster(ray_session, skew_dir):
+    """The control emits the FULL C(167,2) pair set (no star collapse at
+    the test-scale cap) — the skew sweep's headline catch."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["exact_dup_pairs"](skew_dir)
+    assert len(out) >= 167 * 166 // 2
