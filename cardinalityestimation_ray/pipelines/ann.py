@@ -63,6 +63,37 @@ def _exact_cosine(rows_f4: np.ndarray, q_f8: np.ndarray) -> np.ndarray:
     return (rows_f4.astype(np.float64) * q_f8).sum(axis=1)
 
 
+def _local_topk(x: np.ndarray, ids: np.ndarray, q_f4: np.ndarray,
+                q64: np.ndarray, kk: int):
+    """Per-batch top-kk per query by the layout-invariant
+    (exact cosine desc, id asc) order — GEMM as a PREFILTER only.
+
+    The float32 GEMM's low bits depend on row position and kernel shape
+    (observed: an sgemm edge column gave one row of a 250-way EXACT tie a
+    1-ulp-high score, so raw-GEMM selection ejected the id the global
+    tie-break prefers — skewed-base ann_topk_ivf_exact divergence, round-4
+    session 8). So: keep every row within a d*eps margin of the kk-th GEMM
+    score, recompute the exact per-row float64 cosine on those candidates
+    (:func:`_exact_cosine`), and rank by (exact desc, id asc). The margin
+    (8x the classic d*eps forward-error bound on a float32 dot of unit
+    vectors) guarantees the exact top-kk survive the prefilter; candidate
+    counts stay O(kk + tie-cluster), so the recompute is negligible.
+
+    Yields (query_index, selected_ids, exact_cosines) per query.
+    """
+    if kk <= 0 or len(ids) == 0:
+        return
+    sims = x @ q_f4.T  # (n, q) float32 prefilter
+    n, nq = sims.shape
+    margin = np.float32(8 * x.shape[1] * np.finfo(np.float32).eps)
+    kth = -np.partition(-sims, kk - 1, axis=0)[kk - 1]  # (q,), kk <= n
+    for qi in range(nq):
+        cand = np.flatnonzero(sims[:, qi] >= kth[qi] - margin)
+        ex = _exact_cosine(x[cand], q64[qi])
+        order = np.lexsort((ids[cand], -ex))[:kk]
+        yield qi, ids[cand[order]], ex[order]
+
+
 def _finalize_topk(partials: pd.DataFrame, k: int,
                    id_column: str) -> pd.DataFrame:
     """Driver-side final top-k over the tiny candidate set
@@ -108,27 +139,22 @@ def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             x = _normalize(_to_matrix(batch[vector_column]).astype(np.float32))
-            ids = batch[id_column].to_numpy(zero_copy_only=False)
-            # deterministic under cosine TIES (round-3 review fix —
-            # argpartition kept an arbitrary tied subset, so duplicate
-            # embeddings could eject the id the driver tie-break prefers):
-            # order rows by id once, then a STABLE sort by -cosine resolves
-            # ties to the smaller id, matching the driver's final
-            # (cosine desc, id asc) ordering.
-            id_order = np.argsort(ids, kind="stable")
-            x = x[id_order]
-            ids = ids[id_order]
-            sims = x @ self.q.T  # (n, q)
-            kk = min(k, sims.shape[0])
-            top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, q)
-            qn = sims.shape[1]
-            qid = np.repeat(np.arange(qn, dtype=np.int64), kk)
-            rows = top.T.reshape(-1)  # query-major
-            qcols = np.repeat(np.arange(qn), kk)
+            ids = (batch[id_column].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            kk = min(k, len(ids))
+            out_qid, out_id, out_cos = [], [], []
+            # _local_topk selects by (exact cosine desc, id asc) — a pure
+            # per-row function, so duplicate embeddings and GEMM low-bit
+            # drift can't eject the id the driver tie-break prefers
+            for qi, sel_ids, sel_cos in _local_topk(x, ids, self.q,
+                                                    self.q64, kk):
+                out_qid.extend([qi] * len(sel_ids))
+                out_id.extend(sel_ids.tolist())
+                out_cos.extend(sel_cos.tolist())
             return pa.table({
-                "query_id": pa.array(qid),
-                id_column: pa.array(ids[rows].astype(np.int64)),
-                "cosine": pa.array(_exact_cosine(x[rows], self.q64[qcols])),
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                id_column: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_cos, type=pa.float64()),
             })
 
     partials = emb_ds.map_batches(Score, batch_format="pyarrow",
@@ -245,15 +271,8 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             x = _normalize(_to_matrix(batch[vector_column]).astype(np.float32))
-            ids = batch[id_column].to_numpy(zero_copy_only=False)
-            # deterministic under cosine ties, same pattern as brute: rows
-            # ascend by id, stable sort by -cosine keeps the smaller id —
-            # matching the driver's final (cosine desc, id asc) tie-break
-            # (matters in the nprobe == n_cells exact regime the oracle
-            # checks; argpartition kept an arbitrary tied subset)
-            id_order = np.argsort(ids, kind="stable")
-            x = x[id_order]
-            ids = ids[id_order]
+            ids = (batch[id_column].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
             cells = np.argmax(x @ self.centers.T, axis=1)
             out_qid, out_id, out_cos = [], [], []
             for c in np.unique(cells):
@@ -263,16 +282,16 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
                 mask = cells == c
                 sub = x[mask]
                 sub_ids = ids[mask]
-                sims = sub @ self.q[qids].T  # (m, nq)
-                kk = min(k, sims.shape[0])
-                top = np.argsort(-sims, axis=0, kind="stable")[:kk]
-                for qi in range(len(qids)):
-                    rows = top[:, qi]
-                    out_qid.extend([int(qids[qi])] * len(rows))
-                    out_id.extend(sub_ids[rows].tolist())
-                    out_cos.extend(
-                        _exact_cosine(sub[rows],
-                                      self.q64[int(qids[qi])]).tolist())
+                kk = min(k, len(sub_ids))
+                # _local_topk selects by (exact cosine desc, id asc) — a
+                # pure per-row function, so GEMM low-bit drift can't eject
+                # the id the driver tie-break prefers (matters in the
+                # nprobe == n_cells exact regime the oracle checks)
+                for qi, sel_ids, sel_cos in _local_topk(
+                        sub, sub_ids, self.q[qids], self.q64[qids], kk):
+                    out_qid.extend([int(qids[qi])] * len(sel_ids))
+                    out_id.extend(sel_ids.tolist())
+                    out_cos.extend(sel_cos.tolist())
             return pa.table({
                 "query_id": pa.array(out_qid, type=pa.int64()),
                 id_column: pa.array(out_id, type=pa.int64()),

@@ -130,6 +130,82 @@ def test_skewed_oracle_parity(ray_session, skew_dir, harness, oracle_con,
     assert len(mine) > 0
 
 
+@pytest.fixture(scope="module")
+def skew01_dir(tmp_path_factory):
+    """Skewed twin of sf0.01 — the base where the sgemm edge-column 1-ulp
+    tie-break artifact actually manifested (data-dependent; the sf0.001
+    skew passed even before the fix)."""
+    gen = _load("gen_skewed_testdata01", "scripts/gen_skewed_testdata.py")
+    out = tmp_path_factory.mktemp("sf_skew01")
+    import pyarrow.parquet as pq
+
+    for name in gen.TABLES:
+        tbl = pq.read_table(f"/root/testdata/sf0.01/{name}.parquet")
+        fn = gen.SKEW.get(name)
+        if fn is not None:
+            tbl = fn(tbl)
+        pq.write_table(tbl, out / f"{name}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", ["ann_topk", "ann_topk_ivf_exact"])
+def test_ann_parity_on_10x_skew(ray_session, skew01_dir, harness, name):
+    """End-to-end repro of the round-4 session-8 GEMM-tie selection bug:
+    on the sf0.01 skew base, one row of the 250-way identical-vector tie
+    got a 1-ulp-high float32 GEMM score (sgemm edge-column reduction) and
+    raw-GEMM local selection ejected the id the global (exact cosine desc,
+    id asc) tie-break prefers. Selection now prefilters with the GEMM and
+    re-ranks candidates by the exact per-row float64 cosine."""
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in harness.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{skew01_dir}/{t}.parquet')")
+    mine = harness._canon(
+        harness._to_pandas(entry.queries()[name](skew01_dir)))
+    ref = harness._canon(con.execute(entry.oracle_sql()[name]).fetchdf())
+    ok, why = harness._values_match(mine, ref)
+    assert ok, f"{name}: {why}"
+    assert len(mine) > 0
+
+
+def test_local_topk_matches_float64_reference():
+    """Contract of the ANN local selection: a pure per-row function —
+    identical output to brute-force float64 scoring with the
+    (exact cosine desc, id asc) tie-break, on inputs with a giant exact
+    tie cluster AND near-ties at the k boundary (the regime where raw
+    float32 GEMM selection misorders)."""
+    import numpy as np
+
+    from cardinalityestimation_ray.pipelines.ann import (
+        _exact_cosine,
+        _local_topk,
+        _normalize,
+    )
+
+    rng = np.random.default_rng(42)
+    d, k = 64, 5
+    base = rng.standard_normal((250, d)).astype(np.float32)
+    v0 = base[0:1]
+    x = np.concatenate([base, np.repeat(v0, 250, axis=0)])  # 250-way tie
+    # near-ties at the boundary: rows within ~1 ulp of each other
+    jitter = v0 + np.float32(1e-7) * rng.standard_normal((20, d)).astype(
+        np.float32)
+    x = _normalize(np.concatenate([x, jitter]))
+    ids = rng.permutation(len(x)).astype(np.int64)  # ids not row-ordered
+    q_f4 = _normalize(np.concatenate([v0, base[3:5]]))
+    q64 = q_f4.astype(np.float64)
+
+    got = {qi: (sel.tolist(), cos.tolist())
+           for qi, sel, cos in _local_topk(x, ids, q_f4, q64, k)}
+    for qi in range(len(q_f4)):
+        exact = _exact_cosine(x, q64[qi])
+        order = np.lexsort((ids, -exact))[:k]
+        assert got[qi][0] == ids[order].tolist(), f"query {qi}"
+        assert got[qi][1] == exact[order].tolist(), f"query {qi}"
+
+
 def test_exact_dup_pairs_covers_giant_cluster(ray_session, skew_dir):
     """The control emits the FULL C(167,2) pair set (no star collapse at
     the test-scale cap) — the skew sweep's headline catch."""
