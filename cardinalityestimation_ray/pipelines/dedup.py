@@ -220,7 +220,8 @@ def _empty_pairs(value_col: str, dtype: str) -> pd.DataFrame:
 def _verify_minhash_bucket(ids: np.ndarray, sigs: np.ndarray, texts,
                            *, threshold: float, verify: str, ngram: int = 8,
                            max_bucket: int, window: int,
-                           identical_cap: int) -> pd.DataFrame | None:
+                           identical_cap: int,
+                           emit_identical: bool = True) -> pd.DataFrame | None:
     """Verify one LSH bucket with bounded work (round-2 VERDICT fix: the
     old version was an unbounded O(k²) Python pair loop — a degenerate
     bucket of 10⁶ identical crawl pages cost 10¹² iterations in one task).
@@ -240,26 +241,38 @@ def _verify_minhash_bucket(ids: np.ndarray, sigs: np.ndarray, texts,
     Exact-text verification (char/word n-gram Jaccard) runs per CANDIDATE
     pair only, after the vectorized signature-estimate prefilter — and it
     is BATCHED: all candidate position pairs from both phases are collected
-    first, then one :func:`doc_distinct_grams` pass over the docs involved
-    plus one :func:`batched_pair_jaccard` call scores every pair with no
-    per-pair Python (round-3 verdict item #3).
+    first, then one :func:`doc_distinct_grams` pass over the UNIQUE texts
+    involved plus one :func:`batched_pair_jaccard` call over the unique
+    unordered text pairs scores everything with no per-pair Python
+    (round-3 verdict item #3; round-4: text-collapse, so a mass-duplicated
+    cluster costs one kernel self-pair, not C(k,2) kernel pairs).
+
+    ``emit_identical``: an identical-FULL-signature group lands in the same
+    bucket of EVERY band, so the caller emits its within-group (phase-1)
+    pairs from band 0 only — passing ``False`` here for bands > 0 removes a
+    ×num_bands duplicate-pair blowup on mass-duplicated corpora. Phase-2
+    (cross-group) candidates are NOT gated: two distinct signatures may
+    first collide in any band, and the windowed fallback makes "was it
+    emitted in an earlier band" order-dependent, so those duplicates are
+    still absorbed by the downstream groupby.
     """
     order, starts, counts = collapse_identical_rows(sigs)
 
     # phase 1: within identical-signature groups — candidate positions
     cand_x: list[np.ndarray] = []
     cand_y: list[np.ndarray] = []
-    for s, c in zip(starts, counts):
-        if c < 2:
-            continue
-        members = order[s:s + c]  # ascending id (stable sort, ids pre-sorted)
-        if c <= identical_cap:
-            ii, jj = np.triu_indices(c, k=1)
-        else:
-            ii = np.zeros(c - 1, dtype=np.int64)
-            jj = np.arange(1, c, dtype=np.int64)
-        cand_x.append(members[ii])
-        cand_y.append(members[jj])
+    if emit_identical:
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            members = order[s:s + c]  # ascending id (stable sort, ids pre-sorted)
+            if c <= identical_cap:
+                ii, jj = np.triu_indices(c, k=1)
+            else:
+                ii = np.zeros(c - 1, dtype=np.int64)
+                jj = np.arange(1, c, dtype=np.int64)
+            cand_x.append(members[ii])
+            cand_y.append(members[jj])
     n_ident = sum(len(x) for x in cand_x)
 
     # phase 2: across groups — unique signatures only
@@ -287,14 +300,26 @@ def _verify_minhash_bucket(ids: np.ndarray, sigs: np.ndarray, texts,
     if verify == "signature":
         sim = np.r_[np.ones(n_ident), cross_est]
     else:
-        # gram sets ONCE for the docs referenced by any pair, then one
-        # vectorized Jaccard over the whole candidate-pair array
+        # Jaccard is a pure function of the two texts: build gram sets
+        # once per UNIQUE text and score each unique unordered text pair
+        # once, then gather back onto the candidate array — an
+        # identical-text cluster's C(k,2) phase-1 pairs all collapse to
+        # one kernel self-pair (sim 1.0 by set identity)
         used = np.unique(np.concatenate([x, y]))
         remap = np.zeros(len(ids), dtype=np.int64)
         remap[used] = np.arange(len(used))
+        utexts, tinv = np.unique(
+            np.asarray([texts[i] for i in used], dtype=object),
+            return_inverse=True)
+        n_ut = np.int64(len(utexts))
+        gx = tinv[remap[x]]
+        gy = tinv[remap[y]]
+        key = np.minimum(gx, gy) * n_ut + np.maximum(gx, gy)
+        ukey, kinv = np.unique(key, return_inverse=True)
         grams, indptr = doc_distinct_grams(
-            [texts[i] for i in used], verify=verify, ngram=ngram)
-        sim = batched_pair_jaccard(grams, indptr, remap[x], remap[y])
+            list(utexts), verify=verify, ngram=ngram)
+        usim = batched_pair_jaccard(grams, indptr, ukey // n_ut, ukey % n_ut)
+        sim = usim[kinv]
 
     keep = sim >= threshold
     a = ids[x[keep]]
@@ -323,7 +348,7 @@ def _candidate_pairs_from_buckets(bucket_rows, id_column: str, num_perm: int,
         if len(dup) < 2:
             return _empty_pairs("similarity", "float64")
         frames = []
-        for (_, _), g in dup.groupby(["band", "band_hash"], sort=False):
+        for (band, _), g in dup.groupby(["band", "band_hash"], sort=False):
             g = g.drop_duplicates(subset=[id_column]).sort_values(id_column)
             if len(g) < 2:
                 continue
@@ -334,7 +359,8 @@ def _candidate_pairs_from_buckets(bucket_rows, id_column: str, num_perm: int,
             res = _verify_minhash_bucket(
                 ids, sigs, texts, threshold=threshold, verify=verify,
                 ngram=ngram, max_bucket=max_bucket, window=window,
-                identical_cap=identical_cap)
+                identical_cap=identical_cap,
+                emit_identical=(band == 0))
             if res is not None:
                 frames.append(res)
         if not frames:
@@ -659,30 +685,37 @@ class SimHashRows:
 
 def _verify_simhash_bucket(ids: np.ndarray, hashes: np.ndarray, *,
                            max_hamming: int, max_bucket: int, window: int,
-                           identical_cap: int) -> pd.DataFrame | None:
+                           identical_cap: int,
+                           emit_identical: bool = True) -> pd.DataFrame | None:
     """Bounded SimHash bucket verify (same three bounds as
     :func:`_verify_minhash_bucket`): identical hashes collapse to a
     representative (all-pairs within groups up to ``identical_cap``, min-id
     star above — Hamming distance 0 always qualifies); unique hashes compare
     vectorized pairwise up to ``max_bucket``, else via a sorted-by-full-hash
-    sliding window of width ``window``."""
+    sliding window of width ``window``.
+
+    ``emit_identical``: an identical-FULL-hash group collides in every band
+    (bands are bit slices of the same 64-bit hash), so the caller emits its
+    within-group pairs from band 0 only (same ×num_bands saving as the
+    minhash path; cross-group candidates stay ungated)."""
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
 
     order, starts, counts = collapse_identical_rows(hashes)
-    for s, c in zip(starts, counts):
-        if c < 2:
-            continue
-        members = order[s:s + c]
-        if c <= identical_cap:
-            ii, jj = np.triu_indices(c, k=1)
-        else:
-            ii = np.zeros(c - 1, dtype=np.int64)
-            jj = np.arange(1, c, dtype=np.int64)
-        out_a.append(ids[members[ii]])
-        out_b.append(ids[members[jj]])
-        out_d.append(np.zeros(len(ii), dtype=np.int64))
+    if emit_identical:
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            members = order[s:s + c]
+            if c <= identical_cap:
+                ii, jj = np.triu_indices(c, k=1)
+            else:
+                ii = np.zeros(c - 1, dtype=np.int64)
+                jj = np.arange(1, c, dtype=np.int64)
+            out_a.append(ids[members[ii]])
+            out_b.append(ids[members[jj]])
+            out_d.append(np.zeros(len(ii), dtype=np.int64))
 
     rep_pos = order[starts]
     m = len(rep_pos)
@@ -732,7 +765,7 @@ def simhash_dedup_pairs(docs_ds, *, max_hamming: int = 3, num_bands: int = 4,
         if len(dup) < 2:
             return _empty_pairs("hamming", "int64")
         frames = []
-        for (_, _), g in dup.groupby(["band", "band_hash"], sort=False):
+        for (band, _), g in dup.groupby(["band", "band_hash"], sort=False):
             g = g.drop_duplicates(subset=[id_column]).sort_values(id_column)
             if len(g) < 2:
                 continue
@@ -740,7 +773,8 @@ def simhash_dedup_pairs(docs_ds, *, max_hamming: int = 3, num_bands: int = 4,
             hashes = g["simhash"].to_numpy().astype(np.uint64)
             res = _verify_simhash_bucket(
                 ids, hashes, max_hamming=max_hamming, max_bucket=max_bucket,
-                window=window, identical_cap=identical_cap)
+                window=window, identical_cap=identical_cap,
+                emit_identical=(band == 0))
             if res is not None:
                 frames.append(res)
         if not frames:
