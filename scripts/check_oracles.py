@@ -189,6 +189,13 @@ def main() -> int:
                     help="write {name: {ok, rows, hash}} JSON of the "
                          "ENGINE results (exact content hash, row/col/"
                          "layout-order-independent) for cross-run compare")
+    ap.add_argument("--block-bytes", type=int, default=None,
+                    help="force DataContext.target_max_block_size to this "
+                         "many bytes (e.g. 262144) so reads/maps emit many "
+                         "tiny blocks — a block-BOUNDARY invariance sweep "
+                         "(batch-local combiners, window segmentation, "
+                         "tree merges see far more partials than the "
+                         "default 128 MiB layout ever produces)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -196,6 +203,10 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.cpus,
                  include_dashboard=False, ignore_reinit_error=True)
+    if args.block_bytes is not None:
+        import ray.data
+        ray.data.DataContext.get_current().target_max_block_size = (
+            args.block_bytes)
 
     import __ray_entry__ as entry
     qs = entry.queries()
