@@ -1447,10 +1447,41 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def _ann_query_vectors(sf_dir: str, ids=(0, 1, 2)):
+    """Query vectors for the ANN demo queries, selected BY vec_id with a
+    parquet predicate-pushdown read (the scale-correct point lookup) —
+    NOT by physical position: the row-shuffled oracle sweep caught the
+    old ``take(10)``-then-filter selection returning an empty query set
+    whenever the target ids were not in the first rows of the file.
+
+    Returns (qids sorted ascending, (m, d) float matrix), or None when
+    none of the ids exist (empty embeddings table)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", list(ids))])
+    if len(tab) == 0:
+        return None
+    order = np.argsort(tab["vec_id"].to_numpy(), kind="stable")
+    qids = tab["vec_id"].to_numpy()[order]
+    emb_col = tab["embedding"].combine_chunks()
+    mat = np.stack([np.asarray(emb_col[int(i)].as_py(), dtype=np.float64)
+                    for i in order])
+    return qids, mat
+
+
+def _ann_empty_frame():
+    import pandas as pd
+
+    return pd.DataFrame({c: pd.Series([], dtype="int64")
+                         for c in ("query_id", "rank", "vec_id")})
+
+
 def _q_ann_topk(sf_dir: str):
     """Exact cosine top-5 for query vectors vec_id 0..2 — integer columns
     only (cosine values differ in the last float bits vs the SQL oracle)."""
-    import numpy as np
     import ray.data
 
     from cardinalityestimation_ray.pipelines.ann import ann_topk_brute
@@ -1459,18 +1490,13 @@ def _q_ann_topk(sf_dir: str):
         return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                      columns=["vec_id", "embedding"])
 
-    qrows = sorted(
-        (r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
-        key=lambda r: r["vec_id"])
-    if not qrows:  # empty embeddings table: no query vectors to take
-        import pandas as pd
-
-        return pd.DataFrame({c: pd.Series([], dtype="int64")
-                             for c in ("query_id", "rank", "vec_id")})
-    queries_mat = np.stack([r["embedding"] for r in qrows])
+    q = _ann_query_vectors(sf_dir)
+    if q is None:  # empty embeddings table: no query vectors to take
+        return _ann_empty_frame()
+    qids, queries_mat = q
     df = ann_topk_brute(emb(), queries_mat, k=5)
-    df["query_id"] = df["query_id"].map({i: r["vec_id"]
-                                         for i, r in enumerate(qrows)})
+    df["query_id"] = df["query_id"].map(
+        {i: int(v) for i, v in enumerate(qids)})
     return df[["query_id", "rank", "vec_id"]].astype("int64")
 
 
@@ -1660,7 +1686,6 @@ def _q_embedding_exact_dup_pairs(sf_dir: str):
 
 
 def _q_ann_topk_ivf(sf_dir: str):
-    import numpy as np
     import ray.data
 
     from cardinalityestimation_ray.pipelines.ann import ann_topk_ivf
@@ -1669,14 +1694,10 @@ def _q_ann_topk_ivf(sf_dir: str):
         return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                      columns=["vec_id", "embedding"])
 
-    qrows = sorted((r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
-                   key=lambda r: r["vec_id"])
-    if not qrows:  # empty embeddings table: no query vectors to take
-        import pandas as pd
-
-        return pd.DataFrame({c: pd.Series([], dtype="int64")
-                             for c in ("query_id", "rank", "vec_id")})
-    queries_mat = np.stack([r["embedding"] for r in qrows])
+    q = _ann_query_vectors(sf_dir)
+    if q is None:  # empty embeddings table: no query vectors to take
+        return _ann_empty_frame()
+    _, queries_mat = q
     return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
 
 
@@ -1687,7 +1708,6 @@ def _q_ann_topk_ivf_exact(sf_dir: str):
     per-cell scoring / fold machinery loses nothing when coverage is
     total. The production approximate config stays rows-only by design
     (``ann_topk_ivf``)."""
-    import numpy as np
     import ray.data
 
     from cardinalityestimation_ray.pipelines.ann import ann_topk_ivf
@@ -1696,17 +1716,13 @@ def _q_ann_topk_ivf_exact(sf_dir: str):
         return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                      columns=["vec_id", "embedding"])
 
-    qrows = sorted((r for r in emb().take(10) if r["vec_id"] in (0, 1, 2)),
-                   key=lambda r: r["vec_id"])
-    if not qrows:  # empty embeddings table: no query vectors to take
-        import pandas as pd
-
-        return pd.DataFrame({c: pd.Series([], dtype="int64")
-                             for c in ("query_id", "rank", "vec_id")})
-    queries_mat = np.stack([r["embedding"] for r in qrows])
+    q = _ann_query_vectors(sf_dir)
+    if q is None:  # empty embeddings table: no query vectors to take
+        return _ann_empty_frame()
+    qids, queries_mat = q
     df = ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=8)
-    df["query_id"] = df["query_id"].map({i: r["vec_id"]
-                                         for i, r in enumerate(qrows)})
+    df["query_id"] = df["query_id"].map(
+        {i: int(v) for i, v in enumerate(qids)})
     return df[["query_id", "rank", "vec_id"]].astype("int64")
 
 

@@ -1,0 +1,90 @@
+"""Input row-order invariance (round-4 session 9).
+
+Every engine result is a deterministic function of the row SET — nothing
+may depend on the physical order rows arrive in. The row-shuffled sweep
+(`scripts/gen_shuffled_testdata.py`) executed that claim for the first
+time and caught the ANN demo queries selecting their query VECTORS by
+position (``take(10)`` then filter by vec_id): on a shuffled base the
+target ids were not in the first rows and the query set came back empty.
+The wrappers now select by id via a parquet predicate-pushdown read
+(`__ray_entry__._ann_query_vectors`).
+
+This module pins that fix at test scale (shuffled embeddings table ==
+clean-base result, bit-for-bit) plus a representative order-sensitive
+class (keep-first exact dedup). The full-surface shuffled sweep lives in
+the script: 91/91 oracle-green at sf0.01 and 89/91 bit-identical to the
+clean base (the 2 diffs are the documented insert-order-sensitive
+tdigest/kll sketch compactions, whose exact twins are identical).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load(modname: str, relpath: str):
+    spec = importlib.util.spec_from_file_location(modname, REPO / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def shuffled_dir(tmp_path_factory):
+    gen = _load("gen_shuffled_testdata", "scripts/gen_shuffled_testdata.py")
+    out = tmp_path_factory.mktemp("sf_shuffled")
+    for name in gen.TABLES:
+        tbl = pq.read_table(f"{SF}/{name}.parquet")
+        perm = np.random.default_rng(gen._seed(name)).permutation(len(tbl))
+        pq.write_table(tbl.take(perm), out / f"{name}.parquet")
+    return str(out)
+
+
+def test_shuffle_actually_permutes(shuffled_dir):
+    clean = pq.read_table(f"{SF}/embeddings.parquet")["vec_id"].to_numpy()
+    shuf = pq.read_table(
+        f"{shuffled_dir}/embeddings.parquet")["vec_id"].to_numpy()
+    assert sorted(clean) == sorted(shuf)
+    assert not np.array_equal(clean, shuf)
+    # the regression trigger: the first rows of the shuffled file must not
+    # contain all of vec_id 0..2, else the old take(10) bug would pass
+    assert not set(shuf[:10]) >= {0, 1, 2}
+
+
+@pytest.mark.parametrize("name", ["ann_topk", "ann_topk_ivf_exact",
+                                  "ann_topk_ivf"])
+def test_ann_query_selection_is_order_independent(ray_session, shuffled_dir,
+                                                  name):
+    import __ray_entry__ as entry
+
+    q = entry.queries()[name]
+    clean = q(SF)
+    shuf = q(shuffled_dir)
+    assert len(clean) == 15
+    a = clean.sort_values(list(clean.columns)).reset_index(drop=True)
+    b = shuf.sort_values(list(shuf.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_dedup_keep_first_is_order_independent(ray_session,
+                                                     shuffled_dir):
+    """keep='first' resolves by MIN doc_id, not arrival order — the
+    shuffled base must keep exactly the same rows."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()["exact_dedup_stats"]
+    a = q(SF).reset_index(drop=True)
+    b = q(shuffled_dir).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
