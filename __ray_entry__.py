@@ -1697,8 +1697,14 @@ def _q_ann_topk_ivf(sf_dir: str):
     q = _ann_query_vectors(sf_dir)
     if q is None:  # empty embeddings table: no query vectors to take
         return _ann_empty_frame()
-    _, queries_mat = q
-    return ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
+    qids, queries_mat = q
+    df = ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
+    # label by vec_id like the sibling wrappers — the raw query_id is the
+    # LOCAL query index, which only coincides with vec_id when 0..2 all
+    # exist in the table
+    df["query_id"] = df["query_id"].map(
+        {i: int(v) for i, v in enumerate(qids)})
+    return df
 
 
 def _q_ann_topk_ivf_exact(sf_dir: str):

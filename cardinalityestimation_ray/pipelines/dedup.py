@@ -798,7 +798,7 @@ def simhash_dedup_pairs(docs_ds, *, max_hamming: int = 3, num_bands: int = 4,
 def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
                           num_planes: int = 10, num_bands: int = 4,
                           seed: int = 7, max_bucket: int = 1024,
-                          window: int = 64,
+                          window: int = 64, identical_cap: int = 64,
                           vector_column: str = "embedding",
                           id_column: str = "vec_id") -> pd.DataFrame:
     """Near-duplicate (cosine >= threshold) vector pairs.
@@ -809,13 +809,25 @@ def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
     single-projection version missed pairs a single unlucky plane split.
     Precision stays exact (candidates are cosine-verified).
 
-    Degenerate buckets (e.g. near-identical embeddings at web scale piling
-    into one bucket) are capped: above ``max_bucket`` members the quadratic
+    BIT-IDENTICAL unit vectors collapse to one representative per group,
+    with the same bounded semantics as the minhash/simhash paths: within a
+    group, all-pairs up to ``identical_cap`` members (cosine exactly 1.0 —
+    the mathematical value for identical directions) and a min-id STAR
+    above it; across groups only representative pairs are compared and
+    emitted. Union-find chaining downstream restores full clusters. Since
+    an identical group collides in EVERY band by construction, its
+    within-group pairs are emitted from band 0 only (a mass-duplicated
+    corpus — the skewed base's 250-way identical cluster, or 10⁶ identical
+    crawl pages — would otherwise pay the O(c²) GEMM and C(c,2) pair
+    emission once per band).
+
+    Degenerate buckets of DISTINCT near-identical embeddings (the web-scale
+    case) are capped: above ``max_bucket`` representatives the quadratic
     verify is replaced by a sorted-projection sliding window — sort by the
     band's real-valued first projection and verify each vector against its
     next ``window`` neighbors. Near-identical vectors have near-identical
-    projections, so they stay adjacent; compute is O(n·window) per bucket
-    instead of O(n²). Union-find downstream restores full clusters through
+    projections, so they stay adjacent; compute is O(m·window) per bucket
+    instead of O(m²). Union-find downstream restores full clusters through
     chain connectivity.
 
     Partitioning assumption: shuffles (band, bucket, id, unit-vector) rows —
@@ -903,17 +915,45 @@ def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for (_, _), g in group.groupby(["band", "bucket"], sort=False):
+        for (band, _), g in group.groupby(["band", "bucket"], sort=False):
             g = g.drop_duplicates(subset=[id_column])
             if len(g) < 2:
                 continue
             g = g.sort_values(id_column)
             ids = g[id_column].to_numpy()
             mat = np.stack(g["unit"].to_numpy())
-            if len(g) <= max_bucket:
-                out.append(_verify_full(ids, mat))
+            # collapse bit-identical unit vectors (float32 bit view: the
+            # grouping key is exact equality, NaN payloads compare by bits)
+            order, starts, counts = collapse_identical_rows(
+                np.ascontiguousarray(mat).view(np.uint32))
+            if band == 0:
+                # within-group pairs from band 0 only — identical vectors
+                # collide in every band, so other bands would re-emit them
+                for s, c in zip(starts, counts):
+                    if c < 2:
+                        continue
+                    members = order[s:s + c]  # ascending id (stable sort)
+                    if c <= identical_cap:
+                        ii, jj = np.triu_indices(c, k=1)
+                    else:
+                        ii = np.zeros(c - 1, dtype=np.int64)
+                        jj = np.arange(1, c, dtype=np.int64)
+                    out.append(pd.DataFrame({
+                        "id_a": ids[members[ii]].astype(np.int64),
+                        "id_b": ids[members[jj]].astype(np.int64),
+                        "cosine": np.ones(len(ii), dtype=np.float64),
+                    }))
+            rep = order[starts]  # min-id member per identical group
+            if len(rep) < 2:
+                continue
+            rep = np.sort(rep)  # keep representatives id-ordered
+            rids = ids[rep]
+            rmat = mat[rep]
+            if len(rep) <= max_bucket:
+                out.append(_verify_full(rids, rmat))
             else:
-                res = _verify_windowed(ids, mat, g["proj0"].to_numpy())
+                res = _verify_windowed(rids, rmat,
+                                       g["proj0"].to_numpy()[rep])
                 if res is not None:
                     out.append(res)
         if not out:

@@ -192,22 +192,30 @@ ADVERSARIAL = {
 }
 
 
+def generate(src: str, out, *, verbose: bool = False) -> None:
+    """Write the adversarial twin of ``src`` into ``out`` — the ONE copy of
+    the recipe, shared by the CLI and the pytest fixtures."""
+    out = Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    for name in TABLES:
+        tbl = pq.read_table(f"{src}/{name}.parquet")
+        fn = ADVERSARIAL.get(name)
+        if fn is not None:
+            n0 = len(tbl)
+            tbl = fn(tbl)
+            if verbose:
+                print(f"{name}: {n0} -> {len(tbl)} rows")
+        pq.write_table(tbl, out / f"{name}.parquet")
+    if verbose:
+        print(f"wrote {out}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/tmp/sf_adv")
     args = ap.parse_args()
-    out = Path(args.out)
-    out.mkdir(parents=True, exist_ok=True)
-    for name in TABLES:
-        tbl = pq.read_table(f"{args.src}/{name}.parquet")
-        fn = ADVERSARIAL.get(name)
-        if fn is not None:
-            n0 = len(tbl)
-            tbl = fn(tbl)
-            print(f"{name}: {n0} -> {len(tbl)} rows")
-        pq.write_table(tbl, out / f"{name}.parquet")
-    print(f"wrote {out}")
+    generate(args.src, args.out, verbose=True)
 
 
 if __name__ == "__main__":

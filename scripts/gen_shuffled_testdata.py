@@ -42,22 +42,28 @@ def _seed(name: str) -> int:
     return int(h)
 
 
+def generate(src: str, out, *, verbose: bool = False) -> None:
+    """Write the row-shuffled twin of ``src`` into ``out`` — the ONE copy
+    of the recipe, shared by the CLI and the pytest fixtures."""
+    out = Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        path = Path(src) / f"{t}.parquet"
+        if not path.exists():
+            continue
+        tab = pq.read_table(path)
+        perm = np.random.default_rng(_seed(t)).permutation(len(tab))
+        pq.write_table(tab.take(perm), out / f"{t}.parquet")
+        if verbose:
+            print(f"{t}: {len(tab)} rows shuffled")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/sf_shuffled")
     args = ap.parse_args()
-
-    out = Path(args.out)
-    out.mkdir(parents=True, exist_ok=True)
-    for t in TABLES:
-        src = Path(args.sf) / f"{t}.parquet"
-        if not src.exists():
-            continue
-        tab = pq.read_table(src)
-        perm = np.random.default_rng(_seed(t)).permutation(len(tab))
-        pq.write_table(tab.take(perm), out / f"{t}.parquet")
-        print(f"{t}: {len(tab)} rows shuffled")
+    generate(args.sf, args.out, verbose=True)
 
 
 if __name__ == "__main__":

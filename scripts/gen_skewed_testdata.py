@@ -71,7 +71,11 @@ def skew_documents(tbl: pa.Table) -> pa.Table:
     lang = tbl["lang"].to_pylist()
     nch = tbl["n_chars"].to_pylist()
     dup = ids % 3 == 0
-    t0, l0, n0 = text[0], lang[0], nch[0]
+    # donor selected BY ID (min doc_id = doc 0 on the clean base), not by
+    # row position — the generator's output must be a function of the row
+    # set so it composes with the row-shuffled sweep
+    donor = int(np.argmin(ids))
+    t0, l0, n0 = text[donor], lang[donor], nch[donor]
     text = [t0 if d else t for d, t in zip(dup, text)]
     lang = [l0 if d else x for d, x in zip(dup, lang)]
     nch = [n0 if d else x for d, x in zip(dup, nch)]
@@ -99,7 +103,7 @@ def skew_orders(tbl: pa.Table) -> pa.Table:
 def skew_embeddings(tbl: pa.Table) -> pa.Table:
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
     emb = tbl["embedding"].to_pylist()
-    v0 = emb[0]
+    v0 = emb[int(np.argmin(ids))]  # donor by id, not row position
     emb = [v0 if i % 2 == 0 else e for i, e in zip(ids, emb)]
     return _replace(tbl, "embedding",
                     pa.array(emb, type=tbl.schema.field("embedding").type))
@@ -113,23 +117,31 @@ SKEW = {
 }
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--src", default="/root/testdata/sf0.001")
-    ap.add_argument("--out", default="/tmp/sf_skew")
-    args = ap.parse_args()
-    out = Path(args.out)
+def generate(src: str, out, *, verbose: bool = False) -> None:
+    """Write the skewed twin of ``src`` into ``out`` — the ONE copy of the
+    recipe, shared by the CLI and the pytest fixtures."""
+    out = Path(out)
     out.mkdir(parents=True, exist_ok=True)
     for name in TABLES:
-        tbl = pq.read_table(f"{args.src}/{name}.parquet")
+        tbl = pq.read_table(f"{src}/{name}.parquet")
         fn = SKEW.get(name)
         if fn is not None:
             fn_out = fn(tbl)
             assert len(fn_out) == len(tbl)
             tbl = fn_out
-            print(f"{name}: skewed ({len(tbl)} rows)")
+            if verbose:
+                print(f"{name}: skewed ({len(tbl)} rows)")
         pq.write_table(tbl, out / f"{name}.parquet")
-    print(f"wrote {out}")
+    if verbose:
+        print(f"wrote {out}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/sf_skew")
+    args = ap.parse_args()
+    generate(args.src, args.out, verbose=True)
 
 
 if __name__ == "__main__":

@@ -17,44 +17,12 @@ the script (`--sf /tmp/sf_adv`); this pins the classes.
 
 from __future__ import annotations
 
-import importlib.util
-import sys
-from pathlib import Path
-
 import duckdb
 import numpy as np
 import pytest
 
-REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
-
-
-def _load(modname: str, relpath: str):
-    spec = importlib.util.spec_from_file_location(modname, REPO / relpath)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-@pytest.fixture(scope="module")
-def adv_dir(tmp_path_factory):
-    gen = _load("gen_adversarial_testdata",
-                "scripts/gen_adversarial_testdata.py")
-    out = tmp_path_factory.mktemp("sf_adv")
-    import pyarrow.parquet as pq
-
-    for name in gen.TABLES:
-        tbl = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
-        fn = gen.ADVERSARIAL.get(name)
-        if fn is not None:
-            tbl = fn(tbl)
-        pq.write_table(tbl, out / f"{name}.parquet")
-    return str(out)
-
-
-@pytest.fixture(scope="module")
-def harness():
-    return _load("check_oracles_mod", "scripts/check_oracles.py")
+# adv_dir / harness fixtures come from tests/conftest.py and call the
+# generator script's generate() directly — ONE copy of the recipe
 
 
 @pytest.fixture(scope="module")

@@ -587,3 +587,69 @@ def test_minhash_pairs_invariant_to_block_layout(ray_session):
     for other in results[1:]:
         pd.testing.assert_frame_equal(results[0], other)
     assert len(results[0]) >= 15  # the planted twins are found
+
+
+def test_embedding_identical_pile_star_band0_and_cross(ray_session):
+    """Round-4 session-9 parity with the minhash/simhash bounds: a
+    mass-duplicated embedding corpus (one bit-identical cluster well above
+    ``identical_cap``) must emit its within-cluster pairs ONCE (min-id star
+    from band 0, cosine exactly 1.0 — not C(c,2) × num_bands GEMM pairs),
+    while near-duplicate DISTINCT vectors still pair through the
+    representative compare."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        embedding_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    c = 5_000
+    base = rng.standard_normal(16).astype(np.float32)
+    pile = np.tile(base, (c, 1))  # bit-identical cluster
+    near = base + 1e-4 * rng.standard_normal(16).astype(np.float32)
+    other = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs = np.vstack([pile, near[None, :], other])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    t0 = time.monotonic()
+    pairs = embedding_dedup_pairs(ds, threshold=0.99, identical_cap=64)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60.0
+
+    within = pairs[(pairs["id_a"] < c) & (pairs["id_b"] < c)]
+    # min-id star: exactly c-1 pairs, all anchored at vec 0, cosine 1.0
+    assert len(within) == c - 1
+    assert (within["id_a"] == 0).all()
+    assert set(within["id_b"]) == set(range(1, c))
+    assert (within["cosine"] == 1.0).all()
+    # the near-dup DISTINCT vector pairs with the cluster representative
+    cross = pairs[pairs["id_b"] == c]
+    assert list(cross["id_a"]) == [0]
+    assert (cross["cosine"] >= 0.99).all()
+    # no false positives into the unrelated vectors
+    assert int((pairs["id_b"] > c).sum()) == 0
+
+
+def test_embedding_small_identical_groups_keep_all_pairs(ray_session):
+    """Identical groups at or below ``identical_cap`` keep exact all-pairs
+    semantics (the planted-control contract), emitted once despite
+    colliding in every band."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        embedding_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(22)
+    v0 = rng.standard_normal(16).astype(np.float32)
+    v1 = rng.standard_normal(16).astype(np.float32)
+    vecs = np.vstack([v0, v0, v0, v1, v1])
+    df = pd.DataFrame({"vec_id": np.arange(5, dtype=np.int64),
+                       "embedding": list(vecs)})
+    pairs = embedding_dedup_pairs(
+        ray.data.from_pandas(df).repartition(2), threshold=0.999)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    assert (pairs["cosine"] == 1.0).all()

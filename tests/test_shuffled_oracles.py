@@ -19,37 +19,12 @@ tdigest/kll sketch compactions, whose exact twins are identical).
 
 from __future__ import annotations
 
-import importlib.util
-import sys
-from pathlib import Path
-
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
-import pytest
-
-REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
+import pytest  # noqa: F401  (fixtures come from conftest)
 
 SF = "/root/testdata/sf0.001"
-
-
-def _load(modname: str, relpath: str):
-    spec = importlib.util.spec_from_file_location(modname, REPO / relpath)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-@pytest.fixture(scope="module")
-def shuffled_dir(tmp_path_factory):
-    gen = _load("gen_shuffled_testdata", "scripts/gen_shuffled_testdata.py")
-    out = tmp_path_factory.mktemp("sf_shuffled")
-    for name in gen.TABLES:
-        tbl = pq.read_table(f"{SF}/{name}.parquet")
-        perm = np.random.default_rng(gen._seed(name)).permutation(len(tbl))
-        pq.write_table(tbl.take(perm), out / f"{name}.parquet")
-    return str(out)
 
 
 def test_shuffle_actually_permutes(shuffled_dir):

@@ -28,42 +28,11 @@ class as the documented sf0.1 matrix).
 
 from __future__ import annotations
 
-import importlib.util
-import sys
-from pathlib import Path
-
 import duckdb
 import pytest
 
-REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
-
-
-def _load(modname: str, relpath: str):
-    spec = importlib.util.spec_from_file_location(modname, REPO / relpath)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-@pytest.fixture(scope="module")
-def skew_dir(tmp_path_factory):
-    gen = _load("gen_skewed_testdata", "scripts/gen_skewed_testdata.py")
-    out = tmp_path_factory.mktemp("sf_skew")
-    import pyarrow.parquet as pq
-
-    for name in gen.TABLES:
-        tbl = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
-        fn = gen.SKEW.get(name)
-        if fn is not None:
-            tbl = fn(tbl)
-        pq.write_table(tbl, out / f"{name}.parquet")
-    return str(out)
-
-
-@pytest.fixture(scope="module")
-def harness():
-    return _load("check_oracles_mod", "scripts/check_oracles.py")
+# skew_dir / skew01_dir / harness fixtures come from tests/conftest.py and
+# call the generator scripts' generate() directly — ONE copy of each recipe
 
 
 @pytest.fixture(scope="module")
@@ -128,24 +97,6 @@ def test_skewed_oracle_parity(ray_session, skew_dir, harness, oracle_con,
     ok, why = harness._values_match(mine, ref)
     assert ok, f"{name}: {why}"
     assert len(mine) > 0
-
-
-@pytest.fixture(scope="module")
-def skew01_dir(tmp_path_factory):
-    """Skewed twin of sf0.01 — the base where the sgemm edge-column 1-ulp
-    tie-break artifact actually manifested (data-dependent; the sf0.001
-    skew passed even before the fix)."""
-    gen = _load("gen_skewed_testdata01", "scripts/gen_skewed_testdata.py")
-    out = tmp_path_factory.mktemp("sf_skew01")
-    import pyarrow.parquet as pq
-
-    for name in gen.TABLES:
-        tbl = pq.read_table(f"/root/testdata/sf0.01/{name}.parquet")
-        fn = gen.SKEW.get(name)
-        if fn is not None:
-            tbl = fn(tbl)
-        pq.write_table(tbl, out / f"{name}.parquet")
-    return str(out)
 
 
 @pytest.mark.parametrize("name", ["ann_topk", "ann_topk_ivf_exact"])
