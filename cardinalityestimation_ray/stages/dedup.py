@@ -29,17 +29,22 @@ def minhash_signatures(text: pa.Array, num_perm: int = 64, *,
     h, parents = char_ngram_hashes(text, n=ngram)
     n = len(text)
     sig = np.full((n, num_perm), _MAX64, dtype=np.uint64)
-    if len(h) == 0:
-        return sig
-    order = np.argsort(parents, kind="stable")
-    parents_s = parents[order]
-    h_s = h[order]
-    starts = np.r_[0, np.flatnonzero(np.diff(parents_s)) + 1]
-    present = parents_s[starts]
     seeds = _perm_seeds(num_perm, seed)
-    for i in range(num_perm):
-        mixed = hashing.splitmix64(h_s ^ seeds[i])
-        sig[present, i] = np.minimum.reduceat(mixed, starts)
+    if len(h):
+        order = np.argsort(parents, kind="stable")
+        parents_s = parents[order]
+        h_s = h[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(parents_s)) + 1]
+        present = parents_s[starts]
+        for i in range(num_perm):
+            mixed = hashing.splitmix64(h_s ^ seeds[i])
+            sig[present, i] = np.minimum.reduceat(mixed, starts)
+    else:
+        # a batch where EVERY doc is shorter than the shingle width must
+        # still take the whole-text fallback below — the old early return
+        # left the all-MAX64 sentinel, making all short docs mutual
+        # duplicates and the signature a function of batch composition
+        present = np.empty(0, dtype=np.int64)
     _fill_short_doc_signatures(sig, text, present, seeds)
     return sig
 
@@ -354,7 +359,24 @@ def simhash64(text: pa.Array, *, ngram: int = 4, chunk: int = 1 << 16) -> np.nda
         np.add.at(votes, pp, 2 * bits - 1)
     bools = (votes > 0)
     packed = np.packbits(bools, axis=1, bitorder="little")
-    return packed.view(np.uint64).ravel()
+    out = packed.view(np.uint64).ravel()
+    # docs with ZERO n-gram features (shorter than the shingle width) have
+    # all-zero votes and would all collapse to hash 0 — every distinct
+    # short doc a mutual "exact duplicate" at hamming 0. Fall back to the
+    # whole text as the single feature (the simhash of one feature IS that
+    # feature's hash), mirroring minhash's _fill_short_doc_signatures and
+    # the exact kernels' whole-text-shingle fallback: identical short texts
+    # still collide at hamming 0, distinct ones sit ~32 bits apart.
+    has_grams = np.zeros(n, dtype=bool)
+    has_grams[parents] = True
+    missing = np.flatnonzero(~has_grams)
+    if len(missing):
+        t = text
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        out[missing] = hashing.hash_arrow_binary(
+            t.take(pa.array(missing)), "fnv1a_mix")
+    return out
 
 
 def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -291,7 +291,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
 
     out: list[np.ndarray] = []
     got = 0
-    while got < (n_total or 0) and pos < len(data):
+    # STREAMINFO total_samples == 0 legally means UNKNOWN (RFC 9639 —
+    # streaming encoders writing to a pipe emit it): decode frames until
+    # the data runs out instead of silently returning zero samples
+    while pos < len(data) and (not n_total or got < n_total):
         frame_start = pos
         r = _BitReader(data, pos)
         if r.read(14) != 0x3FFE:

@@ -226,6 +226,14 @@ def _mp4_mjpeg_info(data: bytes):
         if n_samples == 0:
             raise ValueError("invalid MP4: zero samples")
         if uniform:
+            # validate BEFORE allocating: a 32-bit sample_count with no cap
+            # lets a KB-size file drive an O(n) allocation + loop (or a
+            # MemoryError, which is outside the ValueError fuzz contract).
+            # Uniform samples occupy uniform*n bytes, which must fit the file
+            if int(uniform) * int(n_samples) > len(data):
+                raise ValueError(
+                    "invalid MP4: stsz describes more sample bytes than "
+                    "the file holds")
             sizes = np.full(n_samples, uniform, dtype=np.int64)
         else:
             if stsz_s + 12 + 4 * n_samples > stsz_e:
@@ -264,14 +272,12 @@ def _mp4_mjpeg_info(data: bytes):
                 f"invalid MP4: stsc/stco describe {int(per_chunk.sum())} "
                 f"samples, stsz has {n_samples}")
 
-        offsets = np.empty(n_samples, dtype=np.int64)
-        si = 0
-        for ci in range(n_chunks):
-            base = int(chunk_off[ci])
-            for _ in range(int(per_chunk[ci])):
-                offsets[si] = base
-                base += int(sizes[si])
-                si += 1
+        # vectorized: offset(sample) = chunk base + exclusive cumsum of the
+        # sizes of earlier samples in the same chunk
+        csum = np.r_[np.int64(0), np.cumsum(sizes[:-1])]
+        chunk_starts = np.r_[np.int64(0), np.cumsum(per_chunk)[:-1]]
+        chunk_idx = np.repeat(np.arange(n_chunks), per_chunk)
+        offsets = chunk_off[chunk_idx] + (csum - csum[chunk_starts][chunk_idx])
         if np.any(offsets < 0) or np.any(offsets + sizes > len(data)):
             raise ValueError("invalid MP4: sample outside the file")
         return n_samples, fps, offsets, sizes

@@ -139,6 +139,13 @@ class ImageFeatureStage:
     stds, and a 64-bit perceptual-ish hash). Vectorized over the batch."""
 
     def __init__(self, out_size: int = 32):
+        # the 8x8 phash pooling below requires a multiple-of-8 edge; fail
+        # at construction with the constraint named, not deep in a Ray
+        # actor task with an opaque reshape error
+        if out_size < 8 or out_size % 8:
+            raise ValueError(
+                f"out_size must be a positive multiple of 8 (the feature "
+                f"stage pools an 8x8 phash grid), got {out_size}")
         self.out_size = out_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:

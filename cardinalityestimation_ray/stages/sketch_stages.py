@@ -37,16 +37,17 @@ def sketch_from_blob(kind: str, blob: bytes) -> Sketch:
     return sketch_from_bytes(kind, blob)
 
 
-def _flatten_tokens(batch: pa.Table, token_column: str):
-    """(flat int32 values, parent row indices) of a list<int32> column.
+def _flatten_list_column(col):
+    """(flat Arrow array, parent row indices as numpy) of a list column —
+    the ONE owner of the null-element contract.
 
     Null ELEMENTS inside lists are dropped with parents kept aligned (SQL
-    semantics — and critically, a single null would otherwise flip the whole
-    flat array to float64, making every token in the batch hash via the
-    8-byte image instead of the 4-byte one and silently inflating distinct
-    counts). Null LISTS contribute no tokens (Arrow flatten skips them).
+    semantics — and critically, a single null would otherwise flip a
+    numeric flat array to float64 on to_numpy, making every token in the
+    batch hash via the 8-byte image instead of the 4-byte one and silently
+    inflating distinct counts). Null LISTS contribute no elements (Arrow
+    flatten skips them).
     """
-    col = batch[token_column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = pc.list_flatten(col)
@@ -59,8 +60,15 @@ def _flatten_tokens(batch: pa.Table, token_column: str):
         valid = pc.is_valid(flat)
         flat = flat.filter(valid)
         parents = parents.filter(valid)
-    return (flat.to_numpy(zero_copy_only=False),
-            parents.to_numpy(zero_copy_only=False))
+    return flat, parents.to_numpy(zero_copy_only=False)
+
+
+def _flatten_tokens(batch: pa.Table, token_column: str):
+    """(flat int32 numpy values, parent row indices) of a list<int32>
+    column — numpy view of :func:`_flatten_list_column` (see its docstring
+    for the null contract)."""
+    flat, parents = _flatten_list_column(batch[token_column])
+    return flat.to_numpy(zero_copy_only=False), parents
 
 
 def _drop_null_keys(batch: pa.Table, key_column: str) -> pa.Table:
@@ -307,18 +315,17 @@ class HllColumnPartials:
         if self.key_column is not None:
             batch = _drop_null_keys(batch, self.key_column)
         col = batch[self.value_column]
-        if col.null_count:
-            # SQL COUNT(DISTINCT) semantics: null values are not elements.
-            # Filter whole rows so key alignment is preserved.
-            batch = batch.filter(pc.is_valid(col))
-        if len(batch) == 0:
-            cols = {"sketch": pa.array([], type=pa.binary()),
-                    "n_added": pa.array([], type=pa.int64())}
-            if self.key_column is not None:
-                cols = {self.key_column: batch[self.key_column], **cols}
-            return pa.table(cols)
-        h = _hash_column(batch, self.value_column, self.hash_name)
         if self.key_column is None:
+            if col.null_count:
+                # SQL COUNT(DISTINCT) semantics: null values are not
+                # elements
+                batch = batch.filter(pc.is_valid(col))
+            if len(batch) == 0:
+                return pa.table({
+                    "sketch": pa.array([], type=pa.binary()),
+                    "n_added": pa.array([], type=pa.int64()),
+                })
+            h = _hash_column(batch, self.value_column, self.hash_name)
             sk = HyperLogLog(b=self.b, use_direct_counting=self.use_direct,
                              hash_name=self.hash_name)
             sk.add_hashes(h)
@@ -329,22 +336,47 @@ class HllColumnPartials:
         keys = batch[self.key_column]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        if len(batch) == 0:
+            return pa.table({
+                self.key_column: pa.array([], type=keys.type),
+                "sketch": pa.array([], type=pa.binary()),
+                "n_added": pa.array([], type=pa.int64()),
+            })
+        # null VALUES are not elements (SQL COUNT(DISTINCT)), but their
+        # GROUPS still exist — a key whose values are all null emits an
+        # (empty sketch, 0) row like GROUP BY does (round-4 session-9
+        # review: this stage dropped such groups while its sibling
+        # GenericSketchPartials kept them)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            vmask = pa.array(valid)
+            h_valid = _hash_column(batch.filter(vmask), self.value_column,
+                                   self.hash_name)
+            h_all = np.zeros(len(batch), dtype=np.uint64)
+            h_all[np.flatnonzero(valid)] = h_valid
+        else:
+            valid = np.ones(len(batch), dtype=bool)
+            h_all = _hash_column(batch, self.value_column, self.hash_name)
         codes = pc.dictionary_encode(keys)
         key_values = codes.dictionary.to_pylist()
         row_codes = codes.indices.to_numpy(zero_copy_only=False)
         order = np.argsort(row_codes, kind="stable")
         rc_sorted = row_codes[order]
-        h_sorted = h[order]
+        h_sorted = h_all[order]
+        v_sorted = valid[order]
         bounds = np.r_[0, np.flatnonzero(np.diff(rc_sorted)) + 1, len(rc_sorted)]
         out_keys, out_blobs, out_counts = [], [], []
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
+            m = v_sorted[lo:hi]
             sk = HyperLogLog(b=self.b, use_direct_counting=self.use_direct,
                              hash_name=self.hash_name)
-            sk.add_hashes(h_sorted[lo:hi])
+            sk.add_hashes(h_sorted[lo:hi][m])
             out_keys.append(key_values[int(rc_sorted[lo])])
             out_blobs.append(sk.to_bytes())
-            out_counts.append(hi - lo)
+            out_counts.append(int(m.sum()))
         # typed keys: must match the fully-filtered path's schema exactly
         return pa.table({
             self.key_column: pa.array(out_keys, type=keys.type),
@@ -505,19 +537,8 @@ class GenericSketchPartials:
                 # string/binary elements stay ARROW for the zero-copy hash
                 # path (round-3 review fix: .to_numpy() produced an object
                 # array that crashed the fixed-width hash kernels)
-                flat = pc.list_flatten(col)
-                parents = pc.list_parent_indices(col)
-                if isinstance(flat, pa.ChunkedArray):
-                    flat = flat.combine_chunks()
-                if isinstance(parents, pa.ChunkedArray):
-                    parents = parents.combine_chunks()
-                if flat.null_count:
-                    valid = pc.is_valid(flat)
-                    flat = flat.filter(valid)
-                    parents = parents.filter(valid)
-                return flat, parents.to_numpy(zero_copy_only=False)
-            flat, parents = _flatten_tokens(batch, self.value_column)
-            return flat, parents
+                return _flatten_list_column(col)
+            return _flatten_tokens(batch, self.value_column)
         col = batch[self.value_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -707,8 +728,10 @@ def tree_merge_keyed_partials_generic(partials_ds, key_column: str, kind: str, *
                 acc[k] = sk
                 counts[k] = n
         ks = list(acc)
+        # key column typed from the INPUT (untyped inference gives null for
+        # an empty bundle / int64 for int32 keys -> schema mismatch on concat)
         return pa.table({
-            key_column: pa.array(ks),
+            key_column: pa.array(ks, type=tbl.schema.field(key_column).type),
             "sketch": pa.array([acc[k].to_bytes() for k in ks], type=pa.binary()),
             "n_added": pa.array([counts[k] for k in ks], type=pa.int64()),
         })
@@ -747,8 +770,11 @@ def _merge_rows_by_key(tbl: pa.Table, key_column: str,
             acc[k] = sk
             counts[k] = n
     ks = list(acc)
+    # key column typed from the INPUT (an untyped pa.array(ks) infers null
+    # for an empty bundle and int64 for int32 keys — either way the block
+    # schema diverges from sibling bundles and concat fails)
     return pa.table({
-        key_column: pa.array(ks),
+        key_column: pa.array(ks, type=tbl.schema.field(key_column).type),
         "sketch": pa.array([acc[k].to_bytes() for k in ks], type=pa.binary()),
         "n_added": pa.array([counts[k] for k in ks], type=pa.int64()),
     })

@@ -666,3 +666,17 @@ def test_adpcm_short_fact_chunk_rejected():
     truncated = bytes(good[:i]) + b"fact" + (0).to_bytes(4, "little")
     with pytest.raises(ValueError):
         decode_wav_adpcm(truncated)
+
+
+def test_image_feature_stage_validates_out_size():
+    """The 8x8 phash pooling needs a multiple-of-8 edge: a bad out_size must
+    fail loudly at construction, not as an opaque reshape error inside a Ray
+    actor task."""
+    import pytest
+
+    from cardinalityestimation_ray.stages.multimodal import ImageFeatureStage
+
+    for bad in (20, 7, 0, 12):
+        with pytest.raises(ValueError, match="multiple of 8"):
+            ImageFeatureStage(out_size=bad)
+    ImageFeatureStage(out_size=16)  # valid sizes unchanged

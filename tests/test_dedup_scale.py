@@ -653,3 +653,35 @@ def test_embedding_small_identical_groups_keep_all_pairs(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert got == {(0, 1), (0, 2), (1, 2), (3, 4)}
     assert (pairs["cosine"] == 1.0).all()
+
+
+def test_short_doc_signatures_batch_layout_invariant():
+    """Round-4 session-9 review: an ALL-short batch early-returned before
+    the whole-text fallback, leaving the all-MAX64 sentinel — every distinct
+    short doc became a mutual duplicate, and a doc's signature depended on
+    whether its batch happened to contain a long doc."""
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.stages.dedup import (
+        minhash_signatures,
+        simhash64,
+    )
+
+    short = pa.array(["a", "zzz", "", "Q9"])
+    sig = minhash_signatures(short, num_perm=16, ngram=8)
+    assert len({tuple(r) for r in sig}) == 4  # distinct docs, distinct sigs
+    sh = simhash64(short, ngram=4)
+    assert len(set(sh.tolist())) == 4
+    assert not (sh == 0).any()
+
+    # identical short docs still collide exactly
+    sh2 = simhash64(pa.array(["ab", "ab", "xy"]), ngram=4)
+    assert sh2[0] == sh2[1] != sh2[2]
+
+    # mixed batch == all-short batch for the same doc (layout invariance)
+    mixed = pa.array(["a", "a long enough document body for shingles"])
+    s_mixed = minhash_signatures(mixed, num_perm=16, ngram=8)
+    s_alone = minhash_signatures(pa.array(["a"]), num_perm=16, ngram=8)
+    assert (s_mixed[0] == s_alone[0]).all()
+    assert simhash64(mixed, ngram=4)[0] == \
+        simhash64(pa.array(["a"]), ngram=4)[0]

@@ -83,3 +83,19 @@ def test_audio_stage_accepts_flac(ray_session):
     e = np.stack(out.sort_values("media_id")["frame_energy"])
     expect = (np.arange(1, 5) * 200 / 32768.0)[:, None]
     assert np.allclose(e, np.broadcast_to(expect, e.shape), atol=1e-6)
+
+
+def test_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total_samples == 0 legally means UNKNOWN (streaming
+    encoders writing to a pipe emit it); the decoder must decode frames to
+    EOF, not silently return zero samples."""
+    sig = (np.sin(np.linspace(0, 20, 2000)) * 1000).astype(np.int16)
+    data = bytearray(encode_flac(sig, 8000))
+    # zero the 36-bit total_samples field: low nibble of STREAMINFO byte 17
+    # plus bytes 18..21 (STREAMINFO payload starts at offset 8)
+    data[8 + 17] &= 0xF0
+    for i in range(18, 22):
+        data[8 + i] = 0
+    dec, rate = decode_flac(bytes(data))
+    assert rate == 8000
+    assert np.array_equal(dec, sig)

@@ -145,3 +145,21 @@ def test_video_stage_end_to_end(ray_session):
         feats = np.asarray(row["frame_features"])
         assert feats.shape == (3 * 12,)
         np.testing.assert_allclose(feats, (2 * k) / 255.0, atol=1e-6)
+
+
+def test_stsz_sample_count_bounded_before_allocation():
+    """A KB-size file claiming 10^7 uniform samples must raise ValueError
+    immediately (validate-before-allocate), not burn seconds of allocation
+    or escape the fuzz contract via MemoryError."""
+    import struct
+    import time
+
+    frames = np.full((3, 16, 16, 3), 128, np.uint8)
+    data = bytearray(encode_mp4_mjpeg(frames, fps=5))
+    i = bytes(data).find(b"stsz")
+    struct.pack_into(">I", data, i + 8, 1)            # uniform size 1
+    struct.pack_into(">I", data, i + 12, 10_000_000)  # sample_count
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="more sample bytes"):
+        mp4_mjpeg_info(bytes(data))
+    assert time.monotonic() - t0 < 0.5

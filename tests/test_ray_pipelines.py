@@ -1049,9 +1049,10 @@ def test_empty_inputs_typed_frames(_ray):
 
 
 def test_all_null_value_column(_ray):
-    """A value column that is entirely null yields an empty result (SQL
-    COUNT(DISTINCT) over all-null = no groups contribute elements), not a
-    crash in the keyed partial stage."""
+    """SQL GROUP BY keeps a group whose values are all null —
+    COUNT(DISTINCT v) is 0, the group row still exists. The keyed partial
+    stage used to DROP such groups (round-4 session-9 review: its sibling
+    GenericSketchPartials kept them); both now agree with SQL."""
     import pyarrow as pa
     import ray.data
 
@@ -1064,7 +1065,8 @@ def test_all_null_value_column(_ray):
         "g": pa.array(["a", "a", "b"]),
     })
     out = distinct_column_by_key(ray.data.from_arrow(tbl), "v", "g")
-    assert len(out) == 0
+    got0 = {r["g"]: r["distinct_values"] for r in out.to_dict("records")}
+    assert got0 == {"a": 0, "b": 0}
 
     mixed = pa.table({
         "v": pa.array([1, None, 1, 2], type=pa.int64()),

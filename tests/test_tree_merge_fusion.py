@@ -118,3 +118,28 @@ def test_tree_merge_result_identical_to_flat_fold(ray_session):
     single = HyperLogLog(b=12)
     single.add_values(np.arange(n_blocks * per, dtype=np.int32))
     assert np.array_equal(sketch.registers(), single.registers())
+
+
+def test_keyed_merge_blocks_keep_input_key_type():
+    """Round-4 session-9 review: the keyed tree-merge block kernels emitted
+    untyped key arrays — null-typed for an empty bundle, int64 for int32
+    keys — so sibling bundles produced unconcatenatable schemas."""
+    from cardinalityestimation_ray.sketches import HyperLogLog, hashing
+    from cardinalityestimation_ray.stages.sketch_stages import (
+        _merge_rows_by_key,
+    )
+
+    sk = HyperLogLog(b=14)
+    sk.add(1)
+    empty = pa.table({"k": pa.array([], type=pa.int32()),
+                      "sketch": pa.array([], type=pa.binary()),
+                      "n_added": pa.array([], type=pa.int64())})
+    full = pa.table({"k": pa.array([7, 7], type=pa.int32()),
+                     "sketch": pa.array([sk.to_bytes()] * 2, type=pa.binary()),
+                     "n_added": pa.array([1, 1], type=pa.int64())})
+    a = _merge_rows_by_key(empty, "k", hashing.DEFAULT_HASH)
+    b = _merge_rows_by_key(full, "k", hashing.DEFAULT_HASH)
+    assert a.schema.field("k").type == pa.int32()
+    assert b.schema.field("k").type == pa.int32()
+    merged = pa.concat_tables([a, b])
+    assert merged.num_rows == 1 and merged["n_added"][0].as_py() == 2
