@@ -2533,9 +2533,11 @@ def oracle_sql() -> dict[str, str]:
               WHERE event_type IS NOT NULL
             )
             SELECT event_type,
+                   -- TRY_CAST nulls out-of-range magnitudes exactly like
+                   -- the engine's lexicographic int64 bound (in-range
+                   -- 19-digit values are KEPT on both sides)
                    CAST(sum(CASE WHEN regexp_matches(raw, '^-?\d+$')
-                                 AND length(ltrim(raw, '-')) <= 18
-                                 THEN CAST(raw AS BIGINT) END)
+                                 THEN TRY_CAST(raw AS BIGINT) END)
                         AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM vals

@@ -83,13 +83,9 @@ def doc_bigram_codes(flat: pa.Array, parents: np.ndarray
 
 def token_count_whitespace(text: pa.Array) -> pa.Array:
     """Number of whitespace-delimited tokens per string (empties dropped)."""
-    toks = pc.split_pattern_regex(_as_array(text), r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    parents = _as_array(parents.filter(keep))
+    _, parents = flat_tokens(text)
     counts = np.zeros(len(text), dtype=np.int64)
-    np.add.at(counts, parents.to_numpy(zero_copy_only=False), 1)
+    np.add.at(counts, parents, 1)
     return pa.array(counts)
 
 
@@ -128,7 +124,11 @@ def distinct_tokens_per_row(batch: pa.Table,
         v = values[order]
         new_group = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])]
         np.add.at(distinct, r[new_group], 1)
-    totals = np.asarray(pc.list_value_length(col).fill_null(0))
+    # denominator = the NULL-FILTERED token count: list_value_length counts
+    # null elements the numerator excludes, deflating the ratio (round-4
+    # session-9 review fix — [1, 2, 2, None] is 2/3, not 2/4)
+    totals = np.zeros(n, dtype=np.int64)
+    np.add.at(totals, rows, 1)
     ttr = np.divide(distinct, totals, out=np.ones(n, dtype=np.float64),
                     where=totals > 0)
     out = batch.append_column("n_distinct_tokens", pa.array(distinct))
@@ -158,16 +158,19 @@ def quality_features(batch: pa.Table, text_column: str = "text") -> pa.Table:
     # ONE whitespace split serves both n_tokens and the stopword ratio
     # (round-3 review fix: the split — the stage's dominant cost — ran
     # twice per batch, once inside token_count_whitespace and once here)
-    toks = pc.split_pattern_regex(text, r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    flat = _as_array(flat.filter(keep))
-    parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
+    flat, parents = flat_tokens(text)
     n_tokens = np.zeros(len(batch), dtype=np.int64)
     np.add.at(n_tokens, parents, 1)
     safe_tokens = np.maximum(n_tokens, 1)
-    avg_token_len = (n_chars - np.maximum(n_tokens - 1, 0)) / safe_tokens
+    # EXACT mean token length (round-4 session-9 review fix: the old
+    # n_chars-minus-separators approximation inflated with every run of
+    # extra/leading/trailing whitespace — '  a   b  ' scored 4.0, true 1.0
+    # — and distorted word_score/quality_score); same cost, one add.at
+    # over the already-computed flat tokens
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_tok_len = np.zeros(len(batch), dtype=np.float64)
+    np.add.at(sum_tok_len, parents, tok_lens)
+    avg_token_len = sum_tok_len / safe_tokens
     lowered = pc.utf8_lower(flat)
     h = hashing.hash_arrow_binary(_as_array(lowered), "fnv1a_mix")
     stop_hashes = np.asarray(
@@ -214,12 +217,9 @@ def language_id(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """
     text = _as_array(batch[text_column])
     n = len(text)
-    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    flat = _as_array(flat.filter(keep))
-    parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
+    # lowered=True lowercases per token AFTER the split — equivalent to
+    # lowering before it (no Unicode case mapping crosses whitespace)
+    flat, parents = flat_tokens(text, lowered=True)
     h = hashing.hash_arrow_binary(flat, "fnv1a_mix")
 
     langs = ["en", "es", "de", "fr"]
@@ -294,11 +294,14 @@ def document_fingerprint(batch: pa.Table, text_column: str = "text",
     h, parents = char_ngram_hashes(text, n=ngram)
     fp = np.full(len(text), np.iinfo(np.uint64).max, dtype=np.uint64)
     np.minimum.at(fp, parents, h)
-    # short strings (< ngram chars) fall back to a whole-string hash
+    # short strings (< ngram chars) fall back to a whole-string hash —
+    # hash only the short SUBSET (one short row in a 10k-row batch of long
+    # docs must not pay a full-column hash pass; round-4 session-9 review)
     short = fp == np.iinfo(np.uint64).max
     if short.any():
-        full = hashing.hash_arrow_binary(text, "fnv1a_mix")
-        fp[short] = full[short]
+        idx = np.flatnonzero(short)
+        fp[idx] = hashing.hash_arrow_binary(
+            text.take(pa.array(idx)), "fnv1a_mix")
     return batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))
 
 
@@ -359,10 +362,12 @@ def chunk_passages(batch: pa.Table, *, window: int, stride: int,
     spaces — exactly DuckDB's ``array_to_string(t[i:j], ' ')``, so the
     operator is fully SQL-oracle-checkable. A document shorter than
     ``window`` yields one passage (its whole token stream); otherwise
-    passages start at 0, stride, 2*stride, ... for every start inside the
-    document — the final passage may be PARTIAL (fewer than ``window``
-    tokens), matching common fixed-stride chunkers. ``stride > window``
-    gives gapped sampling: non-adjacent windows, one per stride offset.
+    passages start at 0, stride, 2*stride, ..., stopping once a window
+    reaches the document's end — passage count = 1 + ceil((n − window) /
+    stride), so the FINAL passage is partial only when (n − window) is not
+    a stride multiple (no fully-redundant suffix windows are emitted).
+    ``stride > window`` gives gapped sampling: non-adjacent windows, one
+    per stride offset inside the document.
 
     Vectorized: one split per batch, passage boundaries by arithmetic over
     the list offsets, and one ``pa.ListArray`` take + binary-join for the
@@ -371,15 +376,7 @@ def chunk_passages(batch: pa.Table, *, window: int, stride: int,
     if window <= 0 or stride <= 0:
         raise ValueError(f"window and stride must be positive, got "
                          f"{window}/{stride}")
-    text = _as_array(batch[text_column])
-    if text.null_count:
-        text = pc.fill_null(text, "")
-    toks = pc.split_pattern_regex(text, r"\s+")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, pa.scalar(""))
-    flat = _as_array(flat.filter(keep))
-    parents = _as_array(parents.filter(keep)).to_numpy(zero_copy_only=False)
+    flat, parents = flat_tokens(batch[text_column])
     n_rows = len(batch)
     counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
     doc_starts = np.r_[0, counts.cumsum()[:-1]]

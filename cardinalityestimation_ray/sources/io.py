@@ -76,6 +76,14 @@ def write_partitioned(ds, path: str, *, min_rows_per_file: int = 100_000,
     try:
         ds.write_parquet(path, min_rows_per_file=min_rows_per_file, **kwargs)
     except TypeError:  # older Ray releases
+        # the failed attempt may have written part files before raising
+        # (Ray re-raises worker errors, so TypeError can surface after
+        # tasks ran) — re-sweep so the retry's manifest can't include
+        # stale partials
+        for root, _, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(root, f))
         ds.write_parquet(path, **kwargs)
     files = sorted(
         os.path.relpath(os.path.join(root, f), path)

@@ -109,7 +109,10 @@ def _partition_id_for(path: str) -> str:
     import hashlib
 
     base = os.path.basename(path).replace(".parquet", "").replace(".", "_")
-    digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+    # 16 hex chars = 64 bits: a 32-bit digest has ~50% birthday collision
+    # odds at ~77k same-named files (part-0.parquet across shard dirs is
+    # the NORM at scale), and a collision silently drops one file's tokens
+    digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
     return f"{base}_{digest}"
 
 

@@ -1506,9 +1506,16 @@ def test_extract_json_int_rejects_floats_and_overflow(_ray):
         '{"k": 7}', '{"k": 1.5}', '{"k": 2e8}',
         '{"k": 99999999999999999999999}', '{"x": 1}', "not json",
         '{"k": -12}',
+        # the int64 bound is EXACT (TRY_CAST semantics): max / max+1 and
+        # min / min-1 (round-4 session-9 review — 19-digit in-range
+        # values like snowflake ids were blanket-nulled before)
+        '{"k": 9223372036854775807}', '{"k": 9223372036854775808}',
+        '{"k": -9223372036854775808}', '{"k": -9223372036854775809}',
     ])})
     out = extract_json_int(tbl, "props", "k")
-    assert out["k"].to_pylist() == [7, None, None, None, None, None, -12]
+    assert out["k"].to_pylist() == [
+        7, None, None, None, None, None, -12,
+        2**63 - 1, None, -(2**63), None]
 
 
 def test_ann_brute_deterministic_under_ties(_ray):
@@ -1704,3 +1711,46 @@ def test_udaf_tdigest_quantile_and_bloom_blob(tokens_small, sf_dir):
 
 _TOK_SQL = ("list_filter(regexp_split_to_array(text, '\\s+'), "
             "x -> x <> '')")
+
+
+def test_extract_json_str_unescapes_and_keys_are_literal(_ray):
+    """Round-4 session-9 review: extracted string values must be JSON-
+    DECODED (a\\\"b == a\"b), invalid escapes yield null, and keys with
+    regex metacharacters match literally instead of wildcarding/raising."""
+    from cardinalityestimation_ray.functions.parse import (
+        extract_json_int,
+        extract_json_str,
+    )
+
+    tbl = pa.table({"j": pa.array([
+        '{"s": "plain"}', '{"s": "a\\"b"}', '{"s": "line\\nbreak"}',
+        '{"s": "u\\u00e9"}', '{"s": "bad\\x"}', None])})
+    out = extract_json_str(tbl, "j", "s")
+    assert out["s"].to_pylist() == ["plain", 'a"b', "line\nbreak", "ué",
+                                    None, None]
+    t2 = pa.table({"j": pa.array(['{"aXb": 7}', '{"a.b": 9}'])})
+    assert extract_json_int(t2, "j", "a.b")["a.b"].to_pylist() == [None, 9]
+    t3 = pa.table({"j": pa.array(['{"price(": 3}'])})
+    assert extract_json_int(t3, "j", "price(")["price("].to_pylist() == [3]
+
+
+def test_ttr_and_avg_token_len_exact(_ray):
+    """Round-4 session-9 review: the TTR denominator must exclude null
+    list elements like the numerator does, and avg_token_len must be the
+    exact mean token length (not n_chars minus assumed single-space
+    separators, which whitespace runs inflate)."""
+    from cardinalityestimation_ray.functions.text import (
+        distinct_tokens_per_row,
+        quality_features,
+    )
+
+    tbl = pa.table({"tokens": pa.array(
+        [[1, 2, 2, None], [None, None], []],
+        type=pa.list_(pa.int32()))})
+    out = distinct_tokens_per_row(tbl)
+    assert out["n_distinct_tokens"].to_pylist() == [2, 0, 0]
+    assert out["type_token_ratio"].to_pylist() == [2 / 3, 1.0, 1.0]
+
+    docs = pa.table({"text": pa.array(["  a   b  ", "ab cd", ""])})
+    q = quality_features(docs)
+    assert q["avg_token_len"].to_pylist() == [1.0, 2.0, 0.0]
