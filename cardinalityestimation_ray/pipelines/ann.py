@@ -120,6 +120,23 @@ def _finalize_topk(partials: pd.DataFrame, k: int,
                          id_column: ids[keep], "cosine": cos[keep]})
 
 
+def _require_int_ids(emb_ds, id_column: str) -> None:
+    """The scoring stages and the top-k finalize are int64-typed end to
+    end; fail at the entry point with the constraint named instead of an
+    astype error two stages in (round-4 session-9 review)."""
+    sch = emb_ds.schema()
+    if sch is None:
+        return
+    t = dict(zip(sch.names, sch.types)).get(id_column)
+    if not isinstance(t, pa.DataType):
+        return  # pandas-backed datasets report Python types here
+    if not pa.types.is_integer(t):
+        raise ValueError(
+            f"ANN id column {id_column!r} must be an integer type, got "
+            f"{t} (map string ids to int64 upstream, e.g. a dictionary "
+            f"encode or a hash, and keep the mapping for the join back)")
+
+
 def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
                    vector_column: str = "embedding",
                    id_column: str = "vec_id") -> pd.DataFrame:
@@ -129,6 +146,7 @@ def ann_topk_brute(emb_ds, queries: np.ndarray, k: int = 10, *,
     """
     import ray
 
+    _require_int_ids(emb_ds, id_column)
     q_unit = _normalize(np.asarray(queries, dtype=np.float32))
     qref = ray.put(q_unit)
 
@@ -179,12 +197,10 @@ def _fixed_count_sample(emb_ds, n: int, *, vector_column: str,
         ids_col = batch[id_column]
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
-        t = ids_col.type
-        if pa.types.is_string(t) or pa.types.is_binary(t) or \
-                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-            h = hashing.hash_arrow_binary(ids_col, "fnv1a_mix")
-        else:
-            h = ids_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # integer ids only — the ANN entry points validate this up front
+        # (a string branch here was dead generality: the scoring stages
+        # and the top-k finalize are int64-typed; round-4 session-9 review)
+        h = ids_col.to_numpy(zero_copy_only=False).astype(np.uint64)
         tags = hashing.splitmix64(h + np.uint64(seed))
         kk = min(n, len(tags))
         if len(tags) > kk:
@@ -248,6 +264,7 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     """
     import ray
 
+    _require_int_ids(emb_ds, id_column)
     q_unit = _normalize(np.asarray(queries, dtype=np.float32))
     sample = _fixed_count_sample(emb_ds, sample_count,
                                  vector_column=vector_column,

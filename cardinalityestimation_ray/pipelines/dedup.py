@@ -220,7 +220,7 @@ def _empty_pairs(value_col: str, dtype: str) -> pd.DataFrame:
 def _verify_minhash_bucket(ids: np.ndarray, sigs: np.ndarray, texts,
                            *, threshold: float, verify: str, ngram: int = 8,
                            max_bucket: int, window: int,
-                           identical_cap: int,
+                           identical_cap: int, est_margin: float = 0.8,
                            emit_identical: bool = True) -> pd.DataFrame | None:
     """Verify one LSH bucket with bounded work (round-2 VERDICT fix: the
     old version was an unbounded O(k²) Python pair loop — a degenerate
@@ -281,7 +281,8 @@ def _verify_minhash_bucket(ids: np.ndarray, sigs: np.ndarray, texts,
     cross_est = np.empty(0)
     if m >= 2:
         U = sigs[rep_pos]
-        min_est = threshold if verify == "signature" else threshold * 0.8
+        min_est = threshold if verify == "signature" \
+            else threshold * est_margin
         if m <= max_bucket:
             ci, cj, cross_est = pairwise_candidates_est(U, min_est)
         else:
@@ -308,8 +309,13 @@ def _verify_minhash_bucket(ids: np.ndarray, sigs: np.ndarray, texts,
         used = np.unique(np.concatenate([x, y]))
         remap = np.zeros(len(ids), dtype=np.int64)
         remap[used] = np.arange(len(used))
+        # null texts verify as "" — the same contract the SIGNATURE path
+        # applies (hash_arrow_binary hashes null like the empty string), so
+        # the two verify modes agree; None in the object array would also
+        # crash np.unique's sort (round-4 session-9 review fix)
         utexts, tinv = np.unique(
-            np.asarray([texts[i] for i in used], dtype=object),
+            np.asarray([texts[i] if isinstance(texts[i], str) else ""
+                        for i in used], dtype=object),
             return_inverse=True)
         n_ut = np.int64(len(utexts))
         gx = tinv[remap[x]]
@@ -334,7 +340,8 @@ def _verify_minhash_bucket(ids: np.ndarray, sigs: np.ndarray, texts,
 def _candidate_pairs_from_buckets(bucket_rows, id_column: str, num_perm: int,
                                   threshold: float, verify: str, ngram: int,
                                   *, max_bucket: int = 512, window: int = 64,
-                                  identical_cap: int = 64) -> pd.DataFrame:
+                                  identical_cap: int = 64,
+                                  est_margin: float = 0.8) -> pd.DataFrame:
     """Pair generation + verification, one map_groups call per super-bucket.
 
     Inside a part: keep only rows whose (band, band_hash) bucket has >= 2
@@ -359,7 +366,7 @@ def _candidate_pairs_from_buckets(bucket_rows, id_column: str, num_perm: int,
             res = _verify_minhash_bucket(
                 ids, sigs, texts, threshold=threshold, verify=verify,
                 ngram=ngram, max_bucket=max_bucket, window=window,
-                identical_cap=identical_cap,
+                identical_cap=identical_cap, est_margin=est_margin,
                 emit_identical=(band == 0))
             if res is not None:
                 frames.append(res)
@@ -564,7 +571,7 @@ def _minhash_pairs_ds(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
                       ngram: int = 8, threshold: float = 0.7,
                       verify: str = "signature",
                       max_bucket: int = 512, window: int = 64,
-                      identical_cap: int = 64,
+                      identical_cap: int = 64, est_margin: float = 0.8,
                       text_column: str = "text",
                       id_column: str = "doc_id"):
     """Shared candidate-pair pipeline (the single owner of every default —
@@ -580,7 +587,8 @@ def _minhash_pairs_ds(docs_ds, *, num_perm: int = 64, num_bands: int = 16,
     rows = _spread(docs_ds).map_batches(stage, batch_format="pyarrow")
     return _candidate_pairs_from_buckets(
         rows, id_column, num_perm, threshold, verify, ngram,
-        max_bucket=max_bucket, window=window, identical_cap=identical_cap)
+        max_bucket=max_bucket, window=window, identical_cap=identical_cap,
+        est_margin=est_margin)
 
 
 def minhash_dedup_pairs(docs_ds, **kwargs) -> pd.DataFrame:
@@ -591,6 +599,16 @@ def minhash_dedup_pairs(docs_ds, **kwargs) -> pd.DataFrame:
     Returns a DataFrame (id_a, id_b, similarity), id_a < id_b, deduplicated.
     Parameters are those of :func:`_minhash_pairs_ds` (unknown keywords
     raise).
+
+    Text-verify modes apply a SIGNATURE-estimate prefilter at
+    ``threshold * est_margin`` (default 0.8) before the exact-Jaccard
+    kernel — a pair whose true Jaccard passes the threshold but whose
+    MinHash estimate falls below the margin (a multi-sigma estimator
+    deviation at num_perm=64, but nonzero over billions of candidates) is
+    cut without exact verification. Widen with ``est_margin=0.0`` to
+    exact-verify every cross-group candidate at the cost of more kernel
+    pairs; the LSH banding recall loss documented above is separate and
+    unaffected.
 
     Degenerate-bucket bounds (see :func:`_verify_minhash_bucket`): identical
     signatures collapse to a representative (all-pairs within groups up to
@@ -843,6 +861,24 @@ def embedding_dedup_pairs(emb_ds, *, threshold: float = 0.95,
             col = batch[vector_column]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if len(batch) == 0:
+                # np.stack([]) raises; emit the typed empty block every
+                # sibling matrix stage emits (round-4 session-9 review
+                # fix). The unit width is knowable without data only for
+                # fixed_size_list inputs; variable-list inputs get a
+                # width-0 type (concat with non-empty siblings would then
+                # still fail loudly, same as today — but Ray skips empty
+                # blocks, so this path is belt-and-braces)
+                vt = col.type
+                d = vt.list_size if pa.types.is_fixed_size_list(vt) else 0
+                return pa.table({
+                    "band": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int32()),
+                    "proj0": pa.array([], type=pa.float32()),
+                    id_column: batch[id_column],
+                    "unit": pa.array([], type=pa.list_(pa.float32(), d)),
+                })
             mat = np.stack(col.to_numpy(zero_copy_only=False))
             if self.planes is None:
                 rng = np.random.default_rng(seed)

@@ -40,8 +40,22 @@ def bucketed_inner_join(ds_left, ds_right, key: str, *,
     rschema = ds_right.schema()
     if lschema is None or rschema is None:  # an empty side: inner join = []
         return _empty_ds()
-    left = add_hash_bucket(ds_left, key, num_buckets)
-    right = add_hash_bucket(ds_right, key, num_buckets)
+
+    def drop_null_keys(batch: pa.Table) -> pa.Table:
+        # SQL INNER JOIN never matches NULL keys; pandas merge treats
+        # NaN/None as EQUAL, so null rows must go before bucketing
+        # (round-4 session-9 review fix)
+        col = batch[key]
+        if col.null_count:
+            batch = batch.filter(pa.compute.is_valid(col))
+        return batch
+
+    left = add_hash_bucket(
+        ds_left.map_batches(drop_null_keys, batch_format="pyarrow"),
+        key, num_buckets)
+    right = add_hash_bucket(
+        ds_right.map_batches(drop_null_keys, batch_format="pyarrow"),
+        key, num_buckets)
 
     left_cols = [c for c in lschema.names]
     right_cols = [c for c in rschema.names]

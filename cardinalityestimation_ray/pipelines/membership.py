@@ -170,8 +170,30 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
             # it and are masked out before hashing
             probe_ok = None
             if np.issubdtype(vals.dtype, np.integer):
-                vals = vals.astype(np.float64 if not build_is_int
-                                   else np.int64)
+                if build_is_int:
+                    vals = vals.astype(np.int64)
+                else:
+                    # int probes against a float build side: the float64
+                    # cast is lossy above 2^53, and a lossy probe could
+                    # falsely equal a nearby float build key (round-4
+                    # session-9 review: 9007199254740993 matched
+                    # 9007199254740992.0). A probe whose cast does not
+                    # round-trip cannot equal ANY float64 value, so mask
+                    # it out instead
+                    ivals = vals.astype(np.int64)
+                    fvals = ivals.astype(np.float64)
+                    probe_ok = np.abs(ivals) < (1 << 53)
+                    big = np.flatnonzero(~probe_ok)
+                    if len(big):
+                        f = fvals[big]
+                        in_range = (f >= -9.223372036854776e18) & \
+                            (f < 9.223372036854776e18)
+                        rt = np.zeros(len(big), dtype=bool)
+                        if in_range.any():
+                            sub = f[in_range].astype(np.int64)
+                            rt[in_range] = sub == ivals[big][in_range]
+                        probe_ok[big] = rt
+                    vals = fvals
             elif np.issubdtype(vals.dtype, np.floating):
                 if build_is_int:
                     probe_ok = (np.isfinite(vals)

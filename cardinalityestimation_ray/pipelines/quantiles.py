@@ -78,6 +78,20 @@ def exact_quantiles_by_key(ds, column: str, key_column: str | None = None,
         # could be SELECTED as a threshold — review fix)
         if tbl[column].null_count:
             tbl = tbl.filter(pc.is_valid(tbl[column]))
+        # float NaN never ranks either (round-4 session-9 review fix: a
+        # NaN passes is_valid, sorts last, and would be SELECTED as a
+        # high-quantile threshold — and a NaN threshold makes
+        # filter_by_column_quantile drop EVERY row via the fill_null(False)
+        # mask). Engine contract: NaN values are excluded from ranking and
+        # never pass a quantile band, same as nulls (DuckDB instead orders
+        # NaN above all values — documented divergence)
+        if pa.types.is_floating(tbl.schema.field(column).type):
+            col2 = tbl[column]
+            if isinstance(col2, pa.ChunkedArray):
+                col2 = col2.combine_chunks()
+            nan_mask = pc.is_nan(col2)
+            if pc.any(nan_mask).as_py():
+                tbl = tbl.filter(pc.invert(nan_mask))
         # null KEYS are excluded (engine-wide keyed convention; Ray's
         # sort-based groupby also crashes on a null string key —
         # round-4 adversarial-sweep fix)

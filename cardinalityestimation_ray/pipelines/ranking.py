@@ -22,19 +22,27 @@ def _desc_key(values: np.ndarray) -> np.ndarray:
     largest) and overflows at INT64_MIN, and fails outright for datetimes
     (round-3 review fix).
 
-    NULL values (NaN / NaT) rank AFTER every real value — SQL ``ORDER BY v
-    DESC`` defaults to NULLS LAST, while ``np.unique`` sorts NaN/NaT last
-    so the bare negated rank would have ranked them FIRST and a null-value
-    row would have beaten every real top-k candidate (round-4
-    adversarial-sweep fix)."""
-    _, inverse = np.unique(values, return_inverse=True)
-    key = -inverse.astype(np.int64)
+    NULL values (NaN / NaT / None in object columns) rank AFTER every real
+    value — SQL ``ORDER BY v DESC`` defaults to NULLS LAST, while
+    ``np.unique`` sorts NaN/NaT last so the bare negated rank would have
+    ranked them FIRST and a null-value row would have beaten every real
+    top-k candidate (round-4 adversarial-sweep fix; session-9 review:
+    object-dtype None crashed np.unique's sort outright)."""
+    null = None
     if values.dtype.kind == "f":
         null = np.isnan(values)
     elif values.dtype.kind in "mM":
         null = np.isnat(values)
-    else:
-        null = None
+    elif values.dtype.kind == "O":
+        # Arrow nulls in string columns surface as None (or pandas NA/NaN)
+        # in object arrays, and np.unique cannot compare them with str —
+        # substitute a sentinel for ranking, then force NULLS LAST below
+        null = np.asarray(pd.isna(values))
+        if null.any():
+            values = values.copy()
+            values[null] = ""
+    _, inverse = np.unique(values, return_inverse=True)
+    key = -inverse.astype(np.int64)
     if null is not None and null.any():
         key[null] = np.iinfo(np.int64).max
     return key

@@ -143,7 +143,10 @@ def rolling_mean_by_key(events_ds, *, value_column: str = "value",
 
     Returns a Dataset of (id, key, rolling_mean). Null values propagate
     as SQL avg does (nulls excluded from numerator AND denominator) via
-    paired (value-as-0, is-valid) window sums. Sums are DIRECT shifted
+    paired (value-as-0, is-valid) window sums; a window whose values are
+    ALL null yields NaN — pandas' float-null representation, identical to
+    how DuckDB's fetchdf renders SQL NULL, so oracle compares agree (an
+    Arrow-level consumer wanting a true null should mask on NaN). Sums are DIRECT shifted
     adds, O(window * n) vectorized — deliberately NOT a cumsum-difference
     scheme, which leaks prefix-magnitude rounding error into near-zero
     window sums. Meant for small feature windows (k <= ~64).

@@ -175,6 +175,17 @@ def tumbling_distinct_agg(events_ds, *, window_minutes: int = 60,
         params = {"k": 4096}
     window_us = np.int64(window_minutes * 60 * 1_000_000)
     sep = "\x1f"  # unit separator: cannot appear in the key values
+    # remember the INPUT key dtype: the composite wkey is a string, and the
+    # output key column is rebuilt from rsplit — without a cast back, an
+    # int64 key came out as the string "7" (round-4 session-9 review fix;
+    # sibling tumbling_window_agg preserves the dtype)
+    sch = events_ds.schema()
+    ktype = (dict(zip(sch.names, sch.types)).get(key_column)
+             if sch is not None else None)
+    if not isinstance(ktype, pa.DataType):
+        # pandas-backed datasets report PYTHON types here; without an
+        # Arrow type the key stays string (the pre-fix behavior)
+        ktype = None
 
     def bucketize(batch: pa.Table) -> pa.Table:
         batch = _drop_null_ts(batch, ts_column)
@@ -203,13 +214,19 @@ def tumbling_distinct_agg(events_ds, *, window_minutes: int = 60,
                                name="distinct_ids"))
     df = out.to_pandas()
     if len(df) == 0:
+        key_empty = (pa.array([], type=ktype).to_pandas()
+                     if ktype is not None else pd.Series([], dtype="object"))
         return pd.DataFrame({
-            key_column: pd.Series([], dtype="object"),
+            key_column: key_empty,
             "window_start": pd.Series([], dtype="datetime64[us]"),
             "distinct_ids": pd.Series([], dtype="int64"),
         })
     split = df["wkey"].str.rsplit(sep, n=1, expand=True)
-    df[key_column] = split[0]
+    key_vals = pa.array(split[0].to_numpy(dtype=object))
+    if ktype is not None and not pa.types.is_string(ktype) and \
+            not pa.types.is_large_string(ktype):
+        key_vals = key_vals.cast(ktype)
+    df[key_column] = key_vals.to_pandas()
     df["window_start"] = pd.to_datetime(
         split[1].astype(np.int64), unit="us")
     df["distinct_ids"] = df["distinct_ids"].astype("int64")
