@@ -43,12 +43,26 @@ class Sketch(ABC):
         return arr.drop_null() if arr.null_count else arr
 
     def add_arrow(self, arr: pa.Array | pa.ChunkedArray) -> None:
-        """Add an Arrow array (default: via numpy conversion; nulls skipped)."""
+        """Add an Arrow array — the ONE copy of the string-vs-numeric
+        dispatch (round-4 session-9 review: four sketches carried identical
+        bodies). String/binary columns hash via the zero-copy buffer path
+        with the sketch's own ``hash_name`` (requires ``add_hashes``);
+        numeric columns go through ``add_values`` via numpy conversion.
+        Nulls are skipped (SQL semantics) in both paths."""
         if isinstance(arr, pa.ChunkedArray):
             for chunk in arr.chunks:
                 self.add_arrow(chunk)
             return
-        self.add_values(self._drop_nulls(arr).to_numpy(zero_copy_only=False))
+        arr = self._drop_nulls(arr)
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_binary(t) or \
+                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            from . import hashing
+
+            self.add_hashes(hashing.hash_arrow_binary(
+                arr, getattr(self, "hash_name", hashing.DEFAULT_HASH)))
+        else:
+            self.add_values(arr.to_numpy(zero_copy_only=False))
 
     # --- merge / query ------------------------------------------------
     @abstractmethod

@@ -101,22 +101,8 @@ class BloomFilter(Sketch):
                                                  self.hash_name))
         self.count_additions += n_raw - len(values)
 
-    def add_arrow(self, arr) -> None:
-        """Add an Arrow array; string/binary columns hash via the zero-copy
-        buffer path, numeric columns via the fixed-width path."""
-        import pyarrow as pa
-
-        if isinstance(arr, pa.ChunkedArray):
-            for chunk in arr.chunks:
-                self.add_arrow(chunk)
-            return
-        arr = self._drop_nulls(arr)
-        t = arr.type
-        if pa.types.is_string(t) or pa.types.is_binary(t) or \
-                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-            self.add_hashes(hashing.hash_arrow_binary(arr, self.hash_name))
-        else:
-            self.add_values(arr.to_numpy(zero_copy_only=False))
+    # add_arrow: inherited from Sketch (one copy of the
+    # string-vs-numeric dispatch lives on the base class)
 
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
         h = np.ascontiguousarray(h, dtype=np.uint64)

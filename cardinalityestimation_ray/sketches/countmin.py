@@ -111,22 +111,8 @@ class CountMinSketch(Sketch):
             values, weights = np.unique(values, return_counts=True)
         self.add_hashes(hashing.hash_fixed_batch(values, self.hash_name), weights)
 
-    def add_arrow(self, arr) -> None:
-        """Add an Arrow array; string/binary columns hash via the zero-copy
-        buffer path, numeric columns via the fixed-width path."""
-        import pyarrow as pa
-
-        if isinstance(arr, pa.ChunkedArray):
-            for chunk in arr.chunks:
-                self.add_arrow(chunk)
-            return
-        arr = self._drop_nulls(arr)
-        t = arr.type
-        if pa.types.is_string(t) or pa.types.is_binary(t) or \
-                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-            self.add_hashes(hashing.hash_arrow_binary(arr, self.hash_name))
-        else:
-            self.add_values(arr.to_numpy(zero_copy_only=False))
+    # add_arrow: inherited from Sketch (one copy of the
+    # string-vs-numeric dispatch lives on the base class)
 
     def query_hashes(self, h: np.ndarray) -> np.ndarray:
         """Point-frequency estimates for pre-hashed elements (vectorized)."""

@@ -31,6 +31,8 @@ _FNV_OFFSET = U64(14695981039346656037)
 _FNV_PRIME = U64(1099511628211)
 _BYTE_MASK = U64(0xFF)
 
+DEFAULT_HASH = "fnv1a_mix"
+
 # ---------------------------------------------------------------------------
 # bit utilities
 
@@ -150,7 +152,7 @@ def fnv1a64_bytes_array(data: np.ndarray, offsets: np.ndarray, lengths: np.ndarr
     return h
 
 
-def hash_arrow_binary(arr: pa.Array, hash_name: str = "fnv1a") -> np.ndarray:
+def hash_arrow_binary(arr: pa.Array, hash_name: str = DEFAULT_HASH) -> np.ndarray:
     """Hash each element of an Arrow string/binary array (zero-copy buffers).
 
     ``fnv1a`` folds the raw bytes; ``fnv1a_mix`` (library default) applies the
@@ -692,7 +694,17 @@ def xxh64_bytes_array(data: np.ndarray, starts: np.ndarray,
 
 
 def encode_element(x) -> bytes:
-    """Normalize a scalar element to its identity bytes (reference rules)."""
+    """Normalize a scalar element to its identity bytes (reference rules).
+
+    Identity is TYPED, exactly like the reference's Add overloads: a plain
+    Python int follows the C# literal rule (int32 image when the value
+    fits, else int64/uint64), while a NUMPY scalar follows its dtype width
+    — np.int64(5) hashes the 8-byte image even though 5 fits in int32
+    (round-4 session-9 review: the old value-range rule made np.int64(5)
+    and np.array([5], np.int64) hash DIFFERENTLY, so a scalar add/query
+    could never match a batch add of the same value). To probe a sketch
+    built from an int64 batch, query with np.int64(v) (or a batch call).
+    """
     if isinstance(x, bytes):
         return x
     if isinstance(x, str):
@@ -702,6 +714,13 @@ def encode_element(x) -> bytes:
     if isinstance(x, (int, np.integer)):
         if isinstance(x, (np.int32, np.uint32)):
             return struct.pack("<I", int(np.uint32(x)))
+        if isinstance(x, (np.int8, np.int16, np.uint8, np.uint16)):
+            # the batch kernels widen narrow ints via the int32 image
+            return encode_int32(int(x))
+        if isinstance(x, np.uint64):
+            return encode_uint64(int(x))
+        if isinstance(x, np.int64):
+            return encode_int64(int(x))
         v = int(x)
         if -(2**31) <= v < 2**31:
             return encode_int32(v)
@@ -731,7 +750,6 @@ def wordfnv64_fixed(values: np.ndarray) -> np.ndarray:
     return (h ^ U64(width)) * _FNV_PRIME
 
 
-DEFAULT_HASH = "fnv1a_mix"
 
 def _xxh128_dotnet_scalar(data: bytes) -> int:
     from .xxh3 import xxh128_dotnet

@@ -160,23 +160,8 @@ class HyperLogLog(Sketch):
         """Vectorized add of a fixed-width numeric numpy array."""
         self.add_hashes(hashing.hash_fixed_batch(values, self.hash_name))
 
-    def add_arrow(self, arr: pa.Array | pa.ChunkedArray) -> None:
-        """Vectorized add of an Arrow array (ints, floats, strings, binary).
-
-        Nulls are skipped (SQL ``COUNT(DISTINCT)`` semantics): they are
-        neither counted as an element nor included in ``count_additions``.
-        """
-        if isinstance(arr, pa.ChunkedArray):
-            for chunk in arr.chunks:
-                self.add_arrow(chunk)
-            return
-        arr = self._drop_nulls(arr)
-        t = arr.type
-        if pa.types.is_string(t) or pa.types.is_binary(t) or \
-                pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-            self.add_hashes(hashing.hash_arrow_binary(arr, self.hash_name))
-        else:
-            self.add_values(arr.to_numpy(zero_copy_only=False))
+    # add_arrow: inherited from Sketch (one copy of the
+    # string-vs-numeric dispatch lives on the base class)
 
     # ------------------------------------------------------------------
     # register update kernels
@@ -391,7 +376,12 @@ class HyperLogLog(Sketch):
     def __eq__(self, other) -> bool:
         if not isinstance(other, HyperLogLog):
             return NotImplemented
-        if (self.b != other.b or self.is_sparse != other.is_sparse
+        # hash_name participates in equality like the sibling sketches
+        # (round-4 session-9 review: a v3 roundtrip relabels a custom-hash
+        # sketch as the default — documented wire behavior — and == was
+        # the one comparison that could not see it while merge() raised)
+        if (self.b != other.b or self.hash_name != other.hash_name
+                or self.is_sparse != other.is_sparse
                 or self.count_additions != other.count_additions
                 or (self.direct is None) != (other.direct is None)):
             return False

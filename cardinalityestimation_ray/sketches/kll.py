@@ -156,12 +156,17 @@ class KLLSketch(Sketch):
         return self
 
     def copy(self) -> "KLLSketch":
-        out = KLLSketch(self.k, self.seed)
+        # the copy gets FRESH coin entropy: seeding every copy with
+        # self.seed + 1 made all copies of one sketch (and copies of
+        # copies) flip identical compaction coins, correlating rank errors
+        # across merge branches that share a copied accumulator base
+        # (round-4 session-9 review — the same independence invariant the
+        # per-instance __init__ entropy exists for)
+        out = KLLSketch(self.k)
         out.compactors = [c.copy() for c in self.compactors]
         out.n = self.n
         out._min = self._min
         out._max = self._max
-        out._rng = np.random.Generator(np.random.PCG64(self.seed + 1))
         return out
 
     # ------------------------------------------------------------------

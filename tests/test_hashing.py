@@ -51,16 +51,23 @@ def test_fnv1a_vectorized_matches_scalar_floats(dtype, fmt):
 def test_fnv1a_arrow_binary_matches_scalar():
     strings = ["", "a", "doc-000000000042", "x" * 300, "héllo wörld", "tail"]
     arr = pa.array(strings, type=pa.string())
-    vec = hashing.hash_arrow_binary(arr)
+    vec = hashing.hash_arrow_binary(arr, "fnv1a")
     for s, h in zip(strings, vec):
         assert hashing.fnv1a64(s.encode("utf-8")) == int(h)
     # sliced arrays (non-zero offset) must hash identically
     sl = arr.slice(2, 3)
-    vec_sl = hashing.hash_arrow_binary(sl)
+    vec_sl = hashing.hash_arrow_binary(sl, "fnv1a")
     assert list(vec_sl) == list(vec[2:5])
     # large_string path
     larr = pa.array(strings, type=pa.large_string())
-    assert list(hashing.hash_arrow_binary(larr)) == list(vec)
+    assert list(hashing.hash_arrow_binary(larr, "fnv1a")) == list(vec)
+    # the bare default is the LIBRARY default hash (round-4 session-9
+    # review: a raw-fnv1a default silently mismatched every sketch built
+    # with default settings)
+    assert hashing.DEFAULT_HASH == "fnv1a_mix"
+    dflt = hashing.hash_arrow_binary(arr)
+    assert list(dflt) == list(hashing.hash_arrow_binary(arr, "fnv1a_mix"))
+    assert list(dflt) != list(vec)
 
 
 def test_int_identity_rule_matches_bytes():

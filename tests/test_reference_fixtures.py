@@ -54,11 +54,20 @@ def test_reference_fixture_roundtrip(fname, expected, adds):
 
 @pytest.mark.parametrize("fname,expected,adds", CASES, ids=[c[0] for c in CASES])
 def test_reference_fixture_reserialize_stable(fname, expected, adds):
-    """Deserialize -> serialize (our v3.1 writer) -> deserialize is lossless."""
+    """Deserialize -> serialize (our v3.1 writer) -> deserialize is
+    STATE-lossless. The hash LABEL is the documented exception: the v3
+    wire carries no hash id, so the re-read sketch is labeled with the
+    default hash — exactly what the reference's own v3 deserializer does
+    (CardinalityEstimatorSerializer.cs), and its Equals (which compares
+    hashFunction, like ours since round-4 session 9) would also see the
+    relabel. Compare state with the label aligned, and pin the relabel."""
     blob = (FIXTURES / fname).read_bytes()
     hll = HyperLogLog.from_bytes(blob)
     again = HyperLogLog.from_bytes(hll.to_bytes())
     assert again.estimate() == expected
+    from cardinalityestimation_ray.sketches import hashing
+    assert again.hash_name == hashing.DEFAULT_HASH  # v3 wire relabel
+    again.hash_name = hll.hash_name
     assert again == hll
 
 

@@ -685,7 +685,9 @@ def test_keyed_partials_schema_stable_with_all_null_batches(ray_session):
                                  estimate_name="d", count_name="n",
                                  strategy="groupby")
     got = dict(zip(out["k"], out["d"]))
-    assert got == {1: 1, 2: 1}
+    # key 3's values are ALL null: SQL GROUP BY keeps the group with
+    # COUNT(DISTINCT)=0 (round-4 session-9 fix — it was dropped before)
+    assert got == {1: 1, 2: 1, 3: 0}
 
 
 def test_token_partials_keyed_paths_blob_identical():
@@ -784,3 +786,64 @@ def test_bloom_unique_collapse_identical_to_raw():
         BloomFilter.UNIQUE_COLLAPSE_THRESHOLD = old
     assert collapsed == raw
     assert collapsed.count_additions == raw.count_additions == len(vals)
+
+
+def test_numpy_scalar_identity_matches_batch():
+    """Round-4 session-9 review: encode_element collapsed ANY small int to
+    the int32 image, so np.int64(5) and np.array([5], int64) hashed apart —
+    a scalar add/query could never match a batch add. Numpy scalars now
+    follow their dtype width; plain Python ints keep the C# literal rule."""
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches import HyperLogLog, hashing
+    from cardinalityestimation_ray.sketches.countmin import CountMinSketch
+
+    h = HyperLogLog(b=14)
+    h.add(np.int64(5))
+    h.add_values(np.array([5], dtype=np.int64))
+    assert h.estimate() == 1
+
+    cms = CountMinSketch()
+    cms.add_values(np.asarray([7, 7, 7], dtype=np.int64))
+    assert cms.query(np.int64(7)) >= 3
+
+    # C# literal rule unchanged: Python int 123 == LE int32 bytes
+    assert hashing.encode_element(123) == (123).to_bytes(4, "little")
+    # numpy dtypes follow their width
+    assert hashing.encode_element(np.int64(123)) == \
+        (123).to_bytes(8, "little")
+    assert hashing.encode_element(np.int16(3)) == \
+        hashing.encode_element(np.int32(3))  # narrow ints widen via int32
+
+
+def test_hll_eq_compares_hash_name():
+    """Reference Equals compares hashFunction; ours must too — the v3 wire
+    relabel (custom hash -> default on from_bytes) is now visible to ==."""
+    from cardinalityestimation_ray.sketches import HyperLogLog
+
+    a = HyperLogLog(b=14, hash_name="xxhash64")
+    a.add("x")
+    rb = HyperLogLog.from_bytes(a.to_bytes())
+    assert rb != a  # relabeled to the default hash
+    rb.hash_name = a.hash_name
+    assert rb == a  # state itself is lossless
+
+
+def test_kll_copies_flip_independent_coins():
+    """Copies seeded with self.seed+1 made every copy of one sketch flip
+    IDENTICAL compaction coins — correlated rank errors across merge
+    branches sharing a copied accumulator base."""
+    import numpy as np
+
+    from cardinalityestimation_ray.sketches.kll import KLLSketch
+
+    base = KLLSketch(k=8)
+    base.add_values(np.arange(100, dtype=np.float64))
+    c1, c2 = base.copy(), base.copy()
+    coins1 = [c1._rng.integers(0, 2) for _ in range(24)]
+    coins2 = [c2._rng.integers(0, 2) for _ in range(24)]
+    assert coins1 != coins2  # 2^-24 false-failure odds
+    # copies still carry identical STATE
+    assert c1.n == c2.n == base.n
+    assert all(np.array_equal(x, y)
+               for x, y in zip(c1.compactors, c2.compactors))
