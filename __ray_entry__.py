@@ -133,15 +133,38 @@ def _q_token_topk_counts(sf_dir: str):
 
 
 def _q_cms_token_frequencies(sf_dir: str):
-    """Count-min estimates for the top-5 tokens (rows-only driver check;
-    bounds est>=true, est<=true+eps*N are pytest-asserted)."""
+    """Count-min estimates for the top-5 tokens under the PRODUCTION config
+    (depth=5, width=2^16), made oracle-eligible (round-4 VERDICT item #1):
+    each probe is projected to its exactly-verified count plus the
+    deterministic evaluation of the published guarantee on this concrete
+    sketch + data — est >= true always; est <= true + ceil(e/width * N).
+    The SQL oracle reproduces the exact counts and asserts the all-TRUE
+    bound columns (count multiset is the comparable invariant: Ray keys
+    tokens by 31-bit hash ids, the oracle by strings)."""
+    import math
+
+    import pandas as pd
+
     from cardinalityestimation_ray.pipelines.frequency import (
         token_frequencies_cms,
         token_topk_exact,
     )
 
+    width = 1 << 16  # the production default, restated for the bound
     top = token_topk_exact(_tokens(sf_dir), k=5)
-    return token_frequencies_cms(_tokens(sf_dir), top["token"].values)
+    if len(top) == 0:
+        return pd.DataFrame({"cnt": pd.Series([], dtype="int64"),
+                             "lower_ok": pd.Series([], dtype="bool"),
+                             "upper_ok": pd.Series([], dtype="bool")})
+    est = token_frequencies_cms(_tokens(sf_dir), top["token"].values,
+                                width=width)
+    merged = top.merge(est, on="token")
+    bound = math.ceil(math.e / width * int(merged["total_tokens"].iloc[0]))
+    return pd.DataFrame({
+        "cnt": merged["cnt"].astype("int64"),
+        "lower_ok": (merged["est_count"] >= merged["cnt"]).astype(bool),
+        "upper_ok": (merged["est_count"] <= merged["cnt"] + bound).astype(bool),
+    }).sort_values("cnt", ascending=False).reset_index(drop=True)
 
 
 def _q_ntok_quantiles(sf_dir: str):
@@ -468,17 +491,35 @@ def _q_minhash_dedup_keep_distributed(sf_dir: str):
 
 
 def _q_bloom_token_membership(sf_dir: str):
+    """Bloom membership for the top-5 tokens plus one certainly-absent
+    probe, made oracle-eligible (round-4 VERDICT item #1): positives are
+    upgraded to exact truth with one :func:`exact_token_counts` verify
+    pass, and the absent probe (2^40) sits outside the int32 token dtype,
+    so the engine's range guard answers False with certainty — every
+    output column is deterministic. ``bloom_member`` is itself exact here:
+    True for present probes (Bloom has no false negatives) and False for
+    the out-of-range probe (dtype guard, not the probabilistic filter)."""
     import numpy as np
+    import pandas as pd
 
-    from cardinalityestimation_ray.pipelines.frequency import token_topk_exact
+    from cardinalityestimation_ray.pipelines.frequency import (
+        exact_token_counts,
+        token_topk_exact,
+    )
     from cardinalityestimation_ray.pipelines.membership import (
         probe_token_membership,
     )
 
     top = token_topk_exact(_tokens(sf_dir), k=5)
     probes = np.r_[top["token"].values.astype(np.int64),
-                   np.array([999_999_999], dtype=np.int64)]
-    return probe_token_membership(_tokens(sf_dir), probes)
+                   np.array([1 << 40], dtype=np.int64)]
+    bloom = probe_token_membership(_tokens(sf_dir), probes)  # production path
+    exact = exact_token_counts(_tokens(sf_dir), probes)
+    return pd.DataFrame({
+        "cnt": exact["cnt"].astype("int64"),
+        "bloom_member": bloom["member"].astype(bool),
+        "member": (exact["cnt"] > 0).astype(bool),
+    }).sort_values("cnt", ascending=False).reset_index(drop=True)
 
 
 def _q_pack_sequences_by_source(sf_dir: str):
@@ -2333,6 +2374,31 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cnt DESC, t ASC
                 LIMIT 10
             )
+        """,
+        # cms_token_frequencies: the engine exactly-verifies each CMS probe
+        # and evaluates the published bound deterministically; the oracle
+        # reproduces the exact counts and asserts the all-TRUE bounds
+        "cms_token_frequencies": f"""
+            SELECT cnt, TRUE AS lower_ok, TRUE AS upper_ok FROM (
+                SELECT t, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest({_TOK}) AS t FROM documents)
+                GROUP BY t
+                ORDER BY cnt DESC, t ASC
+                LIMIT 5
+            )
+        """,
+        # bloom_token_membership: positives exactly verified, the absent
+        # probe certain by the int32 dtype guard — all columns deterministic
+        "bloom_token_membership": f"""
+            SELECT cnt, TRUE AS bloom_member, TRUE AS member FROM (
+                SELECT t, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest({_TOK}) AS t FROM documents)
+                GROUP BY t
+                ORDER BY cnt DESC, t ASC
+                LIMIT 5
+            )
+            UNION ALL
+            SELECT 0::BIGINT, FALSE, FALSE
         """,
         # ntok_quantiles_kll runs KLL in its exact regime (n <= k: no
         # compaction, every retained value weight 1), where its rank rule

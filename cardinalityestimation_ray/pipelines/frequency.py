@@ -125,6 +125,53 @@ def heavy_hitters(make_tokens_ds, phi: float = 0.01, *,
                           ascending=[False, True]).reset_index(drop=True)
 
 
+def exact_token_counts(tokens_ds, probe_tokens, *,
+                       token_column: str = "tokens") -> pd.DataFrame:
+    """EXACT occurrence counts for a small probe set of token ids.
+
+    One corpus scan: each batch histograms its flat tokens against the
+    (closure-broadcast) sorted probe array via searchsorted — emitting
+    len(probes) partial rows per batch — then a tiny groupby-sum. No
+    vocabulary-sized shuffle, nothing row-scale on the driver; this is the
+    exact-verify pass that upgrades sketch answers (CMS estimates, Bloom
+    positives) to oracle-checkable truths.
+
+    Probes compare in int64, so out-of-int32-range probes (impossible in
+    an int32 token column) correctly count 0. Probes must be unique.
+    """
+    from ray.data.aggregate import Sum
+
+    probes = np.asarray(probe_tokens, dtype=np.int64)
+    if len(np.unique(probes)) != len(probes):
+        raise ValueError("probe_tokens must be unique")
+    if len(probes) == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    sorted_probes = np.sort(probes)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, _ = _flatten_tokens(batch, token_column)
+        v = values.astype(np.int64)
+        pos = np.clip(np.searchsorted(sorted_probes, v), 0,
+                      len(sorted_probes) - 1)
+        hit = sorted_probes[pos] == v
+        counts = np.zeros(len(sorted_probes), dtype=np.int64)
+        np.add.at(counts, pos[hit], 1)
+        return pa.table({
+            "slot": pa.array(np.arange(len(sorted_probes), dtype=np.int64)),
+            "cnt": pa.array(counts),
+        })
+
+    agg = tokens_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("slot").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    counts = np.zeros(len(sorted_probes), dtype=np.int64)
+    if len(agg):
+        counts[agg["slot"].to_numpy()] = agg["cnt"].to_numpy()
+    # back to the caller's probe order
+    out = counts[np.searchsorted(sorted_probes, probes)]
+    return pd.DataFrame({"token": probes, "cnt": out})
+
+
 def token_frequencies_cms(tokens_ds, probe_tokens: np.ndarray, *,
                           depth: int = 5, width: int = 1 << 16,
                           token_column: str = "tokens") -> pd.DataFrame:
