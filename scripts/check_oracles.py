@@ -35,11 +35,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 #: rows-only queries where an EMPTY result is the expected outcome at the
 #: test scales (negative controls) — everything else must return rows
-EMPTY_OK = {
-    # no embedding near-dups above threshold in unplanted testdata; recall
-    # is covered by the planted twin embedding_exact_dup_pairs
-    "embedding_dup_pairs",
-}
+EMPTY_OK: set[str] = set()
 
 
 def _to_pandas(res) -> pd.DataFrame:
