@@ -1456,21 +1456,32 @@ def _q_docs_in_length_band(sf_dir: str):
 
 
 def _q_doc_quality_scores(sf_dir: str):
+    """Composite quality score + language guess, oracle-eligible (round-4
+    VERDICT item #1): the float formula (functions/text.py:quality_features)
+    is pure IEEE-double arithmetic over integer counts, reproduced in SQL
+    with the SAME operation order, so every double is bit-identical — no
+    quantization needed; lang_guess is the deterministic
+    CJK-else-argmax-stopword-hits heuristic, expressed as a CASE chain with
+    the same first-max-wins tie order. The fingerprint column (a rolling
+    min-hash SQL cannot compute) moved to its own planted-class query
+    ``fingerprint_planted_classes``."""
     import ray.data
 
     from cardinalityestimation_ray.functions.text import (
-        document_fingerprint,
         language_id,
         quality_features,
     )
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    out = docs.map_batches(lambda b: document_fingerprint(
-        language_id(quality_features(b))), batch_format="pyarrow")
-    return out.select_columns(
-        ["doc_id", "quality_score", "stopword_ratio", "lang_guess",
-         "fingerprint"]).to_pandas()
+    out = docs.map_batches(lambda b: language_id(quality_features(b)),
+                           batch_format="pyarrow")
+    return _typed(out.select_columns(
+        ["doc_id", "quality_score", "stopword_ratio", "punct_ratio",
+         "avg_token_len", "lang_guess"]),
+        {"doc_id": "int64", "quality_score": "float64",
+         "stopword_ratio": "float64", "punct_ratio": "float64",
+         "avg_token_len": "float64", "lang_guess": "object"})
 
 
 def _q_minhash_dedup_pairs(sf_dir: str):
@@ -1782,6 +1793,36 @@ def _q_minhash_planted_clusters(sf_dir: str):
     return out
 
 
+def _q_fingerprint_planted_classes(sf_dir: str):
+    """Content-fingerprint positive control (round-5: replaces the
+    fingerprint column dropped from ``doc_quality_scores``): the rolling
+    min-hash fingerprint (functions/text.py:document_fingerprint) is a
+    pure function of text, so on the planted corpus its equality classes
+    ARE the residue classes and the SQL oracle predicts
+    (doc_id, class representative) with id arithmetic — a value-level
+    check that the fingerprint is edit-stable per content and distinct
+    across contents (a cross-residue 64-bit collision would break the
+    closed form; none exists at any test scale — deterministic seeds).
+    M=175 is a modulus no other planted query uses."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cardinalityestimation_ray.functions.text import document_fingerprint
+
+    fp = _planted_docs(sf_dir, M=175).map_batches(
+        lambda b: document_fingerprint(b).drop_columns(["text"]),
+        batch_format="pyarrow").to_pandas()
+    if len(fp) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "class_rep": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({
+        "doc_id": fp["doc_id"].astype("int64"),
+        "class_rep": fp.groupby("fingerprint")["doc_id"]
+                       .transform("min").astype("int64"),
+    })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_embedding_exact_dup_pairs(sf_dir: str):
     """Positive-control ORACLE for the embedding LSH near-dup path: unit
     vectors are synthesized deterministically from ``vec_id % 400`` (one
@@ -1802,25 +1843,34 @@ def _q_embedding_exact_dup_pairs(sf_dir: str):
 
 
 def _q_ann_topk_ivf(sf_dir: str):
-    import ray.data
+    """PRODUCTION IVF config (nprobe=4 < n_cells=8 — genuinely approximate
+    routing) made oracle-eligible (round-4 VERDICT item #1) by running it
+    over the planted residue-class vector corpus, where recall is CERTAIN
+    rather than probabilistic: a query IS its class's shared vector, so
+    class members assign to exactly the cell the query probes first
+    (cell assignment is a pure function of the vector), score cosine ~1.0
+    (the float64 re-rank of identical unit vectors), and outrank every
+    unrelated gaussian (cosine ~ N(0, 1/64)). The emitted rows are
+    filtered to the planted matches (cosine >= 0.999 — >8 sigma above any
+    non-member), so on degenerate inputs whose class has fewer than k
+    members the output is still exactly the SQL-predictable class top-k.
+    The real-embeddings IVF path stays oracle-exercised by
+    ``ann_topk_ivf_exact`` (nprobe == n_cells ≡ brute)."""
+    import numpy as np
+    import pyarrow.parquet as pq
 
     from cardinalityestimation_ray.pipelines.ann import ann_topk_ivf
 
-    def emb():
-        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                     columns=["vec_id", "embedding"])
-
-    q = _ann_query_vectors(sf_dir)
-    if q is None:  # empty embeddings table: no query vectors to take
+    if pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows == 0:
         return _ann_empty_frame()
-    qids, queries_mat = q
-    df = ann_topk_ivf(emb(), queries_mat, k=5, n_cells=8, nprobe=4)
-    # label by vec_id like the sibling wrappers — the raw query_id is the
-    # LOCAL query index, which only coincides with vec_id when 0..2 all
-    # exist in the table
-    df["query_id"] = df["query_id"].map(
-        {i: int(v) for i, v in enumerate(qids)})
-    return df
+    queries_mat = np.stack([
+        np.random.default_rng(92_000 + r).standard_normal(64)
+        .astype(np.float32) for r in (0, 1, 2)])
+    df = ann_topk_ivf(_planted_vectors(sf_dir, 50, 92_000), queries_mat,
+                      k=5, n_cells=8, nprobe=4)
+    df = df[df["cosine"] >= 0.999]
+    return (df[["query_id", "rank", "vec_id"]].astype("int64")
+            .reset_index(drop=True))
 
 
 def _q_ann_topk_ivf_exact(sf_dir: str):
@@ -2314,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_planted_dup_pairs": _q_minhash_planted_dup_pairs,
         "simhash_planted_dup_pairs": _q_simhash_planted_dup_pairs,
         "minhash_planted_clusters": _q_minhash_planted_clusters,
+        "fingerprint_planted_classes": _q_fingerprint_planted_classes,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "pack_sequences_by_source": _q_pack_sequences_by_source,
@@ -2381,6 +2432,15 @@ def _mix64_tag_sql(src_select: str, seed: int) -> str:
         FROM (SELECT val, ({z0} + {gamma}) % {m64} AS z1
         FROM ({src_select}))))))
     """
+
+
+def _stoplist_sql(lang: str) -> str:
+    """SQL list literal of a language's stopwords — generated from the
+    package's own STOPWORDS table so the oracle can never drift from the
+    engine's list."""
+    from cardinalityestimation_ray.functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])) + "]"
 
 
 def _splitmix64_py(x: int) -> int:
@@ -3127,6 +3187,11 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id % 200 = b.doc_id % 200
              AND a.doc_id < b.doc_id
         """,
+        "fingerprint_planted_classes": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 175) AS class_rep
+            FROM documents
+        """,
         "minhash_planted_clusters": """
             WITH cl AS (
               SELECT doc_id,
@@ -3137,6 +3202,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
             FROM cl WHERE n >= 2
+        """,
+        # ann_topk_ivf: planted classes — each query's true top-k are its
+        # residue-class members (cosine 1.0 > any unrelated gaussian),
+        # ranked by the engine's (cosine desc, vec_id asc) tie-break
+        "ann_topk_ivf": """
+            WITH q AS (SELECT unnest([0, 1, 2]) AS query_id),
+            m AS (SELECT q.query_id, e.vec_id,
+                         row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY e.vec_id ASC) - 1 AS rank
+                  FROM q JOIN embeddings e ON e.vec_id % 50 = q.query_id)
+            SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+                   vec_id::BIGINT AS vec_id
+            FROM m WHERE rank < 5
         """,
         "ann_topk_ivf_exact": """
             WITH q AS (
@@ -3444,10 +3523,70 @@ def oracle_sql() -> dict[str, str]:
                    max(val)::DOUBLE AS sample_max
             FROM sel
         """,
-        # doc_quality_scores / minhash_dedup_pairs / simhash_dedup_pairs /
-        # embedding_dup_pairs / ann_topk_ivf: approximate or probabilistic
-        # recall -> rows-only checks (planted-duplicate recall and bounds are
-        # pytest-asserted)
+        # doc_quality_scores: the composite is pure IEEE-double arithmetic
+        # over integer counts; reproducing the numpy operation ORDER makes
+        # every double bit-identical (quality_features/language_id in
+        # functions/text.py are the single source of the formula)
+        "doc_quality_scores": f"""
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(regexp_split_to_array(
+                         coalesce(text, ''), '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     greatest(length(text)::DOUBLE, 1.0) AS safe_chars,
+                     len(toks)::BIGINT AS n_tokens,
+                     greatest(len(toks), 1)::BIGINT AS safe_tokens,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                     coalesce(list_sum(list_transform(
+                         toks, x -> length(x))), 0)::DOUBLE AS sum_tok_len,
+                     len(list_filter(toks, x -> list_contains(
+                         {_stoplist_sql('en')}, lower(x)))) AS n_en,
+                     len(list_filter(toks, x -> list_contains(
+                         {_stoplist_sql('es')}, lower(x)))) AS n_es,
+                     len(list_filter(toks, x -> list_contains(
+                         {_stoplist_sql('de')}, lower(x)))) AS n_de,
+                     len(list_filter(toks, x -> list_contains(
+                         {_stoplist_sql('fr')}, lower(x)))) AS n_fr,
+                     regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]')
+                         AS has_cjk
+              FROM t
+            ), r AS (
+              SELECT doc_id, n_tokens, has_cjk, n_en, n_es, n_de, n_fr,
+                     n_punct / safe_chars AS punct_ratio,
+                     n_digit / safe_chars AS digit_ratio,
+                     sum_tok_len / safe_tokens AS avg_token_len,
+                     n_en / safe_tokens AS stopword_ratio
+              FROM c
+            )
+            SELECT doc_id,
+                   least(greatest(
+                       0.4 * (least(greatest(n_tokens / 64.0, 0.0), 1.0)
+                              * least(greatest(2.0 - n_tokens / 4096.0,
+                                               0.0), 1.0))
+                       + 0.35 * least(greatest(
+                             1.0 - 3.0 * punct_ratio - 3.0 * digit_ratio,
+                             0.0), 1.0)
+                       + 0.25 * (least(greatest(avg_token_len / 4.0,
+                                                0.0), 1.0)
+                                 * least(greatest(2.0 - avg_token_len / 8.0,
+                                                  0.0), 1.0)),
+                       0.0), 1.0) AS quality_score,
+                   stopword_ratio,
+                   punct_ratio,
+                   avg_token_len,
+                   CASE WHEN has_cjk THEN 'zh'
+                        WHEN greatest(n_en, n_es, n_de, n_fr) < 2
+                            THEN 'unknown'
+                        WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr
+                            THEN 'en'
+                        WHEN n_es >= n_de AND n_es >= n_fr THEN 'es'
+                        WHEN n_de >= n_fr THEN 'de'
+                        ELSE 'fr' END AS lang_guess
+            FROM r
+        """,
     }
     # the distributed scale path computes the SAME matrix (bit-identical,
     # tests/test_theta.py) — it shares the direct path's oracle
