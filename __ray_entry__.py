@@ -2211,23 +2211,28 @@ def _q_bigram_heavy_hitters(sf_dir: str):
 
 
 def _q_weighted_sample_nchars(sf_dir: str):
-    """Quality-weighted (n_chars-weighted) deterministic A-ES doc sample:
-    E&S keys with hash-derived u (sketches/priority_sample.py), so the
-    sample is layout-invariant and rerun-reproducible. Still rows-only —
-    the selection crosses log(), whose last-bit behavior differs between
-    numpy's vectorized kernel and DuckDB's libm — but inclusion
-    distribution and bit-identity across layouts are pytest-asserted."""
+    """Quality-weighted (n_chars-weighted) deterministic doc sample via
+    Duffield–Lund–Thorup priority sampling (round-4 VERDICT item #1: the
+    last rows-only query, now value-oracled): priority = w / u with
+    hash-derived u, so — unlike the E&S log() key — every float the
+    selection and the per-row estimator touch is exactly-rounded IEEE
+    arithmetic the SQL oracle reproduces bit-for-bit (splitmix64 chain via
+    ``_mix64_tag_sql``, power-of-two scaling, one division, one max). The
+    E&S variant stays pytest-covered in tests/test_priority_sampling.py."""
     import ray.data
 
     from cardinalityestimation_ray.pipelines.sampling import (
-        weighted_priority_sample_summary,
+        weighted_dlt_sample_rows,
     )
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
-    return weighted_priority_sample_summary(docs, "doc_id", "n_chars",
-                                            "doc_id", k=128,
-                                            seed=_SAMPLE_SEED)
+    out = weighted_dlt_sample_rows(docs, "doc_id", "n_chars", "doc_id",
+                                   k=128, seed=_SAMPLE_SEED)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["est_weight"] = out["est_weight"].astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_theta_token_set_ops(sf_dir: str):
@@ -3505,9 +3510,47 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
                        AS n_intersection
         """,
-        # weighted_sample_nchars: deterministic (layout-invariant) but the
-        # E&S selection crosses log() -> rows-only; bit-identity and
-        # inclusion distribution pytest-asserted
+        # weighted_sample_nchars: DLT priority sampling — u is a
+        # power-of-two scaling of the splitmix64 tag (division by 2^64 is
+        # exact, same value as numpy's ldexp multiply), the priority one
+        # IEEE division, tau the 129th-ranked priority, est_weight a max —
+        # all bit-identical to the engine
+        "weighted_sample_nchars": f"""
+            WITH src AS (
+                SELECT struct_pack(doc_id := doc_id, n_chars := n_chars)
+                           AS val,
+                       doc_id AS id
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                  AND n_chars >= 0
+            ),
+            tagged AS ({_mix64_tag_sql("SELECT * FROM src", _SAMPLE_SEED)}),
+            pri AS (
+                SELECT val.doc_id AS doc_id, val.n_chars AS n_chars,
+                       CAST(val.n_chars AS DOUBLE)
+                         / ((CAST(tag AS DOUBLE) + 0.5)
+                            / 18446744073709551616.0) AS priority
+                FROM tagged WHERE val.n_chars > 0
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           ORDER BY priority DESC, doc_id ASC, n_chars ASC
+                       ) AS rn,
+                       count(*) OVER () AS n_pos
+                FROM pri
+            ),
+            tau AS (
+                SELECT coalesce(
+                    (SELECT priority FROM ranked WHERE rn = 129), 0.0)
+                    AS tau
+            )
+            SELECT doc_id, n_chars,
+                   greatest(CAST(n_chars AS DOUBLE),
+                            (SELECT tau FROM tau)) AS est_weight
+            FROM ranked WHERE rn <= 128
+            ORDER BY doc_id
+        """,
         "reservoir_sample_ntok": f"""
             WITH src AS (
                 SELECT n_chars::DOUBLE AS val, doc_id AS id

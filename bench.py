@@ -9,8 +9,11 @@ Usage:
 Env:
     GRAFT_SF_DIR           testdata dir (default /root/testdata/sf0.1)
     RAY_GRAFT_CPUS         ray.init(num_cpus=...) (default 32)
-    GRAFT_BENCH_DOCS       synthetic tokens-corpus docs (default 200_000)
-    GRAFT_BENCH_TEXT_DOCS  synthetic text-corpus docs (default DOCS/2)
+    GRAFT_BENCH_DOCS       synthetic tokens-corpus docs (default 2_000_000
+                           since round 5 — ~613 M tokens, headline ~3-6 s on
+                           32 vCPUs, so the recorded medians are no longer
+                           spread-dominated by this host's +-40% noise)
+    GRAFT_BENCH_TEXT_DOCS  synthetic text-corpus docs (default DOCS/4)
     GRAFT_BENCH_ROUNDS     interleaved timing rounds (default 5; 1 in
                            --scaling fast mode); recorded value = median
     GRAFT_SCALE_LO/HI      --scaling parallelism pair (default 2 -> 8; see
@@ -34,8 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
-TEXT_DOCS = int(os.environ.get("GRAFT_BENCH_TEXT_DOCS", str(BENCH_DOCS // 2)))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
+TEXT_DOCS = int(os.environ.get("GRAFT_BENCH_TEXT_DOCS", str(BENCH_DOCS // 4)))
 CORPUS_DIR = f"/tmp/ces_bench_corpus_{BENCH_DOCS}"
 TEXT_CORPUS_DIR = f"/tmp/ces_bench_text_corpus_{TEXT_DOCS}"
 

@@ -267,6 +267,59 @@ def weighted_priority_sample_column(ds, value_column: str,
     return s, total
 
 
+def weighted_dlt_sample_rows(ds, value_column: str, weight_column: str,
+                             id_column: str, *, k: int = 1024,
+                             seed: int = 0) -> pd.DataFrame:
+    """Deterministic Duffield–Lund–Thorup weighted sample, returned as the
+    per-row frame (value, weight, est_weight) of the selected top-k.
+
+    Row exclusion matches the sibling samplers (null id/value/weight and
+    non-finite/negative weights drop the row; zero weights are counted but
+    never sampled). Because the DLT priority crosses only exactly-rounded
+    IEEE ops (power-of-two scaling + one division — see
+    sketches/priority_sample.py:WeightedDLTSample), the frame is both
+    layout-invariant AND value-level SQL-oracle-checkable; est_weight is
+    the per-row unbiased subset-sum estimator max(w, tau), emitted per row
+    precisely so no accumulation-order float sum enters the contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sketches.priority_sample import WeightedDLTSample
+    from ..stages.sketch_stages import tree_merge_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.and_(pc.is_valid(batch[id_column]),
+                    pc.is_valid(batch[value_column])),
+            pc.is_valid(batch[weight_column]))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        vals = batch[value_column].to_numpy(
+            zero_copy_only=False).astype("float64")
+        wts = batch[weight_column].to_numpy(
+            zero_copy_only=False).astype("float64")
+        good = np.isfinite(wts) & (wts >= 0)
+        if not good.all():
+            ids, vals, wts = ids[good], vals[good], wts[good]
+        s = WeightedDLTSample(k=k, seed=seed)
+        s.add_weighted(ids, vals, wts)
+        return pa.table({
+            "sketch": pa.array([s.to_bytes()], type=pa.binary()),
+            "n_added": pa.array([len(vals)], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    s, _total = tree_merge_partials(partials, "weighted_dlt_sample")
+    if s is None:
+        s = WeightedDLTSample(k=k, seed=seed)
+    return pd.DataFrame({
+        value_column: s.sample(),
+        weight_column: s.sample_weights(),
+        "est_weight": s.sample_est_weights(),
+    })
+
+
 def weighted_priority_sample_summary(ds, value_column: str,
                                      weight_column: str, id_column: str, *,
                                      k: int = 1024,

@@ -305,3 +305,158 @@ class WeightedPrioritySample(Sketch):
                                     offset=off + cnt * 16).astype(np.float64)
         out.n = n
         return out
+
+
+_WDL_MAGIC = b"WDL1"
+
+
+class WeightedDLTSample(Sketch):
+    """Deterministic Duffield–Lund–Thorup priority sample (JACM 2007,
+    "Priority sampling for estimation of arbitrary subset sums"): priority
+    ``q_i = w_i / u_i`` with hash-derived ``u_i in (0, 1)``; keep the
+    top-k by priority; threshold ``tau`` = the (k+1)-th priority (0 when
+    at most k weighted rows exist); per-row subset-sum estimator
+    ``max(w_i, tau)`` (unbiased, DLT Theorem 1).
+
+    Why this variant exists alongside :class:`WeightedPrioritySample`
+    (Efraimidis–Spirakis): the E&S key crosses ``log``, whose last-bit
+    behavior differs between numpy's vectorized kernel and a SQL engine's
+    libm, so its selection has no value-level SQL oracle. The DLT priority
+    crosses ONLY exactly-rounded IEEE operations — ``u`` is a power-of-two
+    scaling of the splitmix64 tag and the priority a single division — so
+    selection, threshold and estimator are bit-reproducible in DuckDB
+    (``__ray_entry__`` reproduces the splitmix64 chain via
+    ``_mix64_tag_sql`` and the division verbatim).
+
+    State keeps k+1 entries canonical (priority desc, value asc, weight
+    asc): the global top-(k+1) is contained in the union of partial
+    top-(k+1)s, so ``tau`` is exact under ANY merge topology — the same
+    layout-invariance contract as the sibling samplers.
+    """
+
+    kind = "weighted_dlt_sample"
+
+    __slots__ = ("k", "seed", "priorities", "values", "weights", "n")
+
+    def __init__(self, k: int = 1024, seed: int = 0):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.k = k
+        self.seed = _check_seed(seed)
+        self.priorities = np.empty(0, dtype=np.float64)
+        self.values = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.n = 0
+
+    def _canonicalize(self, pri, values, weights) -> None:
+        # keep k+1 rows: row k (0-indexed) IS tau when present
+        order = np.lexsort((weights, values, -pri))[:self.k + 1]
+        self.priorities = np.ascontiguousarray(pri[order])
+        self.values = np.ascontiguousarray(values[order])
+        self.weights = np.ascontiguousarray(weights[order])
+
+    def add_weighted(self, ids: np.ndarray, values: np.ndarray,
+                     weights: np.ndarray) -> None:
+        """Same row contract as WeightedPrioritySample.add_weighted:
+        weights must be finite and >= 0; zero-weight rows count toward
+        ``n`` but can never be sampled (priority 0 == the tau floor)."""
+        values = np.asarray(values, dtype=np.float64)
+        weights = np.asarray(weights, dtype=np.float64)
+        ids = np.asarray(ids)
+        if not (len(ids) == len(values) == len(weights)):
+            raise ValueError("ids, values and weights must align")
+        if not np.all(weights >= 0) or not np.isfinite(weights).all():
+            raise ValueError("weights must be finite, >= 0 and non-NaN")
+        if len(values) == 0:
+            return
+        self.n += len(values)
+        pos = weights > 0
+        if not pos.all():
+            ids, values, weights = ids[pos], values[pos], weights[pos]
+        if len(values) == 0:
+            return
+        u = (priorities_for_ids(ids, self.seed).astype(np.float64)
+             + 0.5) * _INV_2_64
+        pri = weights / u
+        self._canonicalize(np.concatenate([self.priorities, pri]),
+                           np.concatenate([self.values, values]),
+                           np.concatenate([self.weights, weights]))
+
+    def add_values(self, values: np.ndarray) -> None:
+        raise TypeError(
+            "WeightedDLTSample needs row identities and weights: use "
+            "add_weighted(ids, values, weights)")
+
+    @property
+    def tau(self) -> float:
+        """The DLT threshold: the (k+1)-th priority, 0 when it does not
+        exist (at most k positively-weighted rows seen)."""
+        return (float(self.priorities[self.k])
+                if len(self.priorities) > self.k else 0.0)
+
+    def sample(self) -> np.ndarray:
+        """Selected payload values (top-k by priority, canonical order)."""
+        return self.values[:self.k].copy()
+
+    def sample_weights(self) -> np.ndarray:
+        return self.weights[:self.k].copy()
+
+    def sample_est_weights(self) -> np.ndarray:
+        """Per-row unbiased weight estimator max(w_i, tau) — exactly the
+        quantity the SQL oracle reproduces (greatest of two bit-identical
+        doubles)."""
+        return np.maximum(self.weights[:self.k], self.tau)
+
+    def merge(self, other: "WeightedDLTSample") -> "WeightedDLTSample":
+        if other.k != self.k:
+            raise ValueError("cannot merge DLT samples with different k")
+        if other.seed != self.seed:
+            raise ValueError(
+                f"cannot merge DLT samples with different seeds "
+                f"({self.seed} != {other.seed})")
+        self.n += other.n
+        self._canonicalize(
+            np.concatenate([self.priorities, other.priorities]),
+            np.concatenate([self.values, other.values]),
+            np.concatenate([self.weights, other.weights]))
+        return self
+
+    def copy(self) -> "WeightedDLTSample":
+        out = WeightedDLTSample(self.k, self.seed)
+        out.priorities = self.priorities.copy()
+        out.values = self.values.copy()
+        out.weights = self.weights.copy()
+        out.n = self.n
+        return out
+
+    def to_bytes(self) -> bytes:
+        header = _WDL_MAGIC + struct.pack("<IQQQ", self.k, self.seed,
+                                          self.n, len(self.priorities))
+        return (header + self.priorities.astype("<f8").tobytes()
+                + self.values.astype("<f8").tobytes()
+                + self.weights.astype("<f8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "WeightedDLTSample":
+        if blob[:4] != _WDL_MAGIC:
+            raise ValueError("invalid DLT-sample blob: bad magic")
+        try:
+            k, seed, n, cnt = struct.unpack_from("<IQQQ", blob, 4)
+        except struct.error as e:
+            raise ValueError(f"truncated DLT-sample blob: {e}") from None
+        if k < 1 or cnt > k + 1:
+            raise ValueError(f"invalid DLT-sample blob: k={k} cnt={cnt}")
+        off = 4 + struct.calcsize("<IQQQ")
+        if len(blob) - off != cnt * 24:
+            raise ValueError(
+                f"invalid DLT-sample blob: expected {cnt * 24} payload "
+                f"bytes, got {len(blob) - off}")
+        out = cls(k, seed)
+        out.priorities = np.frombuffer(blob, dtype="<f8", count=cnt,
+                                       offset=off).astype(np.float64)
+        out.values = np.frombuffer(blob, dtype="<f8", count=cnt,
+                                   offset=off + cnt * 8).astype(np.float64)
+        out.weights = np.frombuffer(blob, dtype="<f8", count=cnt,
+                                    offset=off + cnt * 16).astype(np.float64)
+        out.n = n
+        return out

@@ -37,7 +37,10 @@ def test_queries_and_oracles_registered(entry_mod):
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 20
     assert set(oracles) <= set(qs)  # every oracle has a query
-    assert len(oracles) >= 15
+    # round 5: FULL oracle coverage — every queries() entry carries a SQL
+    # oracle (the driver's no_oracle class is extinct); a new query without
+    # one fails here, not in the driver scorecard
+    assert set(qs) == set(oracles), sorted(set(qs) - set(oracles))
 
 
 def test_representative_queries_run_at_sf0001(entry_mod):

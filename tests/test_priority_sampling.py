@@ -226,3 +226,131 @@ def test_priority_sampling_null_rows_dropped(ray_session):
     # rows 2 (null x) and 3 (null id) drop -> n_total counts 2 valid rows
     assert out["n_total"].iloc[0] == 2
     assert out["n_sample"].iloc[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# DLT (Duffield–Lund–Thorup) priority sampling
+
+
+def _dlt(k=16, seed=9):
+    from cardinalityestimation_ray.sketches.priority_sample import (
+        WeightedDLTSample,
+    )
+
+    return WeightedDLTSample(k=k, seed=seed)
+
+
+def test_dlt_merge_topology_invariant_and_tau():
+    rng = np.random.default_rng(3)
+    ids = np.arange(500)
+    w = rng.integers(1, 1000, size=500).astype(float)
+
+    whole = _dlt()
+    whole.add_weighted(ids, ids.astype(float), w)
+
+    # 7 uneven shards merged in a scrambled order
+    shards = np.array_split(rng.permutation(500), 7)
+    merged = _dlt()
+    for sh in shards:
+        part = _dlt()
+        part.add_weighted(ids[sh], ids[sh].astype(float), w[sh])
+        merged = merged.merge(part)
+
+    assert np.array_equal(whole.sample(), merged.sample())
+    assert whole.tau == merged.tau
+    assert np.array_equal(whole.sample_est_weights(),
+                          merged.sample_est_weights())
+
+    # tau is the (k+1)-th largest priority, computed from first principles
+    from cardinalityestimation_ray.sketches.priority_sample import (
+        _INV_2_64,
+        priorities_for_ids,
+    )
+
+    u = (priorities_for_ids(ids, 9).astype(np.float64) + 0.5) * _INV_2_64
+    pri = w / u
+    assert whole.tau == float(np.sort(pri)[::-1][16])
+    # estimator floor: every reported est weight >= tau, >= its raw weight
+    est = whole.sample_est_weights()
+    assert (est >= whole.tau).all() and (est >= whole.sample_weights()).all()
+
+
+def test_dlt_small_population_tau_zero_exact():
+    s = _dlt(k=16)
+    s.add_weighted(np.arange(5), np.arange(5, dtype=float),
+                   np.array([1.0, 2.0, 3.0, 4.0, 5.0]))
+    assert s.tau == 0.0
+    # n <= k: the sample IS the population and est == raw weight exactly
+    assert sorted(s.sample_weights().tolist()) == [1, 2, 3, 4, 5]
+    assert np.array_equal(s.sample_est_weights(), s.sample_weights())
+
+
+def test_dlt_zero_weight_rows_counted_never_sampled():
+    s = _dlt(k=4)
+    s.add_weighted(np.arange(10), np.arange(10, dtype=float),
+                   np.array([0.0] * 8 + [5.0, 7.0]))
+    assert s.n == 10
+    assert sorted(s.sample_weights().tolist()) == [5.0, 7.0]
+    assert s.tau == 0.0  # only 2 positive rows -> no (k+1)-th priority
+
+
+def test_dlt_wire_roundtrip_and_validation():
+    from cardinalityestimation_ray.sketches.priority_sample import (
+        WeightedDLTSample,
+    )
+
+    s = _dlt(k=8, seed=5)
+    s.add_weighted(np.arange(100), np.arange(100, dtype=float),
+                   np.arange(1, 101, dtype=float))
+    blob = s.to_bytes()
+    t = WeightedDLTSample.from_bytes(blob)
+    assert t.k == 8 and t.seed == 5 and t.n == 100
+    assert np.array_equal(t.sample(), s.sample())
+    assert t.tau == s.tau
+    with pytest.raises(ValueError):
+        WeightedDLTSample.from_bytes(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError):
+        WeightedDLTSample.from_bytes(blob[:-8])
+    with pytest.raises(ValueError):
+        _dlt().merge(_dlt(k=3))
+    with pytest.raises(ValueError):
+        _dlt(seed=1).merge(_dlt(seed=2))
+    with pytest.raises(ValueError):
+        s.add_weighted(np.arange(2), np.arange(2, dtype=float),
+                       np.array([1.0, -1.0]))
+
+
+def test_dlt_inclusion_tracks_weight():
+    # heavier rows must be sampled (much) more often across seeds
+    ids = np.arange(400)
+    w = np.where(ids < 200, 1.0, 20.0)
+    heavy_hits = light_hits = 0
+    for seed in range(40):
+        s = _dlt(k=40, seed=seed)
+        s.add_weighted(ids, ids.astype(float), w)
+        sel = s.sample().astype(int)
+        heavy_hits += int((sel >= 200).sum())
+        light_hits += int((sel < 200).sum())
+    assert heavy_hits > 8 * light_hits
+
+
+def test_dlt_ray_pipeline_layout_invariance(ray_session):
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.sampling import (
+        weighted_dlt_sample_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "n_chars": rng.integers(1, 500, size=1000).astype(np.int64),
+    })
+    frames = []
+    for blocks in (1, 3, 17):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = weighted_dlt_sample_rows(ds, "doc_id", "n_chars", "doc_id",
+                                       k=64, seed=7)
+        frames.append(out.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    pd.testing.assert_frame_equal(frames[0], frames[2])
