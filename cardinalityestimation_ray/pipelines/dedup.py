@@ -530,23 +530,38 @@ def connected_components(pairs_ds, *, id_a: str = "id_a",
     return lab
 
 
-def minhash_dedup_keep_distributed(docs_ds, *, num_buckets: int = 64,
-                                   **kwargs) -> pd.DataFrame:
-    """Cluster near-duplicates like :func:`minhash_dedup_keep` but with the
-    clustering itself distributed (:func:`connected_components`) — the
-    driver never holds the pair set, only the final (doc_id, cluster_id)
-    table (near-dup-doc-scale, not pair-scale). Parameters are those of
+def minhash_dedup_keep_ds(docs_ds, *, num_buckets: int = 64, **kwargs):
+    """Near-dup clustering as a DATASET of (doc_id, cluster_id, keep) —
+    the 100 TB path (round-4 VERDICT item #4): the pair set, the label
+    propagation AND the final keep table all stay distributed; consume
+    with ``write_parquet`` / ``iter_batches`` or join it back to the
+    corpus as a broadcast/bucketed filter. Nothing pair- or doc-scale
+    lands on the driver. Parameters are those of
     :func:`_minhash_pairs_ds` — defaults live there only, and unknown
     keywords raise instead of being silently ignored."""
     pairs_ds = _minhash_pairs_ds(docs_ds, **kwargs)
     labels = connected_components(pairs_ds, num_buckets=num_buckets)
-    out = labels.to_pandas()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": node, "cluster_id": label,
+                         "keep": node == label})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def minhash_dedup_keep_distributed(docs_ds, *, num_buckets: int = 64,
+                                   **kwargs) -> pd.DataFrame:
+    """Driver-frame convenience over :func:`minhash_dedup_keep_ds` (the
+    clustering itself is identical and fully distributed; only this final
+    collect is bounded by the near-dup-doc count, not the pair count)."""
+    out = minhash_dedup_keep_ds(docs_ds, num_buckets=num_buckets,
+                                **kwargs).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster_id": pd.Series([], dtype="int64"),
                              "keep": pd.Series([], dtype="bool")})
-    out = out.rename(columns={"node": "doc_id", "label": "cluster_id"})
-    out["keep"] = out["doc_id"] == out["cluster_id"]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -622,8 +637,26 @@ def minhash_dedup_pairs(docs_ds, **kwargs) -> pd.DataFrame:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "similarity": pd.Series([], dtype="float64")})
+    # cross-band dedup on the driver: this entry point materializes the
+    # frame anyway, so a pandas groupby beats a distributed shuffle here;
+    # the Dataset variant below keeps the dedup distributed for pair sets
+    # that must never land on one machine
     pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["similarity"].max()
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def minhash_dedup_pairs_ds(docs_ds, **kwargs):
+    """Verified near-dup pairs as a DATASET, deduplicated across bands with
+    a distributed (id_a, id_b) groupby-max — the pair set never lands on
+    the driver (round-4 VERDICT item #4; :func:`minhash_dedup_pairs` is
+    the driver-frame convenience). Consume with ``write_parquet`` /
+    ``iter_batches`` at the 100 TB scale where the verified pair set
+    itself is too large for one machine."""
+    from ray.data.aggregate import Max
+
+    return _minhash_pairs_ds(docs_ds, **kwargs) \
+        .groupby(["id_a", "id_b"]) \
+        .aggregate(Max("similarity", alias_name="similarity"))
 
 
 def pairs_to_clusters(pairs: pd.DataFrame, *, id_a: str = "id_a",

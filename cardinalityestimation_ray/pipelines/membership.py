@@ -98,7 +98,8 @@ def bloom_semi_join(ds, filter_blob_ref, column: str, *, negate: bool = False):
 
 def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
                         num_bits: int = 1 << 20, num_hashes: int = 7,
-                        negate: bool = False):
+                        negate: bool = False,
+                        max_build_keys: int = 4_000_000):
     """EXACT semi-join (or anti-join) of ``ds`` against a small build-side
     key set, with the Bloom filter as a shuffle-free prefilter.
 
@@ -110,10 +111,26 @@ def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
     Bloom can only over-admit and every admit is verified — so the operator
     is oracle-checkable against ``WHERE col [NOT] IN build``. No shuffle of
     ``ds`` anywhere.
+
+    BUILD-SIDE SIZE CONTRACT (round-4 VERDICT item #7): broadcast is only
+    correct while the key array fits comfortably in the driver and every
+    worker heap. ``max_build_keys`` (default 4M keys ~= 32 MB of int64 +
+    the filter) is enforced, not advisory — an oversized build side raises
+    with the scale-correct alternative named instead of silently OOMing a
+    driver at 100x the tested scale. Raise it explicitly only when the
+    cluster's workers have the headroom.
     """
     import ray
 
     keys = np.unique(np.asarray(build_keys))
+    if len(keys) > max_build_keys:
+        raise ValueError(
+            f"broadcast build side has {len(keys):,} distinct keys > "
+            f"max_build_keys={max_build_keys:,}; a build side this large "
+            f"should not be broadcast — use the bucketed hash join "
+            f"(pipelines/joins.py:bucketed_inner_join) which shuffles both "
+            f"sides by key hash, or pass a larger max_build_keys "
+            f"explicitly if the workers have the memory headroom")
     if np.issubdtype(keys.dtype, np.floating):
         # a null build key can never match any probe; strip NaN so a
         # nullable-int build side (pandas promotes to float + NaN) still

@@ -685,3 +685,55 @@ def test_short_doc_signatures_batch_layout_invariant():
     assert (s_mixed[0] == s_alone[0]).all()
     assert simhash64(mixed, ngram=4)[0] == \
         simhash64(pa.array(["a"]), ngram=4)[0]
+
+
+def test_keep_and_pairs_dataset_paths_on_1e5_pair_corpus(ray_session):
+    """Round-4 VERDICT item #4: the Dataset-native keep/pair outputs on a
+    corpus whose VERIFIED pair set is ~10^5 rows (82 clusters x 50
+    identical docs -> 82 * C(50,2) = 100,450 pairs; 50 < identical_cap=64
+    so the all-pairs regime, not the star collapse, is exercised). The
+    pair set and the keep table stay Datasets end to end; the driver only
+    consumes them via iter_batches/to_pandas at the edge."""
+    import pyarrow as pa
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.dedup import (
+        minhash_dedup_keep_ds,
+        minhash_dedup_pairs_ds,
+    )
+
+    M, PER = 82, 50
+    n = M * PER
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        res = ids % M
+        texts = {}
+        for r in np.unique(res):
+            g = np.random.default_rng(55_000 + int(r))
+            texts[int(r)] = " ".join(
+                "".join(chr(97 + c) for c in g.integers(0, 26, size=6))
+                for _ in range(25))
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array([texts[int(r)] for r in res])})
+
+    docs = ray.data.range(n).map_batches(
+        lambda b: pa.table({"doc_id": b["id"]}), batch_format="pyarrow") \
+        .map_batches(synth, batch_format="pyarrow")
+
+    pairs_ds = minhash_dedup_pairs_ds(docs, threshold=0.9)
+    n_pairs = pairs_ds.count()  # consumed as a Dataset, never a frame
+    assert n_pairs == M * PER * (PER - 1) // 2  # 100_450
+
+    keep_ds = minhash_dedup_keep_ds(docs, threshold=0.9)
+    # stream-consume: per-batch invariant checks, no global frame
+    total = kept = 0
+    for batch in keep_ds.iter_batches(batch_format="pyarrow"):
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        c = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        k = batch["keep"].to_numpy(zero_copy_only=False)
+        assert np.array_equal(c, d % M)  # cluster = min id = residue
+        assert np.array_equal(k, d == c)
+        total += len(d)
+        kept += int(k.sum())
+    assert total == n and kept == M

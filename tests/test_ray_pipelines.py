@@ -1754,3 +1754,27 @@ def test_ttr_and_avg_token_len_exact(_ray):
     docs = pa.table({"text": pa.array(["  a   b  ", "ab cd", ""])})
     q = quality_features(docs)
     assert q["avg_token_len"].to_pylist() == [1.0, 2.0, 0.0]
+
+
+def test_broadcast_semi_join_build_side_contract(_ray):
+    """Round-4 VERDICT item #7: the broadcast pattern must REFUSE an
+    oversized build side (the silent-OOM-at-100x failure mode) and name
+    the bucketed join as the alternative; within the cap it must behave
+    identically, and an explicit larger cap is an opt-in override."""
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        broadcast_semi_join,
+    )
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": np.arange(100)}))
+    big_build = np.arange(5_000)
+    with pytest.raises(ValueError, match="bucketed hash join"):
+        broadcast_semi_join(ds, big_build, "k", max_build_keys=1_000)
+    # duplicates don't count: 5000 values, 500 distinct -> under the cap
+    dup_build = np.repeat(np.arange(500), 10)
+    out = broadcast_semi_join(ds, dup_build, "k", max_build_keys=1_000)
+    assert out.count() == 100
+    # explicit override admits the large build side
+    out = broadcast_semi_join(ds, big_build, "k", max_build_keys=10_000)
+    assert out.count() == 100
