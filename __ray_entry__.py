@@ -32,6 +32,29 @@ def _tokens(sf_dir: str):
     return read_tokens(sf_dir)
 
 
+def _assert_exact_regime(sf_dir: str, bound: int, what: str) -> None:
+    """Guard the exact-regime oracle configs (review finding, round 5):
+    the KLL/t-digest/planted-corpus oracles are only value-exact while
+    the doc count stays under the regime bound (n <= k for KLL,
+    n < delta/pi for t-digest, group size <= identical_cap for the
+    all-pairs dedup controls). Past it they drift off the SQL oracle
+    with an opaque value mismatch — fail with the real reason instead.
+    Parquet-footer metadata only; no data is read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".parquet")] if os.path.isdir(path) else [path])
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if n > bound:
+        raise ValueError(
+            f"{what}: exact-regime oracle config covers n_docs <= {bound} "
+            f"but {sf_dir} has {n}; raise the sketch params (and re-derive "
+            f"the bound) or run a smaller scale factor")
+
+
 def _typed(df_or_ds, schema: dict):
     """to_pandas with a TYPED empty fallback: Ray returns a COLUMN-LESS
     frame for an empty dataset (zero blocks -> schema lost), so every
@@ -180,6 +203,8 @@ def _q_ntok_quantiles(sf_dir: str):
     query ``ntok_quantile_rank_errors``."""
     from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
 
+    _assert_exact_regime(sf_dir, 20_000, "ntok_quantiles_tdigest "
+                         "(delta=65536 > pi*n requires n < ~20860)")
     return column_quantiles(_tokens(sf_dir), "n_tok", kind="tdigest",
                             params={"delta": 65536})
 
@@ -194,6 +219,8 @@ def _q_ntok_quantiles_kll(sf_dir: str):
     ``ntok_quantile_rank_errors``."""
     from cardinalityestimation_ray.pipelines.quantiles import column_quantiles
 
+    _assert_exact_regime(sf_dir, 16_384, "ntok_quantiles_kll "
+                         "(KLL level-0 never compacts only while n <= k)")
     return column_quantiles(_tokens(sf_dir), "n_tok", kind="kll",
                             params={"k": 16384})
 
@@ -811,12 +838,6 @@ def _audio_rms_energy(sf_dir: str, *, codec: str, mul: int, add: int):
     power-of-two division)."""
     import numpy as np
     import pyarrow as pa
-    import ray.data
-
-    from cardinalityestimation_ray.stages.multimodal import (
-        DEFAULT_MEDIA_BATCH_SIZE,
-        AudioFrameSampleStage,
-    )
 
     if codec == "wav":
         from cardinalityestimation_ray.stages.codecs import (
@@ -845,30 +866,7 @@ def _audio_rms_energy(sf_dir: str, *, codec: str, mul: int, add: int):
             "payload": pa.array(payloads, type=pa.binary()),
         })
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
-    media = docs.map_batches(synth, batch_format="pyarrow")
-    frames = media.map_batches(
-        AudioFrameSampleStage,
-        fn_constructor_kwargs={"decoder": codec, "n_frames": 16},
-        batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
-        batch_format="pyarrow")
-
-    def project(batch: pa.Table) -> pa.Table:
-        col = batch["frame_energy"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mat = col.flatten().to_numpy(zero_copy_only=False) \
-            .reshape(len(batch), 16)
-        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
-        return pa.table({
-            "doc_id": pa.array(ids),
-            "rms": pa.array(mat.mean(axis=1).astype(np.float64)),
-        })
-
-    out = frames.map_batches(project, batch_format="pyarrow")
-    return _typed(out, {"doc_id": "int64", "rms": "float64"}) \
-        .sort_values("doc_id").reset_index(drop=True)
+    return _audio_rms_pipeline(sf_dir, synth, decoder=codec)
 
 
 def _q_flac_rms_energy(sf_dir: str):
@@ -877,9 +875,10 @@ def _q_flac_rms_energy(sf_dir: str):
     return _audio_rms_energy(sf_dir, codec="flac", mul=53, add=29)
 
 
-def _audio_rms_pipeline(sf_dir: str, synth):
-    """Shared tail of the audio-oracle queries: synth payloads -> actor-pool
-    FLAC decode + frame energies -> per-doc mean RMS."""
+def _audio_rms_pipeline(sf_dir: str, synth, *, decoder: str = "flac"):
+    """Shared tail of ALL audio-oracle queries (the one owner of the
+    frame_energy flatten/reshape(…, 16) contract): synth payloads ->
+    actor-pool decode + frame energies -> per-doc mean RMS."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -894,7 +893,7 @@ def _audio_rms_pipeline(sf_dir: str, synth):
     media = docs.map_batches(synth, batch_format="pyarrow")
     frames = media.map_batches(
         AudioFrameSampleStage,
-        fn_constructor_kwargs={"decoder": "flac", "n_frames": 16},
+        fn_constructor_kwargs={"decoder": decoder, "n_frames": 16},
         batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=(1, 4),
         batch_format="pyarrow")
 
@@ -1602,6 +1601,8 @@ def _q_minhash_dedup_pairs(sf_dir: str):
 
     from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
 
+    _assert_exact_regime(sf_dir, 9_600, "minhash_dedup_pairs (all-pairs "
+                         "oracle needs ceil(n/150) <= identical_cap=64)")
     pairs = minhash_dedup_pairs(_planted_docs(sf_dir, M=150), threshold=0.7)
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -1754,6 +1755,8 @@ def _q_simhash_dedup_pairs(sf_dir: str):
 
     from cardinalityestimation_ray.pipelines.dedup import simhash_dedup_pairs
 
+    _assert_exact_regime(sf_dir, 9_600, "simhash_dedup_pairs (all-pairs "
+                         "oracle needs ceil(n/150) <= identical_cap=64)")
     pairs = simhash_dedup_pairs(_planted_docs(sf_dir, M=150), max_hamming=3)
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -1858,6 +1861,8 @@ def _q_minhash_planted_dup_pairs(sf_dir: str):
 
     from cardinalityestimation_ray.pipelines.dedup import minhash_dedup_pairs
 
+    _assert_exact_regime(sf_dir, 12_800, "minhash_planted_dup_pairs "
+                         "(all-pairs oracle needs ceil(n/200) <= 64)")
     pairs = minhash_dedup_pairs(_planted_docs(sf_dir), threshold=1.0,
                                 verify="char_ngram")
     out = pairs[pairs["similarity"] >= 1.0][["id_a", "id_b"]]
@@ -1874,6 +1879,8 @@ def _q_simhash_planted_dup_pairs(sf_dir: str):
     seeds; the SQL oracle is id arithmetic."""
     from cardinalityestimation_ray.pipelines.dedup import simhash_dedup_pairs
 
+    _assert_exact_regime(sf_dir, 12_800, "simhash_planted_dup_pairs "
+                         "(all-pairs oracle needs ceil(n/200) <= 64)")
     pairs = simhash_dedup_pairs(_planted_docs(sf_dir), max_hamming=0)
     return pairs[["id_a", "id_b", "hamming"]].astype("int64")
 

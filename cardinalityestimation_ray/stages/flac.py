@@ -430,6 +430,14 @@ def _check_pcm(samples: np.ndarray, name: str) -> np.ndarray:
     return samples.astype(np.int64)
 
 
+def _check_lpc_order(lpc_order: int | None) -> None:
+    """Reject out-of-range orders at the encode entry point — otherwise
+    `_lpc_analyze` returns None and the encoder silently falls back to
+    FIXED, which a caller asking for LPC must not get by typo."""
+    if lpc_order is not None and not (1 <= lpc_order <= 32):
+        raise ValueError(f"lpc_order must be 1..32 or None, got {lpc_order}")
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int, *,
                 lpc_order: int | None = None) -> bytes:
     """Encode mono int16 samples as a FLAC stream.
@@ -440,6 +448,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, *,
     subframe type actual `flac` default modes produce.
     """
     x = _check_pcm(samples, "samples")
+    _check_lpc_order(lpc_order)
     if not (1 <= sample_rate < 1 << 20):
         raise ValueError(f"invalid sample rate {sample_rate}")
     out = bytearray(b"fLaC")
@@ -468,6 +477,7 @@ def encode_flac_stereo(left: np.ndarray, right: np.ndarray,
     if mode not in _STEREO_MODES:
         raise ValueError(f"unknown stereo mode {mode!r}: "
                          f"one of {sorted(_STEREO_MODES)}")
+    _check_lpc_order(lpc_order)
     lx = _check_pcm(left, "left")
     rx = _check_pcm(right, "right")
     if len(lx) != len(rx):
@@ -480,15 +490,14 @@ def encode_flac_stereo(left: np.ndarray, right: np.ndarray,
     for fi, start in enumerate(range(0, len(lx), _BLOCK)):
         lb = lx[start:start + _BLOCK]
         rb = rx[start:start + _BLOCK]
-        side = lb - rb
         if mode == "independent":
             subs = ((lb, 16), (rb, 16))
         elif mode == "left_side":
-            subs = ((lb, 16), (side, 17))
+            subs = ((lb, 16), (lb - rb, 17))
         elif mode == "right_side":
-            subs = ((side, 17), (rb, 16))
+            subs = ((lb - rb, 17), (rb, 16))
         else:  # mid_side
-            subs = (((lb + rb) >> 1, 16), (side, 17))
+            subs = (((lb + rb) >> 1, 16), (lb - rb, 17))
         header = _frame_header(fi, len(lb), ch_bits)
         body = _BitWriter()
         for blk, bps in subs:

@@ -212,3 +212,21 @@ def test_chunk_passages_property(ray_session):
                 assert row["passage"] == " ".join(want)
 
     check()
+
+
+def test_exact_regime_guard_rejects_oversized_corpus(entry_mod, tmp_path):
+    """Round-5 review fix: the exact-regime oracle queries must fail with
+    an actionable message — not an opaque value mismatch — when the corpus
+    outgrows the regime bound."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    pq.write_table(
+        pa.table({"doc_id": np.arange(30_000, dtype=np.int64)}),
+        tmp_path / "documents.parquet")
+    with pytest.raises(ValueError, match="exact-regime"):
+        entry_mod._assert_exact_regime(str(tmp_path), 16_384, "kll test")
+    # under the bound: no-op
+    entry_mod._assert_exact_regime(str(tmp_path), 30_000, "ok")

@@ -260,3 +260,36 @@ class TestStereo:
                               "payload": pa.array([blob], type=pa.binary())}))
         e = np.asarray(out["frame_energy"].to_pylist()[0])
         assert np.allclose(e, 2000 / 32768, rtol=1e-6)
+
+
+class TestLpcOrderValidation:
+    """Round-5 review fix: an out-of-range lpc_order must raise at the
+    encode entry point, not silently fall back to FIXED subframes."""
+
+    def test_mono_rejects_bad_order(self):
+        from cardinalityestimation_ray.stages.flac import encode_flac
+
+        sig = np.arange(100, dtype=np.int16)
+        for bad in (0, -5, 33):
+            with pytest.raises(ValueError, match="lpc_order"):
+                encode_flac(sig, 8000, lpc_order=bad)
+
+    def test_stereo_rejects_bad_order(self):
+        from cardinalityestimation_ray.stages.flac import encode_flac_stereo
+
+        sig = np.arange(100, dtype=np.int16)
+        with pytest.raises(ValueError, match="lpc_order"):
+            encode_flac_stereo(sig, sig, 8000, lpc_order=40)
+
+    def test_boundary_orders_still_encode(self):
+        from cardinalityestimation_ray.stages.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(7)
+        sig = rng.integers(-2000, 2000, size=5000).astype(np.int16)
+        for order in (1, 32):
+            dec, rate = decode_flac(encode_flac(sig, 16000, lpc_order=order))
+            assert rate == 16000
+            np.testing.assert_array_equal(dec, sig)
