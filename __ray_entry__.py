@@ -2128,22 +2128,20 @@ def _q_salted_distinct_docs_by_source(sf_dir: str):
 def _q_bloom_semi_join_orders(sf_dir: str):
     """Bloom-prefiltered EXACT semi-join: orders by BUILDING-segment
     customers, grouped by order status."""
-    import numpy as np
     import ray.data
     from ray.data.aggregate import Count
 
     from cardinalityestimation_ray.pipelines.membership import (
         broadcast_semi_join,
+        collect_build_keys,
     )
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    build = cust.filter(
-        expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
-    build_df = build.to_pandas()
-    # empty build side: Ray loses the schema on empty datasets
-    keys = (build_df["c_custkey"].to_numpy() if "c_custkey" in build_df
-            else np.array([], dtype=np.int64))
+    build = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    # streaming per-block-unique key extraction — the driver never holds
+    # build ROWS, only the capped distinct key set (round-5 review fix)
+    keys = collect_build_keys(build, "c_custkey")
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey",
                                             "o_orderstatus"])
@@ -2160,23 +2158,23 @@ def _q_bloom_anti_join_customers(sf_dir: str):
     """Broadcast ANTI-join (negate=True): customers with NO urgent order —
     exercises the SQL NOT IN path incl. the null-probe-key drop (advice
     fix), grouped by market segment."""
-    import numpy as np
     import pandas as pd
     import ray.data
     from ray.data.aggregate import Count
 
     from cardinalityestimation_ray.pipelines.membership import (
         broadcast_semi_join,
+        collect_build_keys,
     )
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_orderpriority"])
-    # dropna: SQL NOT IN against a build side containing NULL returns
-    # ZERO rows (three-valued logic); the operator's contract is "NOT IN
-    # the NON-NULL build keys" — state it by dropping nulls here
-    urgent_df = orders.filter(expr="o_orderpriority == '1-URGENT'").to_pandas()
-    keys = (urgent_df["o_custkey"].dropna().unique()
-            if "o_custkey" in urgent_df else np.array([], dtype=np.int64))
+    # SQL NOT IN against a build side containing NULL returns ZERO rows
+    # (three-valued logic); the operator's contract is "NOT IN the
+    # NON-NULL build keys" — collect_build_keys drops nulls per block and
+    # never lands build ROWS on the driver (round-5 review fix)
+    keys = collect_build_keys(
+        orders.filter(expr="o_orderpriority == '1-URGENT'"), "o_custkey")
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     loners = broadcast_semi_join(cust, keys, "c_custkey", negate=True)

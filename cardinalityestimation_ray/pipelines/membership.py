@@ -96,6 +96,45 @@ def bloom_semi_join(ds, filter_blob_ref, column: str, *, negate: bool = False):
     return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def collect_build_keys(ds, column: str, *,
+                       max_build_keys: int = 4_000_000) -> np.ndarray:
+    """Extract the distinct build-side key set for ``broadcast_semi_join``
+    WITHOUT materializing the build rows on the driver.
+
+    ``ds.to_pandas()`` followed by ``.unique()`` pulls every build ROW to
+    the driver before any size check can fire — unbounded at 100x scale.
+    Here each block contributes only its per-block distinct non-null keys
+    (vectorized ``pc.unique`` inside ``map_batches``), and the driver
+    folds those small per-block sets incrementally, raising as soon as
+    the running distinct count exceeds ``max_build_keys`` — so driver
+    memory is bounded by cap + one block's key set even when the build
+    side itself is enormous. Null build keys are dropped (the documented
+    "IN the non-null keys" contract of ``broadcast_semi_join``)."""
+    import pyarrow.compute as pc
+
+    def block_unique(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({column: pc.unique(col.drop_null())})
+
+    uniq = ds.select_columns([column]).map_batches(
+        block_unique, batch_format="pyarrow")
+    seen: np.ndarray | None = None
+    for batch in uniq.iter_batches(batch_format="pyarrow"):
+        vals = np.unique(batch[column].to_numpy(zero_copy_only=False))
+        seen = vals if seen is None else \
+            np.unique(np.concatenate([seen, vals]))
+        if len(seen) > max_build_keys:
+            raise ValueError(
+                f"broadcast build side exceeds max_build_keys="
+                f"{max_build_keys:,} distinct keys (stopped counting at "
+                f"{len(seen):,}); use the bucketed hash join "
+                f"(pipelines/joins.py:bucketed_inner_join) or raise the "
+                f"cap explicitly if the workers have the headroom")
+    return seen if seen is not None else np.array([], dtype=np.int64)
+
+
 def broadcast_semi_join(ds, build_keys: np.ndarray, column: str, *,
                         num_bits: int = 1 << 20, num_hashes: int = 7,
                         negate: bool = False,

@@ -1778,3 +1778,37 @@ def test_broadcast_semi_join_build_side_contract(_ray):
     # explicit override admits the large build side
     out = broadcast_semi_join(ds, big_build, "k", max_build_keys=10_000)
     assert out.count() == 100
+
+
+def test_collect_build_keys_streams_and_caps(ray_session):
+    """Round-5 review fix: build keys are extracted per-block-unique with
+    an incremental cap — the driver never holds build ROWS, and an
+    oversized distinct set raises mid-stream."""
+    import numpy as np
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.membership import (
+        collect_build_keys,
+    )
+
+    # duplicates collapse per block AND across blocks; nulls dropped
+    ds = ray.data.from_items(
+        [{"k": int(i % 700)} for i in range(7000)]
+        + [{"k": None}]).repartition(8)
+    keys = collect_build_keys(ds, "k", max_build_keys=1_000)
+    np.testing.assert_array_equal(np.sort(keys), np.arange(700))
+
+    # 5000 distinct keys > cap=1000: raises with the cap in the message
+    big = ray.data.range(5000).map_batches(
+        lambda b: {"k": b["id"]}, batch_format="numpy").repartition(8)
+    with pytest.raises(ValueError, match="max_build_keys"):
+        collect_build_keys(big, "k", max_build_keys=1_000)
+
+    # empty build side -> empty typed array, no crash
+    empty = ds.filter(lambda r: False)
+    assert len(collect_build_keys(empty, "k")) == 0
+
+    # string keys work (object-dtype fold)
+    sds = ray.data.from_items([{"k": f"s{i % 40}"} for i in range(400)])
+    skeys = collect_build_keys(sds, "k")
+    assert len(skeys) == 40 and "s7" in set(skeys)
