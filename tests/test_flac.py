@@ -293,3 +293,50 @@ class TestLpcOrderValidation:
             dec, rate = decode_flac(encode_flac(sig, 16000, lpc_order=order))
             assert rate == 16000
             np.testing.assert_array_equal(dec, sig)
+
+
+class TestEncodeFuzz:
+    """Seeded encode→decode fuzz across the full (signal shape, order,
+    stereo mode) space — the round-5 review ran this ad hoc; pinned here
+    so subframe-selection regressions surface in CI."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_mono_random_shapes(self, seed):
+        from cardinalityestimation_ray.stages.flac import encode_flac
+
+        rng = np.random.default_rng(1000 + seed)
+        n = int(rng.integers(1, 12000))
+        kind = seed % 3
+        if kind == 0:      # smooth (LPC-friendly)
+            sig = (rng.integers(1000, 16000)
+                   * np.sin(np.arange(n) / rng.uniform(5, 200))
+                   ).astype(np.int16)
+        elif kind == 1:    # noise (escape/verbatim paths)
+            sig = rng.integers(-32768, 32768, n).astype(np.int16)
+        else:              # piecewise constant (CONSTANT subframes)
+            sig = np.repeat(rng.integers(-32768, 32768, max(n // 64, 1)),
+                            64)[:n].astype(np.int16)
+        order = [None, 1, 4, 8, 16, 32][seed]
+        dec, rate = decode_flac(encode_flac(sig, 44100, lpc_order=order))
+        assert rate == 44100
+        np.testing.assert_array_equal(dec, sig)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_stereo_random_shapes(self, seed):
+        from cardinalityestimation_ray.stages.flac import encode_flac_stereo
+
+        rng = np.random.default_rng(2000 + seed)
+        n = int(rng.integers(1, 9000))
+        left = rng.integers(-32768, 32768, n).astype(np.int16)
+        # correlated right channel exercises the side-channel win
+        right = np.clip(left.astype(np.int32)
+                        + rng.integers(-500, 500, n), -32768, 32767) \
+            .astype(np.int16)
+        mode = ["independent", "left_side", "right_side", "mid_side"][seed]
+        order = [None, 8, 2, 32][seed]
+        blob = encode_flac_stereo(left, right, 22050, mode=mode,
+                                  lpc_order=order)
+        dec, rate = decode_flac(blob)
+        assert rate == 22050 and dec.shape == (n, 2)
+        np.testing.assert_array_equal(dec[:, 0], left)
+        np.testing.assert_array_equal(dec[:, 1], right)
