@@ -131,6 +131,59 @@ def _q_hll_distinct_docs_by_source(sf_dir: str):
     return distinct_docs_by_source(_tokens(sf_dir), b=14)
 
 
+def _q_distinct_docs_error_bounds(sf_dir: str):
+    """Oracle-checkable HLL GUARANTEE for the per-source distinct-doc
+    estimates in EVERY regime (the ``cms_error_bounds`` pattern): the only
+    rows the skew/sf0.1 sweeps leave red are per-source distinct-doc
+    ESTIMATES past the ≤100 direct-exact regime, where the raw-value
+    oracle cannot apply. This query checks the published accuracy bound
+    instead — per source, |est − exact| ≤ 3·1.04/√(2^b)·exact (zero in
+    the direct regime) — which is deterministic once data+hash are fixed,
+    so the all-TRUE frame is SQL-predictable at ANY scale or skew. Exact
+    counts come from a distributed pair-distinct (per-block Arrow
+    group_by) + per-source map_groups — no driver-side row pull."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cardinalityestimation_ray.pipelines.distinct import (
+        distinct_docs_by_source,
+    )
+
+    est = distinct_docs_by_source(_tokens(sf_dir), b=14)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "doc_id"])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch["source"]),
+                       pc.is_valid(batch["doc_id"]))
+        return batch.filter(mask).group_by(
+            ["source", "doc_id"]).aggregate([])
+
+    def group_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": [df["source"].iloc[0]],
+                             "exact_docs": [df["doc_id"].nunique()]})
+
+    exact = docs.map_batches(block_pairs, batch_format="pyarrow") \
+        .groupby("source").map_groups(group_count, batch_format="pandas")
+    exact_df = _typed(exact, {"source": "object", "exact_docs": "int64"})
+
+    merged = est.merge(exact_df, on="source", how="inner")
+    if len(merged) == 0:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "within_bound": pd.Series([], dtype="bool")})
+    rel_bound = 3 * 1.04 / np.sqrt(2.0 ** 14)
+    err = (merged["distinct_docs"] - merged["exact_docs"]).abs()
+    return pd.DataFrame({
+        "source": merged["source"].astype("object"),
+        "within_bound": (err <= rel_bound * merged["exact_docs"])
+        .astype(bool),
+    }).sort_values("source").reset_index(drop=True)
+
+
 def _q_hll_distinct_lang_by_source(sf_dir: str):
     import ray.data
 
@@ -2410,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_tokens_by_source": _q_hll_distinct_tokens_by_source,
         "hll_distinct_tokens_global": _q_hll_distinct_tokens_global,
         "hll_distinct_docs_by_source": _q_hll_distinct_docs_by_source,
+        "distinct_docs_error_bounds": _q_distinct_docs_error_bounds,
         "hll_distinct_lang_by_source": _q_hll_distinct_lang_by_source,
         "token_topk_counts": _q_token_topk_counts,
         "cms_token_frequencies": _q_cms_token_frequencies,
@@ -2587,6 +2641,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source IS NOT NULL
             GROUP BY source
+        """,
+        # HLL published-bound guarantee, valid in every regime (the raw
+        # per-source estimates are only value-exact in the direct regime)
+        "distinct_docs_error_bounds": """
+            SELECT source, TRUE AS within_bound
+            FROM documents
+            WHERE source IS NOT NULL AND doc_id IS NOT NULL
+            GROUP BY source
+            ORDER BY source
         """,
         "hll_distinct_lang_by_source": """
             SELECT source,

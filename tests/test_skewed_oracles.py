@@ -84,6 +84,11 @@ QUERIES = [
     "rolling_event_value_mean",
     "top_orders_per_customer",
     "ann_topk",
+    # round 5: the HLL published-bound guarantee stays oracle-green on the
+    # very base where the raw per-source distinct-doc VALUES diverge (the
+    # hot source's 440 distinct docs are past the ≤100 direct-exact
+    # regime) — the bound query is the all-regime twin for that red class
+    "distinct_docs_error_bounds",
 ]
 
 
